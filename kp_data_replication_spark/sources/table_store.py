@@ -1,0 +1,195 @@
+"""Versioned, bucketed, snapshot-committed target table (SURVEY.md §2.1 S6-S8; §4 custom #1).
+
+An Iceberg-style table without Iceberg jars: immutable data files + a JSON
+manifest per version + an atomically swapped `_current` pointer. This is the
+engine's exactly-once core, rebuilding the reference's blueprint: "MM2 will
+be able to support exactly once by using the checkpoint topic on the target
+... write with an atomic transaction between the target topic and the
+checkpoint topic" (docs/consideration.md:62). One commit covers BOTH the
+merged data files and the lineage (applied-offset) snapshot — the analogues
+of the target topic and checkpoints.internal (docs/index.md:17-23).
+
+Layout:
+    root/
+      _current                     # json {"version": n} — os.replace'd atomically
+      manifests/v{n}.json          # epoch, schema, bucket -> [data files], lineage file
+      data/e{epoch}/_bucket=k/...  # immutable parquet, written once per epoch
+      lineage/e{epoch}.parquet
+
+Bucketing: rows are hash-bucketed on the key (pmod(hash(repo, path), B) —
+the same key-hash affinity the producers use, SendProductToKafka.py:48). A
+micro-batch MERGE reads and rewrites ONLY the buckets its keys touch; clean
+buckets carry forward by manifest reference. At 10^10 rows this is what
+bounds MERGE cost by batch size, not table size (Iceberg's bucket partition
+transform + copy-on-write, re-expressed).
+
+Crash safety (tested by fault injection):
+  * crash while writing data/e{epoch}: pointer untouched; the re-delivered
+    epoch overwrites the same directory (idempotent).
+  * crash after manifest write, before pointer swap: re-delivery rewrites
+    v{n+1}.json identically, then swaps.
+  * pointer swap is os.replace — atomic on POSIX.
+Fencing: a batch whose epoch <= the committed epoch is a no-op
+(foreachBatch re-delivery after restart, docs/consideration.md:52-62).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import KEY_COLS, LINEAGE_SCHEMA
+
+BUCKET_COL = "_bucket"
+
+
+def bucket_expr(n_buckets: int, key_cols: list[str] | None = None) -> F.Column:
+    key_cols = key_cols or KEY_COLS
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+class TableStore:
+    def __init__(self, root: str, n_buckets: int = 16):
+        self.root = root
+        self._n_buckets = n_buckets
+
+    # ---------- metadata ----------
+    @property
+    def pointer_path(self) -> str:
+        return os.path.join(self.root, "_current")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.pointer_path)
+
+    def current_version(self) -> int:
+        if not self.exists():
+            return 0
+        with open(self.pointer_path) as f:
+            return json.load(f)["version"]
+
+    def current_manifest(self) -> dict | None:
+        v = self.current_version()
+        if v == 0:
+            return None
+        with open(os.path.join(self.root, "manifests", f"v{v}.json")) as f:
+            return json.load(f)
+
+    def current_epoch(self) -> int:
+        m = self.current_manifest()
+        return -1 if m is None else m["epoch"]
+
+    @property
+    def n_buckets(self) -> int:
+        m = self.current_manifest()
+        return self._n_buckets if m is None else m["n_buckets"]
+
+    def schema(self) -> T.StructType | None:
+        m = self.current_manifest()
+        if m is None:
+            return None
+        return T.StructType.fromJson(m["schema"])
+
+    # ---------- reads ----------
+    def _bucket_files(self, buckets: list[int] | None = None) -> list[str]:
+        m = self.current_manifest()
+        if m is None:
+            return []
+        sel = m["buckets"] if buckets is None else {
+            str(b): m["buckets"].get(str(b), []) for b in buckets
+        }
+        return [os.path.join(self.root, p) for files in sel.values() for p in files]
+
+    def read_state(
+        self, spark: SparkSession, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Current table state (optionally restricted to some buckets),
+        always through the manifest schema so old files are null-padded for
+        columns added later (additive evolution, docs/consideration.md:13-18)."""
+        schema = self.schema()
+        files = self._bucket_files(buckets)
+        if schema is None or not files:
+            return spark.createDataFrame([], schema or T.StructType(
+                [T.StructField(c, T.StringType()) for c in KEY_COLS]
+            ))
+        return spark.read.schema(schema).parquet(*files)
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        m = self.current_manifest()
+        if m is None or not m.get("lineage"):
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(
+            os.path.join(self.root, m["lineage"])
+        )
+
+    # ---------- commit ----------
+    def commit(
+        self,
+        merged_dirty: DataFrame | None,
+        dirty_buckets: list[int],
+        lineage: DataFrame,
+        epoch: int,
+        row_schema: T.StructType,
+    ) -> int:
+        """Atomically publish a new version: dirty-bucket data + lineage.
+
+        ``merged_dirty`` must contain BUCKET_COL; only rows of
+        ``dirty_buckets`` may be present. Returns the new version number.
+        """
+        if epoch <= self.current_epoch():
+            return self.current_version()  # fenced: already committed
+
+        os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
+        prev = self.current_manifest()
+        version = self.current_version() + 1
+        buckets_map: dict[str, list[str]] = dict(prev["buckets"]) if prev else {}
+
+        epoch_rel = f"data/e{epoch}"
+        epoch_dir = os.path.join(self.root, epoch_rel)
+        if merged_dirty is not None and dirty_buckets:
+            shutil.rmtree(epoch_dir, ignore_errors=True)  # idempotent re-delivery
+            (
+                merged_dirty.write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(epoch_dir)
+            )
+            written: dict[str, list[str]] = {str(b): [] for b in dirty_buckets}
+            for d in os.listdir(epoch_dir):
+                if not d.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = d.split("=", 1)[1]
+                files = [
+                    f"{epoch_rel}/{d}/{f}"
+                    for f in os.listdir(os.path.join(epoch_dir, d))
+                    if f.endswith(".parquet")
+                ]
+                written[b] = files
+            buckets_map.update(written)
+
+        lineage_rel = f"lineage/e{epoch}.parquet"
+        lineage_dir = os.path.join(self.root, lineage_rel)
+        shutil.rmtree(lineage_dir, ignore_errors=True)
+        lineage.coalesce(1).write.mode("overwrite").parquet(lineage_dir)
+
+        manifest = {
+            "version": version,
+            "epoch": epoch,
+            "n_buckets": prev["n_buckets"] if prev else self._n_buckets,
+            "schema": row_schema.jsonValue(),
+            "buckets": buckets_map,
+            "lineage": lineage_rel,
+        }
+        mpath = os.path.join(self.root, "manifests", f"v{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+
+        # the transaction point: everything before this line is invisible
+        with open(self.pointer_path + ".tmp", "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(self.pointer_path + ".tmp", self.pointer_path)
+        return version

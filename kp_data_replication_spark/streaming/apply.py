@@ -1,0 +1,238 @@
+"""The CDC apply engine: changelog tail -> exactly-once MERGE into the target
+table (SURVEY.md §2.1 S5/S7/S8, §2.9 T1-T5,T7).
+
+This is the Spark-native MirrorSourceConnector (docs/index.md:52): where MM2
+runs one consume->produce task per topic-partition with offsets committed to
+internal topics, this engine runs `readStream` over the changelog ->
+`foreachBatch` -> compact + MERGE + lineage, committed atomically per epoch
+through the TableStore pointer swap (the exactly-once blueprint of
+docs/consideration.md:62).
+
+Batch pipeline (fixed plan shape — no driver-side row loops, everything
+distributed):
+
+    changelog batch
+      │ topic whitelist/blacklist (rlike, codegen)          F1-F3
+      │ lineage anti-filter (broadcast join, no shuffle)    J3
+      │ envelope unpack + content normalize (Arrow UDF)     F4/F7
+      │ last-write-wins per (repo,path) (hash agg,          A2/W2
+      │   map-side partial, output partitioned on key)
+      │ dirty-bucket MERGE (full-outer join; only buckets   J2/S6
+      │   touched by the batch are read & rewritten)
+      └ atomic commit: data + lineage + epoch               S7/S8/T3/T4
+
+Restart/resume (T1/T2): Structured Streaming's checkpoint replays the last
+uncommitted batch with the SAME epoch id; the store fences on epoch, so
+re-delivery is a no-op — at-least-once delivery (docs/consideration.md:52-58)
+becomes exactly-once.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.envelope import unpack_envelope, unpack_envelope_arrow
+from ..operators.compact import last_write_wins
+from ..operators.dedup_cdc import (
+    advance_lineage,
+    applied_watermarks,
+    filter_applied,
+)
+from ..operators.filters import DEFAULT_BLACKLIST, select_topics
+from ..operators.merge import merge_upsert
+from ..sources.table_store import BUCKET_COL, TableStore, bucket_expr
+
+
+@dataclass
+class EngineConfig:
+    whitelist: str | None = "^repos$"
+    blacklist: str | None = DEFAULT_BLACKLIST
+    n_buckets: int = 16
+    arrow_unpack: bool = False  # all-Arrow unpack variant (see envelope.py)
+    normalize: bool = True
+    metrics: bool = True
+    # explicit parallelism for the wide stages; None -> session default
+    shuffle_partitions: int | None = None
+    extra_meta_cols: tuple = ()
+
+
+@dataclass
+class CdcApplyEngine:
+    store: TableStore
+    config: EngineConfig = field(default_factory=EngineConfig)
+
+    # ------------------------------------------------------------------ #
+    def apply_batch(self, batch: DataFrame, epoch: int) -> dict:
+        """Apply one micro-batch exactly once. Returns a summary dict."""
+        spark = batch.sparkSession
+        if epoch <= self.store.current_epoch():
+            # fenced: this epoch already committed (restart re-delivery)
+            return {"epoch": epoch, "status": "fenced"}
+        if self.config.shuffle_partitions:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(self.config.shuffle_partitions)
+            )
+
+        events = select_topics(batch, self.config.whitelist, self.config.blacklist)
+        lineage = self.store.read_lineage(spark)
+        applied_before = (
+            {r["partition"]: r["applied_lsn"] for r in lineage.collect()}
+            if self.config.metrics
+            else {}
+        )
+        fresh = filter_applied(events, lineage)
+
+        unpack = unpack_envelope_arrow if self.config.arrow_unpack else unpack_envelope
+        rows = unpack(fresh, normalize=self.config.normalize)
+
+        compacted = last_write_wins(rows).withColumn(
+            BUCKET_COL, bucket_expr(self.store.n_buckets)
+        )
+        compacted = compacted.cache()
+        try:
+            # one job: materializes the cache AND yields dirty buckets + count
+            bucket_counts = compacted.groupBy(BUCKET_COL).count().collect()
+            dirty = [r[BUCKET_COL] for r in bucket_counts]
+            n_changed = sum(r["count"] for r in bucket_counts)
+
+            row_schema = self._union_row_schema(compacted)
+            if dirty:
+                target_dirty = self.store.read_state(spark, buckets=dirty)
+                merged = merge_upsert(target_dirty, compacted.drop(BUCKET_COL))
+                merged = merged.select(*[f.name for f in row_schema.fields]).withColumn(
+                    BUCKET_COL, bucket_expr(self.store.n_buckets)
+                )
+            else:
+                merged = None
+
+            marks = applied_watermarks(fresh)
+            new_lineage = advance_lineage(lineage, marks, epoch)
+
+            version = self.store.commit(
+                merged, dirty, new_lineage, epoch, row_schema
+            )
+            summary = {
+                "epoch": epoch,
+                "status": "committed",
+                "version": version,
+                "keys_changed": n_changed,
+                "dirty_buckets": len(dirty),
+            }
+            if self.config.metrics:
+                self._write_metrics(events, fresh, epoch, applied_before)
+            return summary
+        finally:
+            compacted.unpersist()
+
+    # ------------------------------------------------------------------ #
+    def _union_row_schema(self, compacted: DataFrame) -> T.StructType:
+        """Additive union of the stored schema and this batch's row schema
+        (S6 — target DDL follows source, docs/consideration.md:13-18)."""
+        meta = {"op", "partition", "lsn", "ts_ms", BUCKET_COL}
+        batch_fields = [
+            f for f in compacted.schema.fields if f.name not in meta
+        ]
+        stored = self.store.schema()
+        if stored is None:
+            return T.StructType(batch_fields)
+        names = {f.name for f in stored.fields}
+        return T.StructType(
+            list(stored.fields) + [f for f in batch_fields if f.name not in names]
+        )
+
+    def _write_metrics(
+        self,
+        events: DataFrame,
+        fresh: DataFrame,
+        epoch: int,
+        applied_before: dict,
+    ) -> None:
+        """Per-partition per-epoch replication metrics (SURVEY.md §2.4 A6-A7,
+        §2.9 T6): records, duplicates masked, bytes, lag inputs. Mirrors the
+        MM2 JMX metric set record-count/record-age-ms/replication-latency-ms
+        (mirror-maker-2/mm2-jmx-exporter.yaml:28-43). Non-transactional
+        append — monitoring data, not engine state."""
+        spark = events.sparkSession
+        all_agg = events.groupBy("partition").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lsn").alias("max_lsn"),
+            F.min("ts_ms").alias("min_ts"),
+            F.max("ts_ms").alias("max_ts"),
+            F.sum(F.length(F.col("after.content"))).alias("bytes_in"),
+        )
+        fresh_agg = fresh.groupBy("partition").agg(F.count(F.lit(1)).alias("n_applied"))
+        before_df = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in applied_before.items()] or [],
+            "partition int, applied_lsn_before long",
+        )
+        m = (
+            all_agg.join(fresh_agg, "partition", "left")
+            .join(F.broadcast(before_df), "partition", "left")
+            .select(
+                F.lit(epoch).cast("long").alias("epoch"),
+                "partition",
+                "n_events",
+                F.coalesce("n_applied", F.lit(0)).alias("n_applied"),
+                (F.col("n_events") - F.coalesce("n_applied", F.lit(0))).alias("n_duplicates"),
+                "bytes_in",
+                "max_lsn",
+                "applied_lsn_before",
+                "min_ts",
+                "max_ts",
+            )
+        )
+        m.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.store.root, "metrics")
+        )
+
+    # ------------------------------------------------------------------ #
+    def replay_batch(self, spark: SparkSession, changelog_path: str) -> dict:
+        """Full batch replay (`--from-beginning`, S4): the whole changelog as
+        one epoch."""
+        df = spark.read.option("mergeSchema", "true").parquet(changelog_path)
+        return self.apply_batch(df, self.store.current_epoch() + 1)
+
+    def start_stream(
+        self,
+        spark: SparkSession,
+        changelog_path: str,
+        checkpoint_dir: str,
+        read_schema: T.StructType,
+        max_files_per_trigger: int = 1,
+        available_now: bool = True,
+    ):
+        """Continuous tail with restart-resume (T1): file-source analogue of
+        the MM2 consume loop; `maxFilesPerTrigger` is the rate-throttle
+        (docs/perf-tests.md:166 `--throughput`; T7). With
+        ``available_now`` the query drains all pending input then stops —
+        the replay-to-caught-up mode used by tests and bench."""
+        src = (
+            spark.readStream.schema(read_schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(changelog_path)
+        )
+        writer = (
+            src.writeStream.foreachBatch(
+                lambda df, eid: self.apply_batch(df, eid) and None
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName("cdc-apply")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="5 seconds")
+        return writer.start()
+
+
+def final_state(spark: SparkSession, store: TableStore) -> DataFrame:
+    """Current replicated table state with the sha256 invariant column."""
+    df = store.read_state(spark)
+    if "content" in df.columns:
+        df = df.withColumn("content_sha", F.sha2("content", 256))
+    return df
