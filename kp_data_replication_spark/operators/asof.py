@@ -1,0 +1,95 @@
+"""Consumer-group offset translation — the as-of join (SURVEY.md §2.3 J1, §2.5 W3).
+
+Reference semantics (docs/consideration.md:37-48): MM2's checkpoint connector
+maps a consumer group's last-committed SOURCE offset to the corresponding
+TARGET offset. Offset-sync points are sparse — emitted "at the beginning of
+the replication and when ... numbering sequencing diverges"
+(docs/consideration.md:46) — so the translation is an as-of lookup: the
+greatest sync point whose source offset <= the committed offset ("last read
+committed offset ... 3 is mapped as 12 in the target partition").
+
+Two implementations, same semantics:
+  * `translate_offsets`       — broadcast range join + max_by aggregation.
+    The sync table is tiny (one row per divergence event per partition), so
+    the join is map-side; the aggregation picks the greatest qualifying sync
+    per commit. This is the production path at any scale.
+  * `translate_offsets_window`— union + window (last ignorenulls over an
+    unbounded-preceding frame) — no join at all; useful when the sync table
+    is NOT small relative to commits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def translate_offsets(commits: DataFrame, offset_syncs: DataFrame) -> DataFrame:
+    """Map each (group, partition, committed src offset) to a target offset.
+
+    commits:       group, partition, src_offset
+    offset_syncs:  partition, sync_src_offset, sync_tgt_offset
+    result:        group, partition, src_offset, tgt_offset
+                   (tgt = sync_tgt + (src - sync_src) under the greatest
+                    sync_src <= src; null if no sync point precedes)
+    """
+    s = F.broadcast(offset_syncs)
+    j = commits.join(s, "partition", "left").filter(
+        F.col("sync_src_offset") <= F.col("src_offset")
+    )
+    best = j.groupBy("group", "partition", "src_offset").agg(
+        F.max_by(
+            F.struct("sync_src_offset", "sync_tgt_offset"), F.col("sync_src_offset")
+        ).alias("_sync")
+    )
+    return best.select(
+        "group",
+        "partition",
+        "src_offset",
+        (
+            F.col("_sync.sync_tgt_offset")
+            + (F.col("src_offset") - F.col("_sync.sync_src_offset"))
+        ).alias("tgt_offset"),
+    )
+
+
+def translate_offsets_window(commits: DataFrame, offset_syncs: DataFrame) -> DataFrame:
+    """Window formulation: union sync points and commits per partition,
+    order by offset, carry the last sync point forward
+    (`last(..., ignorenulls=True)` over unbounded-preceding — W3)."""
+    syncs = offset_syncs.select(
+        "partition",
+        F.col("sync_src_offset").alias("offset"),
+        F.lit(None).cast("string").alias("group"),
+        F.lit(None).cast("long").alias("src_offset"),
+        F.struct("sync_src_offset", "sync_tgt_offset").alias("_sync"),
+        F.lit(0).alias("_kind"),  # syncs sort before commits at equal offset
+    )
+    cs = commits.select(
+        "partition",
+        F.col("src_offset").alias("offset"),
+        "group",
+        "src_offset",
+        F.lit(None)
+        .cast("struct<sync_src_offset:bigint,sync_tgt_offset:bigint>")
+        .alias("_sync"),
+        F.lit(1).alias("_kind"),
+    )
+    w = (
+        W.partitionBy("partition")
+        .orderBy("offset", "_kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = syncs.unionByName(cs).withColumn(
+        "_last_sync", F.last("_sync", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("_kind") == 1).select(
+        "group",
+        "partition",
+        "src_offset",
+        (
+            F.col("_last_sync.sync_tgt_offset")
+            + (F.col("src_offset") - F.col("_last_sync.sync_src_offset"))
+        ).alias("tgt_offset"),
+    )

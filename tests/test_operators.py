@@ -1,0 +1,199 @@
+"""Per-operator unit tests on tiny deterministic frames (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kp_data_replication_spark.operators.asof import (
+    translate_offsets,
+    translate_offsets_window,
+)
+from kp_data_replication_spark.operators.compact import (
+    last_write_wins,
+    last_write_wins_window,
+)
+from kp_data_replication_spark.operators.dedup_cdc import (
+    applied_watermarks,
+    filter_applied,
+    gap_audit,
+)
+from kp_data_replication_spark.operators.filters import (
+    cluster_prefix,
+    fan_in_union,
+    select_topics,
+    topic_blacklist,
+    topic_whitelist,
+)
+from kp_data_replication_spark.operators.merge import merge_upsert
+from kp_data_replication_spark.operators.metrics import latency_stats, record_count
+from kp_data_replication_spark.operators.skew import gap_audit_salted
+
+
+# ---------------------------------------------------------------- filters
+def _topics(spark):
+    return spark.createDataFrame(
+        [("repos",), ("orders",), ("mm2-configs.source.internal",), ("__consumer_offsets",)],
+        "source_topic string",
+    )
+
+
+def test_topic_whitelist(spark):
+    got = topic_whitelist(_topics(spark), "^(repos|orders)$").collect()
+    assert sorted(r.source_topic for r in got) == ["orders", "repos"]
+
+
+def test_topic_blacklist_default(spark):
+    got = topic_blacklist(_topics(spark)).collect()
+    assert sorted(r.source_topic for r in got) == ["orders", "repos"]
+
+
+def test_select_topics_combined(spark):
+    got = select_topics(_topics(spark), whitelist="^repos").collect()
+    assert [r.source_topic for r in got] == ["repos"]
+
+
+def test_cluster_prefix(spark):
+    # DefaultReplicationPolicy rename: kp-remote.kp-topic-1
+    got = cluster_prefix(_topics(spark), "kp-remote").collect()
+    assert ("kp-remote.repos", "repos") in {(r.target_topic, r.source_topic) for r in got}
+
+
+def test_fan_in_union_allows_schema_drift(spark):
+    a = spark.createDataFrame([("r1", 1)], "repo string, x int")
+    b = spark.createDataFrame([("r2", "extra")], "repo string, y string")
+    got = fan_in_union([a, b])
+    assert set(got.columns) == {"repo", "x", "y"}
+    assert got.count() == 2
+
+
+# ---------------------------------------------------------------- compact
+def _events(spark):
+    rows = [
+        # (repo, path, lsn, op, commit)
+        ("r1", "a", 0, "c", "c0"),
+        ("r1", "a", 5, "u", "c1"),
+        ("r1", "a", 9, "u", "c2"),
+        ("r1", "b", 1, "c", "c0"),
+        ("r2", "a", 2, "c", "c0"),
+        ("r2", "a", 7, "d", None),
+    ]
+    return spark.createDataFrame(rows, "repo string, path string, lsn long, op string, commit string")
+
+
+def test_last_write_wins_agg(spark):
+    got = {(r.repo, r.path): (r.lsn, r.op) for r in last_write_wins(_events(spark)).collect()}
+    assert got == {("r1", "a"): (9, "u"), ("r1", "b"): (1, "c"), ("r2", "a"): (7, "d")}
+
+
+def test_last_write_wins_window_parity(spark):
+    df = _events(spark)
+    a = {tuple(r) for r in last_write_wins(df).collect()}
+    b = {tuple(r) for r in last_write_wins_window(df).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------- dedup / lineage
+def test_filter_applied_watermark(spark):
+    events = spark.createDataFrame(
+        [(0, 5), (0, 6), (1, 2), (2, 0)], "partition int, lsn long"
+    )
+    lineage = spark.createDataFrame(
+        [(0, 5, 1, 6, None)],
+        "partition int, applied_lsn long, epoch long, n_applied long, updated_ts timestamp",
+    )
+    got = {(r.partition, r.lsn) for r in filter_applied(events, lineage).collect()}
+    assert got == {(0, 6), (1, 2), (2, 0)}  # (0,5) already applied
+
+
+def test_applied_watermarks(spark):
+    events = spark.createDataFrame([(0, 5), (0, 9), (1, 2)], "partition int, lsn long")
+    got = {(r.partition, r.applied_lsn, r.n_applied) for r in applied_watermarks(events).collect()}
+    assert got == {(0, 9, 2), (1, 2, 1)}
+
+
+def test_gap_audit_finds_divergence(spark):
+    events = spark.createDataFrame(
+        [(0, 0), (0, 1), (0, 2), (0, 5), (1, 0), (1, 1)], "partition int, lsn long"
+    )
+    got = gap_audit(events).collect()
+    assert len(got) == 1 and (got[0].partition, got[0].prev_lsn, got[0].lsn, got[0].gap) == (0, 2, 5, 3)
+
+
+def test_gap_audit_salted_parity(spark):
+    rows = [(p, l) for p in range(3) for l in range(40) if (p, l) not in {(0, 7), (1, 21), (1, 22)}]
+    events = spark.createDataFrame(rows, "partition int, lsn long")
+    naive = {(r.partition, r.prev_lsn, r.lsn) for r in gap_audit(events).collect()}
+    salted = {(r.partition, r.prev_lsn, r.lsn) for r in gap_audit_salted(events, chunk=10).collect()}
+    assert naive == salted and len(naive) == 2
+
+
+# ---------------------------------------------------------------- as-of join
+def _sync_tables(spark):
+    # offset 3 at the source maps to 12 at the target (docs/consideration.md:39-48)
+    syncs = spark.createDataFrame(
+        [(0, 0, 9), (0, 20, 17), (1, 0, 0)],
+        "partition int, sync_src_offset long, sync_tgt_offset long",
+    )
+    commits = spark.createDataFrame(
+        [("g1", 0, 3), ("g1", 0, 25), ("g1", 1, 4), ("g2", 0, 20)],
+        "group string, partition int, src_offset long",
+    )
+    return commits, syncs
+
+
+def test_translate_offsets(spark):
+    commits, syncs = _sync_tables(spark)
+    got = {(r.group, r.partition, r.src_offset): r.tgt_offset
+           for r in translate_offsets(commits, syncs).collect()}
+    assert got == {("g1", 0, 3): 12, ("g1", 0, 25): 22, ("g1", 1, 4): 4, ("g2", 0, 20): 17}
+
+
+def test_translate_offsets_window_parity(spark):
+    commits, syncs = _sync_tables(spark)
+    a = {tuple(r) for r in translate_offsets(commits, syncs).collect()}
+    b = {tuple(r) for r in translate_offsets_window(commits, syncs).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------- merge
+def test_merge_upsert_insert_update_delete(spark):
+    target = spark.createDataFrame(
+        [("r1", "a", "old", "py"), ("r1", "b", "keep", "md")],
+        "repo string, path string, commit string, lang string",
+    )
+    batch = spark.createDataFrame(
+        [("r1", "a", "u", "new", "py"), ("r1", "b", "d", None, None), ("r2", "c", "c", "ins", "go")],
+        "repo string, path string, op string, commit string, lang string",
+    )
+    got = {(r.repo, r.path): (r.commit, r.lang) for r in merge_upsert(target, batch).collect()}
+    assert got == {("r1", "a"): ("new", "py"), ("r2", "c"): ("ins", "go")}
+
+
+def test_merge_schema_evolution_null_pads_target(spark):
+    target = spark.createDataFrame([("r1", "a", "c0")], "repo string, path string, commit string")
+    batch = spark.createDataFrame(
+        [("r2", "b", "c", "c1", 5)], "repo string, path string, op string, commit string, stars int"
+    )
+    got = {(r.repo, r.path): (r.commit, r.stars) for r in merge_upsert(target, batch).collect()}
+    assert got == {("r1", "a"): ("c0", None), ("r2", "b"): ("c1", 5)}
+
+
+def test_merge_full_image_semantics(spark):
+    """An update whose image lacks an evolved column nulls it (full-image)."""
+    target = spark.createDataFrame([("r1", "a", "c0", 7)], "repo string, path string, commit string, stars int")
+    batch = spark.createDataFrame([("r1", "a", "u", "c1")], "repo string, path string, op string, commit string")
+    got = merge_upsert(target, batch).collect()
+    assert len(got) == 1 and got[0].commit == "c1" and got[0].stars is None
+
+
+# ---------------------------------------------------------------- metrics
+def test_record_count(spark):
+    df = spark.range(500)
+    assert record_count(df).collect()[0].n_records == 500  # docs/perf-tests.md:92
+
+
+def test_latency_stats_percentiles(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "latency_ms double")
+    row = latency_stats(df).collect()[0]
+    assert row.n == 100 and row.min_ms == 1.0 and row.max_ms == 100.0
+    assert abs(row.p50_ms - 50.5) < 1e-9 and abs(row.avg_ms - 50.5) < 1e-9
