@@ -1,0 +1,115 @@
+"""CLI entry points — the spark-submit surface (SURVEY.md §3 lifecycle).
+
+Mirrors the reference's entry points:
+  * gen     -> SendProductToKafka.py / ProducerPerformance.py (data injection)
+  * replay  -> consumeFromLocal.sh --from-beginning (full batch replay)
+  * stream  -> connect-mirror-maker.sh mm2.properties (continuous tail)
+  * state   -> target-topic consumption check (docs/local-to-es.md:97-106)
+  * lag     -> consumer-lag dashboard query (docs/index.md:156-158)
+
+On a cluster: `spark-submit --py-files kp_data_replication_spark.zip -m
+kp_data_replication_spark.cli ...` — same code, different master.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .datagen import ChangelogSpec, write_changelog
+from .schema import CHANGELOG_SCHEMA_EVOLVED
+from .session import get_spark
+from .sources.table_store import TableStore
+from .streaming.apply import CdcApplyEngine, EngineConfig, final_state
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="kp-cdc-spark")
+    ap.add_argument("--cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic changelog")
+    g.add_argument("out_dir")
+    g.add_argument("--keys", type=int, default=10000)
+    g.add_argument("--versions", type=int, default=5)
+    g.add_argument("--partitions", type=int, default=16)
+    g.add_argument("--files", type=int, default=4)
+
+    r = sub.add_parser("replay", help="batch full replay into the target table")
+    r.add_argument("changelog")
+    r.add_argument("target")
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--whitelist", default="^repos$")
+
+    s = sub.add_parser("stream", help="continuous tail with checkpoint resume")
+    s.add_argument("changelog")
+    s.add_argument("target")
+    s.add_argument("checkpoint")
+    s.add_argument("--buckets", type=int, default=64)
+    s.add_argument("--whitelist", default="^repos$")
+    s.add_argument("--max-files-per-trigger", type=int, default=16)
+    s.add_argument("--continuous", action="store_true",
+                   help="keep running (default: drain available input and stop)")
+
+    st = sub.add_parser("state", help="show current target state summary")
+    st.add_argument("target")
+
+    lg = sub.add_parser("lag", help="per-partition replication lag vs a changelog head")
+    lg.add_argument("changelog")
+    lg.add_argument("target")
+
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name=f"kp-cdc-{args.cmd}", cpus=args.cpus)
+
+    if args.cmd == "gen":
+        spec = ChangelogSpec(
+            n_keys=args.keys, versions_per_key=args.versions,
+            n_partitions=args.partitions, files=args.files,
+        )
+        write_changelog(spark, args.out_dir, spec)
+        print(json.dumps({"events": spec.n_events, "out": args.out_dir}))
+    elif args.cmd == "replay":
+        engine = CdcApplyEngine(
+            TableStore(args.target, n_buckets=args.buckets),
+            EngineConfig(whitelist=args.whitelist),
+        )
+        print(json.dumps(engine.replay_batch(spark, args.changelog)))
+    elif args.cmd == "stream":
+        engine = CdcApplyEngine(
+            TableStore(args.target, n_buckets=args.buckets),
+            EngineConfig(whitelist=args.whitelist),
+        )
+        q = engine.start_stream(
+            spark, args.changelog, args.checkpoint, CHANGELOG_SCHEMA_EVOLVED,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=not args.continuous,
+        )
+        q.awaitTermination()
+        print(json.dumps({"status": "drained", "epoch": engine.store.current_epoch()}))
+    elif args.cmd == "state":
+        store = TableStore(args.target)
+        df = final_state(spark, store)
+        print(json.dumps({
+            "version": store.current_version(),
+            "epoch": store.current_epoch(),
+            "rows": df.count(),
+            "schema": df.schema.simpleString(),
+        }))
+    elif args.cmd == "lag":
+        from pyspark.sql import functions as F
+
+        from .operators.metrics import consumer_lag
+
+        store = TableStore(args.target)
+        head = (
+            spark.read.option("mergeSchema", "true").parquet(args.changelog)
+            .groupBy("partition").agg(F.max("lsn").alias("max_lsn"))
+        )
+        for row in consumer_lag(head, store.read_lineage(spark)).orderBy("partition").collect():
+            print(json.dumps(row.asDict()))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,10 @@ def normalize_content(s: pd.Series) -> pd.Series:
     def _n(x):
         if x is None:
             return None
+        # ASCII fast path: NFC is the identity on ASCII, so only the CRLF
+        # rewrite can apply — str.isascii is a C-level check per element
+        if x.isascii():
+            return x.replace("\r\n", "\n") if "\r" in x else x
         return unicodedata.normalize("NFC", x).replace("\r\n", "\n")
 
     return s.map(_n)

@@ -1,0 +1,118 @@
+"""Text analysis for large-scale training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+These generalize the engine's payload-inspection surface to the corpus
+preparation workloads a 100 TB ingest pipeline feeds (the reference's
+payload-agnostic replicator, docs/consideration.md:60, treats documents as
+opaque; these operators are the value-add analysis pass).
+
+Everything except the rolling hash is pure `pyspark.sql.functions`
+(JVM-side, codegen, oracle-checkable in DuckDB); the rolling hash is a
+vectorized Arrow UDF because per-char polynomial folding has no builtin.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# deterministic, tiny English stopword list (shared with oracle SQL)
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+TOKEN_RE = "[a-zA-Z0-9_]+"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization (regex split, empty-trailing safe)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def token_count_re(col: Column) -> Column:
+    """BPE-ish regex token count (word-character runs)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    w = words(col)
+    hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return hits / F.greatest(F.size(w), F.lit(1))
+
+
+def mean_word_len(col: Column) -> Column:
+    w = words(col)
+    return F.aggregate(
+        w, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(F.size(w), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[^\p{L}\p{N}\s]", "")
+    return (F.length(col) - F.length(stripped)) / F.greatest(F.length(col), F.lit(1))
+
+
+def lang_id(col: Column, threshold: float = 0.08) -> Column:
+    """N-gram-free heuristic language ID: English stopword density.
+
+    Real pipelines plug a fastText/CLD3 model in as a pandas UDF behind the
+    same column contract; the heuristic keeps the operator oracle-checkable.
+    """
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0, 1]: length band + stopword presence +
+    moderate punctuation (the classic C4/Gopher-style cheap filters)."""
+    n_tok = token_count_ws(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(len_ok + stop_ok + punct_ok, 4)
+
+
+def fingerprint_sha(col: Column) -> Column:
+    """Normalized-content fingerprint: lowercase, collapse whitespace,
+    sha256 — the document-identity key for exact dedup."""
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.sha2(normalized, 256)
+
+
+ROLLING_B = 1000003
+ROLLING_P = (1 << 61) - 1
+
+
+@F.pandas_udf(T.LongType())
+def rolling_hash(s: pd.Series) -> pd.Series:
+    """Karp-Rabin polynomial rolling hash over bytes (vectorized Arrow UDF;
+    no builtin equivalent). Deterministic across runs/platforms."""
+    def _h(x):
+        if x is None:
+            return None
+        h = 0
+        for b in x.encode("utf-8"):
+            h = (h * ROLLING_B + b) % ROLLING_P
+        return h
+
+    return s.map(_h)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_re(c).alias("n_tokens_re"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(mean_word_len(c), 4).alias("mean_word_len"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        fingerprint_sha(c).alias("fingerprint_sha"),
+    )

@@ -23,19 +23,34 @@ from pyspark.sql import Window as W
 from ..schema import KEY_COLS
 
 
-def last_write_wins(df: DataFrame, key_cols: list[str] | None = None, order_col: str = "lsn") -> DataFrame:
+def last_write_wins(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "lsn",
+    count_col: str | None = None,
+) -> DataFrame:
     """Newest event per key: one row per (repo, path) with all original columns.
 
     Ties on ``order_col`` only occur for at-least-once duplicate deliveries,
     which carry identical payloads (docs/consideration.md:52-58), so any
     winner is correct.
+
+    ``count_col``: also emit the number of events folded into each key —
+    this lets the engine derive per-partition applied watermarks and counts
+    from the compacted output alone, with NO second scan of the raw batch
+    (the per-partition max lsn necessarily survives compaction: the event
+    holding it is the newest for its own key).
     """
     key_cols = key_cols or KEY_COLS
     payload = [c for c in df.columns if c not in key_cols]
-    agg = df.groupBy(*key_cols).agg(
-        F.max_by(F.struct(*payload), F.col(order_col)).alias("_newest")
-    )
-    return agg.select(*key_cols, *[F.col(f"_newest.{c}").alias(c) for c in payload])
+    aggs = [F.max_by(F.struct(*payload), F.col(order_col)).alias("_newest")]
+    if count_col:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
+    agg = df.groupBy(*key_cols).agg(*aggs)
+    out_cols = [F.col(f"_newest.{c}").alias(c) for c in payload]
+    if count_col:
+        out_cols.append(F.col(count_col))
+    return agg.select(*key_cols, *out_cols)
 
 
 def last_write_wins_window(

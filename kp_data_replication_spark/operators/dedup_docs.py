@@ -1,0 +1,202 @@
+"""Document deduplication suite for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB: every variant is shuffle-bounded by CANDIDATE pairs, not
+all pairs — exact dedup is one hash aggregate; Jaccard joins only docs
+sharing a shingle; MinHash-LSH joins only docs sharing a band bucket;
+SimHash buckets by fingerprint prefix. No cross join ever materializes.
+
+All hash math uses md5-hex-prefix integers so the DuckDB oracles compute
+bit-identical results (Spark murmur3 `hash()` has no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized-content hash: keep the lowest id per group.
+
+    One hash aggregate — map-side partial, no join. Output:
+    (keep_id, n_dupes) per distinct content.
+    """
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.col(id_col), F.md5(normalized).alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- shingles
+def _word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (the Jaccard/MinHash unit)."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    shingles = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard similarity.
+
+    Plan: shingle-explode -> self-equi-join ON shingle (only co-occurring
+    docs ever meet) -> pair-intersection counts -> broadcast doc sizes ->
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. Output (doc1, doc2, jaccard).
+    """
+    sh = _word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc").alias("doc2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- minhash + LSH
+# fixed permutation parameters (shared verbatim with the oracle SQL);
+# a < 2^20 keeps a*H + b < 2^52 — exact in BIGINT on both engines
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+MINHASH_PARAMS = [
+    (683, 92821), (1289, 54833), (2089, 13397), (3023, 71993),
+    (4519, 28447), (5233, 91193), (6361, 33533), (7561, 45613),
+    (8369, 60257), (9283, 77041), (10301, 22193), (11731, 84631),
+    (12889, 38321), (14033, 65837), (15259, 17903), (16411, 50591),
+]
+LSH_BANDS = 4  # 16 hashes -> 4 bands x 4 rows
+
+
+def shingle_hash(col) -> F.Column:
+    """32-bit integer hash of a shingle via md5 hex prefix — identical in
+    DuckDB: ('0x' || substr(md5(s),1,8))::UBIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """k=16 MinHash signature per document.
+
+    Plan: distinct shingles -> hash to int -> broadcast-joined with the 16
+    (a, b) permutation rows -> min((a*H+b) mod p) per (doc, i). The explode
+    factor is k, bounded; aggregation is map-side partial.
+    Output: (doc, i, minhash).
+    """
+    spark = df.sparkSession
+    params = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)], "i int, a long, b long"
+    )
+    sh = _word_shingles(df, id_col, text_col, n).withColumn(
+        "h", shingle_hash(F.col("shingle"))
+    )
+    return (
+        sh.crossJoin(F.broadcast(params))
+        .groupBy("doc", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_PRIME).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing ANY band bucket.
+
+    bucket = md5 of the band's concatenated minhash values; the self-join is
+    on (band, bucket) — only colliding docs meet. Output (doc1, doc2,
+    n_shared_bands).
+    """
+    sig = minhash_signatures(df, n, id_col, text_col)
+    rows_per_band = len(MINHASH_PARAMS) // bands
+    banded = (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.md5(F.concat_ws("-", F.array_sort(F.collect_list(
+                F.concat_ws(":", F.col("i").cast("string"), F.col("minhash").cast("string"))
+            )))).alias("bucket")
+        )
+    )
+    x = banded.select(F.col("doc").alias("doc1"), "band", "bucket")
+    y = banded.select(F.col("doc").alias("doc2"), "band", "bucket")
+    return (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct word hashes.
+
+    Each word votes ±1 per bit position of its 32-bit hash; fingerprint bit
+    = 1 where the vote sum is positive. The explode factor is 32 (bounded);
+    everything else is hash aggregation. Output: (doc, simhash).
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    tokens = (
+        df.select(F.col(id_col).alias("doc"), F.explode(w).alias("word"))
+        .distinct()
+        .withColumn("h", shingle_hash(F.col("word")))
+    )
+    bits = tokens.select(
+        "doc", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("pos")
+    ).withColumn(
+        # shiftright/shiftleft take only literal shift counts in the Python
+        # API — use the SQL expression form for a column shift
+        "vote",
+        F.when(F.expr("(shiftright(h, pos) & 1) = 1"), 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("doc", "pos")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(1L, pos)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and an
+LSH-bucketed approximate variant.
+
+Scale design: brute-force is the correctness baseline (and is exactly right
+when the query set is small — broadcast the queries, one pass over the
+corpus, per-partition top-k then global top-k). The scale path buckets the
+corpus by random-hyperplane LSH signs so each query probes only its bucket
+(IVF-style); recall/probe trade is tunable with n_planes/probe_hamming.
+
+The dot products run in JVM expressions (`aggregate`/`zip_with` over
+array<float>) so Catalyst keeps the whole plan codegen'd; a numpy pandas-UDF
+twin exists for wide vectors where Arrow batching wins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def cosine_expr(a, b) -> F.Column:
+    """Cosine similarity of two array<float/double> columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    n2 = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (n1 * n2)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (self-match excluded).
+
+    Broadcast the (small) query side; rank with a window partitioned by
+    query. Ties broken by corpus id for determinism. Output:
+    (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr(F.col("_qvec"), F.col("_cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank")
+    )
+
+
+# fixed pseudo-random hyperplanes: plane p component j = centered md5 hash
+# of "p:j" — deterministic, identical in SQL if ever needed there
+def _plane_component(p: int, j) -> F.Column:
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(p)), j.cast("string"))), 1, 8), 16, 10).cast("double")
+    return h - F.lit(2147483648.0)  # center around 0
+
+
+def lsh_signature(vec_col, n_planes: int = 8) -> F.Column:
+    """Random-hyperplane sign bits packed into an int — the LSH bucket id."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(F.sequence(F.lit(1), F.size(vec_col)), lambda j: _plane_component(p, j)),
+                lambda x, pl: x.cast("double") * pl,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket.
+
+    At 10^9 vectors the bucket join replaces the full scan with ~corpus/2^b
+    candidates per query; recall is tunable via n_planes (fewer planes =
+    bigger buckets = higher recall). Output schema matches the brute-force
+    variant for drop-in comparison.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr(F.col("_qvec"), F.col("_cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within coarse buckets.
+
+    The bucket equi-join (here: a label/cluster column; in production an IVF
+    coarse quantizer) bounds the pair blowup; cosine filters inside buckets.
+    Output: (id1, id2, cos_sim).
+    """
+    a = df.select(F.col(bucket_col).alias("_b"), F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+    b = df.select(F.col(bucket_col).alias("_b"), F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+    return (
+        a.join(b, "_b")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos", cosine_expr(F.col("_v1"), F.col("_v2")))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_to_query_numpy(v: pd.Series, q: pd.Series) -> pd.Series:
+    """Arrow/numpy twin of cosine_expr for wide vectors: stacks the Arrow
+    batch into one ndarray, one BLAS matvec per batch."""
+    import numpy as np
+
+    mat = np.stack(v.to_numpy())
+    qv = np.asarray(q.iloc[0], dtype="float64")
+    num = mat @ qv
+    den = np.linalg.norm(mat, axis=1) * np.linalg.norm(qv)
+    return pd.Series(num / den)

@@ -458,6 +458,234 @@ SQL_ANTIJOIN_ORPHANS = """
 
 
 # --------------------------------------------------------------------- #
+# Training-data pipeline operators (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------- #
+from .functions.text import analyze_documents, rolling_hash  # noqa: E402
+from .operators.dedup_docs import (  # noqa: E402
+    MINHASH_PARAMS,
+    MINHASH_PRIME,
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.multimodal import media_metadata, to_media_table  # noqa: E402
+from .operators.similarity import (  # noqa: E402
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_neardup_pairs,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT_DOCS = r"""
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+"""
+
+# shared shingle CTE (word 3-grams, distinct per doc)
+_SHINGLES_SQL = r"""
+    words AS (
+      SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      FROM words)
+"""
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+SQL_DEDUP_JACCARD_PAIRS = f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2)
+    SELECT doc1, doc2,
+           round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc = doc1
+    JOIN sizes s2 ON s2.doc = doc2
+    WHERE inter::DOUBLE / (s1.sz + s2.sz - inter) >= 0.2
+"""
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+_PARAMS_SQL = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))
+
+SQL_DEDUP_MINHASH_SIG = f"""
+    WITH {_SHINGLES_SQL},
+    hs AS (SELECT doc, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+    params(i, a, b) AS (VALUES {_PARAMS_SQL})
+    SELECT doc, i, min((a * h + b) % {MINHASH_PRIME}) AS minhash
+    FROM hs CROSS JOIN params GROUP BY 1, 2
+"""
+
+
+def q_dedup_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_MINHASH_LSH_PAIRS = f"""
+    WITH {_SHINGLES_SQL},
+    hs AS (SELECT doc, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+    params(i, a, b) AS (VALUES {_PARAMS_SQL}),
+    sig AS (
+      SELECT doc, i, min((a * h + b) % {MINHASH_PRIME}) AS minhash
+      FROM hs CROSS JOIN params GROUP BY 1, 2),
+    banded AS (
+      SELECT doc, i // 4 AS band,
+             md5(string_agg(i || ':' || minhash, '-' ORDER BY i || ':' || minhash)) AS bucket
+      FROM sig GROUP BY doc, i // 4)
+    SELECT x.doc AS doc1, y.doc AS doc2, count(*) AS n_shared_bands
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc < y.doc
+    GROUP BY 1, 2
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_SIMHASH = r"""
+    WITH tokens AS (
+      SELECT DISTINCT doc_id AS doc, unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents),
+    h AS (SELECT doc, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM tokens),
+    bits AS (
+      SELECT doc, pos, CASE WHEN ((h >> pos) & 1) = 1 THEN 1 ELSE -1 END AS vote
+      FROM h CROSS JOIN (SELECT unnest(range(32)) AS pos) p),
+    votes AS (SELECT doc, pos, sum(vote) AS v FROM bits GROUP BY 1, 2)
+    SELECT doc, sum(CASE WHEN v > 0 THEN (1::BIGINT << pos) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc
+"""
+
+# explicit left-fold double cosine (bit-identical in both engines)
+_COS_SQL = (
+    "list_sum(list_transform(range(len({a})), j -> {a}[j+1]::DOUBLE * {b}[j+1]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform(range(len({a})), j -> {a}[j+1]::DOUBLE * {a}[j+1]::DOUBLE))) * "
+    "sqrt(list_sum(list_transform(range(len({b})), j -> {b}[j+1]::DOUBLE * {b}[j+1]::DOUBLE))))"
+)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS_SQL.format(a="qv", b="cv")} AS cos
+      FROM q, c WHERE neighbor_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_cosine_topk_lsh(spark, sf_dir):
+    """Approximate variant (rows-only check: hyperplane LSH has no tractable
+    SQL twin; recall vs brute force is asserted in tests)."""
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+    WITH a AS (SELECT label AS _b, vec_id AS id1, embedding AS v1 FROM embeddings),
+    b AS (SELECT label AS _b, vec_id AS id2, embedding AS v2 FROM embeddings),
+    pairs AS (
+      SELECT id1, id2, {_COS_SQL.format(a="v1", b="v2")} AS cos
+      FROM a JOIN b USING (_b) WHERE id1 < id2)
+    SELECT id1, id2, round(cos, 4) AS cos_sim FROM pairs WHERE cos >= 0.3
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    return analyze_documents(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens_ws", "n_tokens_re", "stopword_ratio",
+        "mean_word_len", "punct_ratio", "lang_pred", "quality", "fingerprint_sha",
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in ["the", "a", "and", "of", "to", "in", "is", "it"])
+
+SQL_TEXT_STATS = rf"""
+    WITH base AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    stats AS (
+      SELECT doc_id,
+             len(w) AS n_tokens_ws,
+             len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) AS n_tokens_re,
+             len(list_filter(w, x -> x IN ({_STOP_SQL})))::DOUBLE / greatest(len(w), 1) AS stop_r,
+             list_sum(list_transform(w, x -> len(x)))::DOUBLE / greatest(len(w), 1) AS mwl,
+             (length(text) - length(regexp_replace(text, '[^\p{{L}}\p{{N}}\s]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1) AS punct_r,
+             sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint_sha
+      FROM base)
+    SELECT doc_id, n_tokens_ws, n_tokens_re,
+           round(stop_r, 4) AS stopword_ratio,
+           round(mwl, 4) AS mean_word_len,
+           round(punct_r, 4) AS punct_ratio,
+           CASE WHEN stop_r >= 0.08 THEN 'en' ELSE 'unk' END AS lang_pred,
+           round((CASE WHEN n_tokens_ws BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN stop_r >= 0.05 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN punct_r <= 0.2 THEN 0.3 ELSE 0.0 END), 4) AS quality,
+           fingerprint_sha
+    FROM stats
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    return media_metadata(to_media_table(_docs(spark, sf_dir)))
+
+
+SQL_MULTIMODAL_META = """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+           sha256(text) AS content_sha
+    FROM documents
+"""
+
+
+def q_text_rolling_fingerprint(spark, sf_dir):
+    """Karp-Rabin rolling hash (Arrow UDF; rows-only check — per-char
+    polynomial fold has no SQL twin)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", rolling_hash(F.col("text")).alias("rhash")
+    )
+
+
+# --------------------------------------------------------------------- #
 CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_state_lastwrite": (q_cdc_state_lastwrite, SQL_CDC_STATE_LASTWRITE),
     "cdc_applied_watermarks": (q_cdc_applied_watermarks, SQL_CDC_APPLIED_WATERMARKS),
@@ -475,6 +703,18 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "join_segment_revenue": (q_join_segment_revenue, SQL_JOIN_SEGMENT_REVENUE),
     "window_topk_orders": (q_window_topk_orders, SQL_WINDOW_TOPK_ORDERS),
     "antijoin_orphans": (q_antijoin_orphans, SQL_ANTIJOIN_ORPHANS),
+    # training-data pipeline operators
+    "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
+    "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD_PAIRS),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
+    "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh_pairs, SQL_DEDUP_MINHASH_LSH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, None),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "text_rolling_fingerprint": (q_text_rolling_fingerprint, None),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
 }
 
 

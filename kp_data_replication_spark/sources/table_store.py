@@ -152,8 +152,13 @@ class TableStore:
         epoch_dir = os.path.join(self.root, epoch_rel)
         if merged_dirty is not None and dirty_buckets:
             shutil.rmtree(epoch_dir, ignore_errors=True)  # idempotent re-delivery
+            # cluster rows by bucket before the dynamic-partition write: one
+            # task (and one file) per dirty bucket instead of
+            # n_tasks x n_buckets small files; at real scale Iceberg's write
+            # target-file-size splitting takes over
             (
-                merged_dirty.write.mode("overwrite")
+                merged_dirty.repartition(len(dirty_buckets), F.col(BUCKET_COL))
+                .write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
                 .parquet(epoch_dir)
             )

@@ -36,13 +36,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.envelope import unpack_envelope, unpack_envelope_arrow
-from ..operators.compact import last_write_wins
-from ..operators.dedup_cdc import (
-    advance_lineage,
-    applied_watermarks,
-    filter_applied,
+from ..functions.envelope import (
+    normalize_content,
+    unpack_envelope,
+    unpack_envelope_arrow,
 )
+from ..operators.compact import last_write_wins
+from ..operators.dedup_cdc import advance_lineage, filter_applied
 from ..operators.filters import DEFAULT_BLACKLIST, select_topics
 from ..operators.merge import merge_upsert
 from ..sources.table_store import BUCKET_COL, TableStore, bucket_expr
@@ -69,6 +69,10 @@ class CdcApplyEngine:
     # ------------------------------------------------------------------ #
     def apply_batch(self, batch: DataFrame, epoch: int) -> dict:
         """Apply one micro-batch exactly once. Returns a summary dict."""
+        import time as _time
+
+        t0 = _time.time()
+        phases: dict[str, float] = {}
         spark = batch.sparkSession
         if epoch <= self.store.current_epoch():
             # fenced: this epoch already committed (restart re-delivery)
@@ -88,34 +92,52 @@ class CdcApplyEngine:
         fresh = filter_applied(events, lineage)
 
         unpack = unpack_envelope_arrow if self.config.arrow_unpack else unpack_envelope
-        rows = unpack(fresh, normalize=self.config.normalize)
+        # normalization runs AFTER compaction: only surviving rows pay the
+        # Arrow round-trip (strictly fewer rows, identical result — the
+        # winner per key is chosen by lsn, not content)
+        rows = unpack(fresh, normalize=False)
 
-        compacted = last_write_wins(rows).withColumn(
+        compacted = last_write_wins(rows, count_col="_n_fresh").withColumn(
             BUCKET_COL, bucket_expr(self.store.n_buckets)
         )
+        if self.config.normalize and "content" in compacted.columns:
+            compacted = compacted.withColumn(
+                "content", normalize_content(F.col("content"))
+            )
         compacted = compacted.cache()
         try:
             # one job: materializes the cache AND yields dirty buckets + count
             bucket_counts = compacted.groupBy(BUCKET_COL).count().collect()
             dirty = [r[BUCKET_COL] for r in bucket_counts]
             n_changed = sum(r["count"] for r in bucket_counts)
+            phases["compact"] = round(_time.time() - t0, 3)
+            t0 = _time.time()
 
             row_schema = self._union_row_schema(compacted)
             if dirty:
                 target_dirty = self.store.read_state(spark, buckets=dirty)
-                merged = merge_upsert(target_dirty, compacted.drop(BUCKET_COL))
+                merged = merge_upsert(
+                    target_dirty, compacted.drop(BUCKET_COL, "_n_fresh")
+                )
                 merged = merged.select(*[f.name for f in row_schema.fields]).withColumn(
                     BUCKET_COL, bucket_expr(self.store.n_buckets)
                 )
             else:
                 merged = None
 
-            marks = applied_watermarks(fresh)
+            # watermarks derived from the compacted cache — no second scan
+            # of the raw batch (see last_write_wins count_col rationale)
+            marks = compacted.groupBy("partition").agg(
+                F.max("lsn").alias("applied_lsn"),
+                F.sum("_n_fresh").alias("n_applied"),
+            )
             new_lineage = advance_lineage(lineage, marks, epoch)
 
             version = self.store.commit(
                 merged, dirty, new_lineage, epoch, row_schema
             )
+            phases["merge_commit"] = round(_time.time() - t0, 3)
+            t0 = _time.time()
             summary = {
                 "epoch": epoch,
                 "status": "committed",
@@ -124,7 +146,9 @@ class CdcApplyEngine:
                 "dirty_buckets": len(dirty),
             }
             if self.config.metrics:
-                self._write_metrics(events, fresh, epoch, applied_before)
+                self._write_metrics(events, marks, epoch, applied_before)
+                phases["metrics"] = round(_time.time() - t0, 3)
+            summary["phases"] = phases
             return summary
         finally:
             compacted.unpersist()
@@ -133,7 +157,7 @@ class CdcApplyEngine:
     def _union_row_schema(self, compacted: DataFrame) -> T.StructType:
         """Additive union of the stored schema and this batch's row schema
         (S6 — target DDL follows source, docs/consideration.md:13-18)."""
-        meta = {"op", "partition", "lsn", "ts_ms", BUCKET_COL}
+        meta = {"op", "partition", "lsn", "ts_ms", BUCKET_COL, "_n_fresh"}
         batch_fields = [
             f for f in compacted.schema.fields if f.name not in meta
         ]
@@ -148,7 +172,7 @@ class CdcApplyEngine:
     def _write_metrics(
         self,
         events: DataFrame,
-        fresh: DataFrame,
+        marks: DataFrame,
         epoch: int,
         applied_before: dict,
     ) -> None:
@@ -156,7 +180,9 @@ class CdcApplyEngine:
         §2.9 T6): records, duplicates masked, bytes, lag inputs. Mirrors the
         MM2 JMX metric set record-count/record-age-ms/replication-latency-ms
         (mirror-maker-2/mm2-jmx-exporter.yaml:28-43). Non-transactional
-        append — monitoring data, not engine state."""
+        append — monitoring data, not engine state. ``marks`` comes from the
+        compacted cache, so this adds exactly one raw-batch scan (for the
+        duplicate/byte totals that dedup necessarily discards)."""
         spark = events.sparkSession
         all_agg = events.groupBy("partition").agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -165,7 +191,7 @@ class CdcApplyEngine:
             F.max("ts_ms").alias("max_ts"),
             F.sum(F.length(F.col("after.content"))).alias("bytes_in"),
         )
-        fresh_agg = fresh.groupBy("partition").agg(F.count(F.lit(1)).alias("n_applied"))
+        fresh_agg = marks.select("partition", "n_applied")
         before_df = spark.createDataFrame(
             [(int(k), int(v)) for k, v in applied_before.items()] or [],
             "partition int, applied_lsn_before long",

@@ -1,0 +1,93 @@
+"""Physical-plan audits: the plans we designed are the plans Spark runs
+(SURVEY.md §7 hard part c; §4 built-in strategy table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kp_data_replication_spark.datagen import ChangelogSpec, write_changelog
+from kp_data_replication_spark.functions.envelope import unpack_envelope
+from kp_data_replication_spark.operators.compact import last_write_wins
+from kp_data_replication_spark.operators.dedup_cdc import filter_applied
+from kp_data_replication_spark.operators.filters import select_topics
+from kp_data_replication_spark.operators.merge import merge_upsert
+from kp_data_replication_spark.plans.audit import (
+    assert_broadcast_join,
+    assert_no_row_python,
+    assert_pushed_filter,
+    count_exchanges,
+    plan_string,
+    scan_read_schema,
+)
+from kp_data_replication_spark.schema import LINEAGE_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def changelog_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cl"))
+    write_changelog(
+        spark, d, ChangelogSpec(n_keys=50, versions_per_key=2, n_partitions=2, files=1)
+    )
+    return d
+
+
+def _pipeline(spark, changelog_dir):
+    df = spark.read.parquet(changelog_dir)
+    events = select_topics(df, "^repos$")
+    lineage = spark.createDataFrame([(0, 5, 0, 5, None)], LINEAGE_SCHEMA)
+    fresh = filter_applied(events, lineage)
+    return last_write_wins(unpack_envelope(fresh, normalize=False), count_col="_n")
+
+
+def test_apply_pipeline_is_arrow_only(spark, changelog_dir):
+    """BASELINE mandate: no per-row Python anywhere in the apply plan."""
+    from kp_data_replication_spark.functions.envelope import normalize_content
+
+    comp = _pipeline(spark, changelog_dir).withColumn(
+        "content", normalize_content(F.col("content"))
+    )
+    assert_no_row_python(comp)
+    assert "ArrowEvalPython" in plan_string(comp)
+
+
+def test_lineage_dedup_is_broadcast(spark, changelog_dir):
+    """J3: the watermark anti-filter must broadcast the lineage side —
+    the event stream is never shuffled for dedup."""
+    df = spark.read.parquet(changelog_dir)
+    lineage = spark.createDataFrame([(0, 5, 0, 5, None)], LINEAGE_SCHEMA)
+    assert_broadcast_join(filter_applied(df, lineage))
+
+
+def test_compact_then_merge_adds_no_extra_exchange(spark, changelog_dir):
+    """A2->J2: the compaction aggregate hash-partitions on (repo, path);
+    the MERGE join reuses it — exactly one exchange for the batch side plus
+    one for the target side, never a re-shuffle of the compacted batch."""
+    comp = _pipeline(spark, changelog_dir)
+    target = spark.createDataFrame(
+        [("r", "p", "c", "l", "x", 1)],
+        "repo string, path string, commit string, lang string, content string, stars int",
+    )
+    merged = merge_upsert(target, comp.drop("_n"))
+    n = count_exchanges(merged)
+    # expected: 1x batch-side (groupBy) + 1x target-side (join) = 2
+    assert n <= 2, f"unexpected extra exchanges ({n}):\n{plan_string(merged, 'simple')}"
+
+
+def test_topic_filter_pushed_to_scan(spark, changelog_dir):
+    """F1/F2 feed the scan: the source_topic predicate appears in
+    PushedFilters (StartsWith/IsNotNull family; rlike itself can't push,
+    so the engine also prunes with the cheap prefix when configured)."""
+    df = spark.read.parquet(changelog_dir).filter(F.col("source_topic") == "repos")
+    assert_pushed_filter(df, "IsNotNull(source_topic)")
+    assert_pushed_filter(df, "EqualTo(source_topic,repos)")
+
+
+def test_unpack_prunes_nested_columns(spark, changelog_dir):
+    """F4: reading only keys + commit must NOT read content/headers from
+    parquet (nested schema pruning)."""
+    df = spark.read.parquet(changelog_dir)
+    slim = unpack_envelope(df, normalize=False).select("repo", "path", "commit")
+    rs = scan_read_schema(slim)
+    assert "content" not in rs, rs
+    assert "headers" not in rs, rs

@@ -1,0 +1,198 @@
+"""Training-data pipeline operators: dedup suite, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kp_data_replication_spark.functions.text import (
+    ROLLING_B,
+    ROLLING_P,
+    analyze_documents,
+    rolling_hash,
+)
+from kp_data_replication_spark.operators.dedup_docs import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from kp_data_replication_spark.operators.multimodal import (
+    decode_image_stub,
+    decode_media,
+    frame_sample_plan,
+    media_metadata,
+    to_media_table,
+)
+from kp_data_replication_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank now"),  # near-dup of 0
+    (2, "completely different words about spark shuffle partitions and join skew"),
+    (3, "the quick brown fox jumps over the lazy dog near the old river bank today"),  # exact dup of 0
+    (4, "tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact(spark, docs):
+    got = {r.content_key: (r.keep_id, r.n_copies) for r in dedup_exact(docs).collect()}
+    # 0 and 3 collapse; 4 distinct groups total
+    assert len(got) == 4
+    assert (0, 2) in got.values()
+
+
+def test_ngram_jaccard_near_dup(spark, docs):
+    pairs = {(r.doc1, r.doc2): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0  # near dup
+    assert all(2 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs):
+    sig1 = {(r.doc, r.i): r.minhash for r in minhash_signatures(docs).collect()}
+    sig2 = {(r.doc, r.i): r.minhash for r in minhash_signatures(docs).collect()}
+    assert sig1 == sig2
+    assert len({k[1] for k in sig1}) == 16
+    # exact dups share the whole signature
+    assert all(sig1[(0, i)] == sig1[(3, i)] for i in range(16))
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.doc1, r.doc2): r.n_shared_bands for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs.get((0, 3)) == 4  # identical docs collide in every band
+    assert (0, 1) in pairs  # near-dup shares at least one band
+    assert all(2 not in p for p in pairs)
+
+
+def test_simhash_identity_and_distance(spark, docs):
+    fp = {r.doc: r.simhash for r in simhash(docs).collect()}
+    assert fp[0] == fp[3]
+    ham01 = bin(fp[0] ^ fp[1]).count("1")
+    ham02 = bin(fp[0] ^ fp[2]).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+# ---------------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rng.randn(16).astype("float32")
+        rows.append((i, [float(x) for x in v], i % 4))
+    # vec 40 = near-copy of vec 0
+    base = np.array(rows[0][1])
+    rows.append((40, [float(x) for x in base + 0.01], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_bruteforce_matches_numpy(spark, emb):
+    got = cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    q = mat[pdf.vec_id == 0][0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = [
+        int(pdf.vec_id.iloc[i])
+        for i in np.argsort(-cos)
+        if int(pdf.vec_id.iloc[i]) != 0
+    ][:3]
+    assert [r.neighbor_id for r in got] == order
+    assert got[0].neighbor_id == 40  # the planted near-copy wins
+    assert got[0].cos_sim > 0.999
+
+
+def test_cosine_topk_lsh_scores_match_bruteforce(spark, emb):
+    """LSH results are a subset of correctly-scored candidates: every
+    (query, neighbor) it returns carries the same cos as brute force."""
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=40).collect()
+    }
+    approx = cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    assert approx  # buckets are non-trivial
+    for r in approx:
+        assert brute[(r.query_id, r.neighbor_id)] == r.cos_sim
+    # the planted near-copy hashes into the same bucket as its original
+    q0 = [r.neighbor_id for r in approx if r.query_id == 0]
+    assert 40 in q0
+
+
+# ---------------------------------------------------------------- text
+def test_text_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat in the house of it is a big day")],
+        "doc_id long, text string",
+    )
+    row = analyze_documents(df).collect()[0]
+    assert row.n_tokens_ws == 15
+    assert row.n_tokens_re == 15
+    assert row.lang_pred == "en"
+    assert 0.0 <= row.quality <= 1.0
+    assert row.stopword_ratio > 0.3
+    expected_sha = hashlib.sha256(
+        b"the cat and the dog sat in the house of it is a big day"
+    ).hexdigest()
+    assert row.fingerprint_sha == expected_sha
+
+
+def test_rolling_hash_matches_reference_impl(spark):
+    txt = "hello rolling world"
+    got = (
+        spark.createDataFrame([(txt,)], "text string")
+        .select(rolling_hash("text").alias("h"))
+        .collect()[0]
+        .h
+    )
+    h = 0
+    for b in txt.encode():
+        h = (h * ROLLING_B + b) % ROLLING_P
+    assert got == h
+
+
+# ---------------------------------------------------------------- multimodal
+def test_media_metadata(spark, docs):
+    media = to_media_table(docs)
+    got = {r.doc_id: r for r in media_metadata(media).collect()}
+    raw = DOCS[0][1].encode()
+    assert got[0].n_bytes == len(raw)
+    assert got[0].header_hex == raw[:4].hex()
+    assert got[0].content_sha == hashlib.sha256(raw).hexdigest()
+
+
+def test_decode_media_deterministic_fake(spark, docs):
+    media = to_media_table(docs)
+    a = {r.doc_id: tuple(r) for r in decode_media(media).collect()}
+    b = {r.doc_id: tuple(r) for r in decode_media(media).collect()}
+    assert a == b
+    assert all(64 <= v[1] <= 255 for v in a.values())  # width in range
+    # exact dup bytes -> exact same fake decode
+    assert a[0][1:] == a[3][1:]
+
+
+def test_decode_stub_gates_real_decode():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"xxxx", real_decode=True)
+
+
+def test_frame_sample_plan(spark, docs):
+    media = to_media_table(docs)
+    frames = frame_sample_plan(media, every_n=2).groupBy("doc_id").count().collect()
+    n_bytes = {r.doc_id: r.n_bytes for r in media_metadata(media).collect()}
+    for r in frames:
+        expected = max((n_bytes[r.doc_id] // 16 - 1) // 2 + 1, 1)
+        assert r["count"] == expected
