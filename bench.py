@@ -62,6 +62,8 @@ def bench_cdc_apply(spark, work_dir: str) -> dict:
         versions_per_key=int(os.environ.get("BENCH_CDC_VERSIONS", "5")),
         n_partitions=int(os.environ.get("BENCH_CDC_PARTITIONS", "32")),
         files=4,
+        content_chains=int(os.environ.get("BENCH_CDC_CHAINS", "24")),
+        parts_per_file=8,
     )
     cl_dir = os.path.join(work_dir, "changelog")
     t0 = time.time()

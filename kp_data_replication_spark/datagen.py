@@ -55,28 +55,42 @@ class ChangelogSpec:
     dup_every: int = 13  # every 13th event of the last file-batch re-emitted
     evolve_at_frac: float = 0.75  # events past this fraction carry after.stars
     internal_topic_every: int = 17  # key_id % 17 == 0 -> config-like topic (blacklist tests)
+    content_chains: int = 3  # md5 chains per content body (~40 bytes each);
+    # real source files are KBs — bench/scaling specs raise this to ~24 (1 KiB)
+    parts_per_file: int = 2  # parquet files per file-batch. Each file holds a
+    # CONTIGUOUS slice of the global produce sequence (so per-partition lsn
+    # ranges stay ordered across files — the reference's ordering contract,
+    # docs/consideration.md:20, which the watermark dedup relies on), and the
+    # file count sets the scan-side parallelism floor (one coalesced file per
+    # batch would cap the map stage at `files` tasks regardless of cores).
 
     @property
     def n_events(self) -> int:
         return self.n_keys * self.versions_per_key
 
 
-def _content_expr(key_id, version):
-    """Deterministic pseudo-source text, a few hundred bytes, JVM-side only.
+def _content_expr(key_id, version, chains: int = 3):
+    """Deterministic pseudo-source text, JVM-side only.
 
-    Uses chained md5 so content is unpredictable-looking but exactly
-    reproducible at any scale (the per-row sha256(content) invariant relies
-    on this).
+    Each body line hashes (key, version, line) INDEPENDENTLY — a chained
+    h=md5(h) formulation re-expands the whole prefix chain per line
+    (quadratic md5 count + codegen blow-up). ``chains`` scales the body
+    size (~40 bytes per line).
     """
-    h1 = F.md5(F.concat_ws("|", F.lit("content"), key_id, version))
-    h2 = F.md5(h1)
-    h3 = F.md5(h2)
-    return F.concat(
+    parts = [
         F.format_string("def fn_%s_v%s():\n", key_id.cast("string"), version.cast("string")),
-        F.lit('    """'), h1, F.lit('"""\n'),
-        F.lit("    x = '"), h2, F.lit("'\n"),
-        F.lit("    return '"), h3, F.lit("' * "), version.cast("string"), F.lit("\n"),
-    )
+        F.lit('    """'),
+        F.md5(F.concat_ws("|", F.lit("content"), key_id, version)),
+        F.lit('"""\n'),
+    ]
+    for i in range(max(chains - 1, 1)):
+        parts += [
+            F.lit(f"    x{i} = '"),
+            F.md5(F.concat_ws("|", key_id, version, F.lit(str(i)))),
+            F.lit("'\n"),
+        ]
+    parts += [F.lit("    return x0 * "), version.cast("string"), F.lit("\n")]
+    return F.concat(*parts)
 
 
 def build_changelog(spark: SparkSession, spec: ChangelogSpec) -> DataFrame:
@@ -140,20 +154,22 @@ def build_changelog(spark: SparkSession, spec: ChangelogSpec) -> DataFrame:
             pcol.alias("path"),
             F.substring(F.sha2(F.concat_ws("|", rcol, pcol, ver.cast("string")), 256), 1, 40).alias("commit"),
             lang2.alias("lang"),
-            _content_expr(k, ver).alias("content"),
+            _content_expr(k, ver, spec.content_chains).alias("content"),
         )
-
-    df = df.withColumn("after_full", image2(v)).withColumn(
-        "before_full", F.when(v > 0, image2(v - 1))
-    )
 
     # partition affinity: Kafka-style key-hash routing
     df = df.withColumn(
         "partition", F.pmod(F.hash(rcol, pcol), F.lit(spec.n_partitions)).cast("int")
     )
-    # per-partition monotone offset, ordered by the global produce sequence
+    # per-partition monotone offset, ordered by the global produce sequence.
+    # NOTE: the lsn window (the only shuffle in the generator) runs BEFORE the
+    # heavy before/after images are attached, so only slim rows are sorted.
     w = W.partitionBy("partition").orderBy("seq")
     df = df.withColumn("lsn", F.row_number().over(w).cast("long") - 1)
+
+    df = df.withColumn("after_full", image2(v)).withColumn(
+        "before_full", F.when(v > 0, image2(v - 1))
+    )
 
     # event time: deterministic function of seq (producer-set timestamp,
     # perf-tests/kafka/KafkaProducer.py:49) — 2024-01-01 + seq * 50ms
@@ -216,21 +232,31 @@ def write_changelog(spark: SparkSession, out_dir: str, spec: ChangelogSpec) -> N
     df = build_changelog(spark, spec)
     df.cache()
     try:
-        for fid in range(spec.files):
-            batch = df.filter(F.col("file_id") == fid)
-            plain = batch.filter(~F.col("evolved")).select(*ENVELOPE_COLS)
-            evolved = _with_stars(batch.filter(F.col("evolved"))).select(*ENVELOPE_COLS)
-            for i, part in enumerate((plain, evolved)):
-                if part.isEmpty():
-                    continue
-                tmp = os.path.join(out_dir, f"_tmp_batch_{fid:04d}_{i}")
+        evolve_at = int(spec.n_events * spec.evolve_at_frac)
+        n_chunks = spec.files * spec.parts_per_file
+        chunk_size = max(1, spec.n_events // n_chunks)
+        for chunk in range(n_chunks):
+            lo = chunk * chunk_size
+            hi = spec.n_events if chunk == n_chunks - 1 else (chunk + 1) * chunk_size
+            if lo >= spec.n_events:
+                break
+            batch = df.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+            # schema-part boundaries are analytic (seq >= evolve_at) — no
+            # isEmpty jobs needed
+            parts = []
+            if lo < evolve_at:
+                parts.append((0, batch.filter(~F.col("evolved")).select(*ENVELOPE_COLS)))
+            if hi > evolve_at:
+                parts.append((1, _with_stars(batch.filter(F.col("evolved"))).select(*ENVELOPE_COLS)))
+            for i, part in parts:
+                tmp = os.path.join(out_dir, f"_tmp_chunk_{chunk:04d}_{i}")
                 part.coalesce(1).write.mode("overwrite").parquet(tmp)
                 src = next(
                     f for f in os.listdir(tmp) if f.endswith(".parquet") and not f.startswith("_")
                 )
                 os.replace(
                     os.path.join(tmp, src),
-                    os.path.join(out_dir, f"batch-{fid:04d}-{i}.parquet"),
+                    os.path.join(out_dir, f"batch-{chunk:04d}-{i}.parquet"),
                 )
                 _rmtree(tmp)
         # duplicate tail: re-emit a deterministic slice of the final batch
@@ -248,7 +274,8 @@ def write_changelog(spark: SparkSession, out_dir: str, spec: ChangelogSpec) -> N
                 src = next(
                     f for f in os.listdir(tmp) if f.endswith(".parquet") and not f.startswith("_")
                 )
-                os.replace(os.path.join(tmp, src), os.path.join(out_dir, "batch-9999-dup.parquet"))
+                # 'z' prefix sorts the duplicate tail after every batch file
+                os.replace(os.path.join(tmp, src), os.path.join(out_dir, "batch-z999-dup.parquet"))
                 _rmtree(tmp)
     finally:
         df.unpersist()

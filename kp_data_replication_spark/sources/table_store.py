@@ -118,12 +118,35 @@ class TableStore:
             ))
         return spark.read.schema(schema).parquet(*files)
 
-    def read_lineage(self, spark: SparkSession) -> DataFrame:
+    def read_lineage_rows(self) -> list[dict]:
+        """Lineage as plain Python rows, read driver-side via pyarrow.
+
+        The lineage table is one row per log partition — thousands at the
+        very most — so it never needs a Spark job to read or write; keeping
+        it off the job queue removes serial driver latency from every epoch.
+        """
         m = self.current_manifest()
         if m is None or not m.get("lineage"):
-            return spark.createDataFrame([], LINEAGE_SCHEMA)
-        return spark.read.schema(LINEAGE_SCHEMA).parquet(
-            os.path.join(self.root, m["lineage"])
+            return []
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.root, m["lineage"])
+        files = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ] if os.path.isdir(path) else [path]
+        rows: list[dict] = []
+        for f in files:
+            rows.extend(pq.read_table(f).to_pylist())
+        return rows
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (r["partition"], r["applied_lsn"], r["epoch"], r.get("n_applied"),
+                 r.get("updated_ts"))
+                for r in self.read_lineage_rows()
+            ],
+            LINEAGE_SCHEMA,
         )
 
     # ---------- commit ----------
@@ -131,14 +154,16 @@ class TableStore:
         self,
         merged_dirty: DataFrame | None,
         dirty_buckets: list[int],
-        lineage: DataFrame,
+        lineage: DataFrame | list[dict],
         epoch: int,
         row_schema: T.StructType,
     ) -> int:
         """Atomically publish a new version: dirty-bucket data + lineage.
 
         ``merged_dirty`` must contain BUCKET_COL; only rows of
-        ``dirty_buckets`` may be present. Returns the new version number.
+        ``dirty_buckets`` may be present. ``lineage`` may be a DataFrame or
+        plain rows (written driver-side — it is one row per log partition).
+        Returns the new version number.
         """
         if epoch <= self.current_epoch():
             return self.current_version()  # fenced: already committed
@@ -178,7 +203,26 @@ class TableStore:
         lineage_rel = f"lineage/e{epoch}.parquet"
         lineage_dir = os.path.join(self.root, lineage_rel)
         shutil.rmtree(lineage_dir, ignore_errors=True)
-        lineage.coalesce(1).write.mode("overwrite").parquet(lineage_dir)
+        if isinstance(lineage, list):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(lineage_dir, exist_ok=True)
+            tbl = pa.Table.from_pylist(
+                lineage,
+                schema=pa.schema(
+                    [
+                        ("partition", pa.int32()),
+                        ("applied_lsn", pa.int64()),
+                        ("epoch", pa.int64()),
+                        ("n_applied", pa.int64()),
+                        ("updated_ts", pa.timestamp("us")),
+                    ]
+                ),
+            )
+            pq.write_table(tbl, os.path.join(lineage_dir, "part-0.parquet"))
+        else:
+            lineage.coalesce(1).write.mode("overwrite").parquet(lineage_dir)
 
         manifest = {
             "version": version,

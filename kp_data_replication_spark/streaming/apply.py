@@ -42,7 +42,7 @@ from ..functions.envelope import (
     unpack_envelope_arrow,
 )
 from ..operators.compact import last_write_wins
-from ..operators.dedup_cdc import advance_lineage, filter_applied
+from ..operators.dedup_cdc import filter_applied
 from ..operators.filters import DEFAULT_BLACKLIST, select_topics
 from ..operators.merge import merge_upsert
 from ..sources.table_store import BUCKET_COL, TableStore, bucket_expr
@@ -83,11 +83,13 @@ class CdcApplyEngine:
             )
 
         events = select_topics(batch, self.config.whitelist, self.config.blacklist)
-        lineage = self.store.read_lineage(spark)
-        applied_before = (
-            {r["partition"]: r["applied_lsn"] for r in lineage.collect()}
-            if self.config.metrics
-            else {}
+        # lineage is one row per log partition: read/advance/write it
+        # driver-side (pyarrow) — no Spark jobs on the epoch's serial path
+        lineage_rows = self.store.read_lineage_rows()
+        applied_before = {r["partition"]: r["applied_lsn"] for r in lineage_rows}
+        lineage = spark.createDataFrame(
+            [(r["partition"], r["applied_lsn"]) for r in lineage_rows],
+            "partition int, applied_lsn long",
         )
         fresh = filter_applied(events, lineage)
 
@@ -106,10 +108,28 @@ class CdcApplyEngine:
             )
         compacted = compacted.cache()
         try:
-            # one job: materializes the cache AND yields dirty buckets + count
-            bucket_counts = compacted.groupBy(BUCKET_COL).count().collect()
-            dirty = [r[BUCKET_COL] for r in bucket_counts]
-            n_changed = sum(r["count"] for r in bucket_counts)
+            # ONE job materializes the cache and yields, per (bucket,
+            # partition): dirty buckets, changed-key count, AND the applied
+            # watermarks — no separate marks job, no second raw-batch scan
+            # (the per-partition max lsn necessarily survives compaction)
+            stats = (
+                compacted.groupBy(BUCKET_COL, "partition")
+                .agg(
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.max("lsn").alias("max_lsn"),
+                    F.sum("_n_fresh").alias("n_fresh"),
+                )
+                .collect()
+            )
+            dirty = sorted({r[BUCKET_COL] for r in stats})
+            n_changed = sum(r["n_keys"] for r in stats)
+            marks: dict[int, dict] = {}
+            for r in stats:
+                m = marks.setdefault(
+                    r["partition"], {"applied_lsn": -1, "n_applied": 0}
+                )
+                m["applied_lsn"] = max(m["applied_lsn"], r["max_lsn"])
+                m["n_applied"] += r["n_fresh"]
             phases["compact"] = round(_time.time() - t0, 3)
             t0 = _time.time()
 
@@ -125,13 +145,7 @@ class CdcApplyEngine:
             else:
                 merged = None
 
-            # watermarks derived from the compacted cache — no second scan
-            # of the raw batch (see last_write_wins count_col rationale)
-            marks = compacted.groupBy("partition").agg(
-                F.max("lsn").alias("applied_lsn"),
-                F.sum("_n_fresh").alias("n_applied"),
-            )
-            new_lineage = advance_lineage(lineage, marks, epoch)
+            new_lineage = self._advance_lineage_rows(lineage_rows, marks, epoch)
 
             version = self.store.commit(
                 merged, dirty, new_lineage, epoch, row_schema
@@ -154,6 +168,40 @@ class CdcApplyEngine:
             compacted.unpersist()
 
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _advance_lineage_rows(
+        lineage_rows: list[dict], marks: dict[int, dict], epoch: int
+    ) -> list[dict]:
+        """Monotone watermark merge, driver-side (the lineage table is one
+        row per log partition). Watermarks never regress — a re-delivered
+        older range cannot move applied_lsn backwards (exactly-once fencing,
+        docs/consideration.md:62)."""
+        from datetime import datetime, timezone
+
+        now = datetime.now(tz=timezone.utc).replace(tzinfo=None)
+        out = {
+            r["partition"]: {
+                "partition": r["partition"],
+                "applied_lsn": r["applied_lsn"],
+                "epoch": epoch,
+                "n_applied": r.get("n_applied") or 0,
+                "updated_ts": r.get("updated_ts") or now,
+            }
+            for r in lineage_rows
+        }
+        for p, m in marks.items():
+            cur = out.setdefault(
+                p,
+                {"partition": p, "applied_lsn": -1, "epoch": epoch,
+                 "n_applied": 0, "updated_ts": now},
+            )
+            cur["applied_lsn"] = max(cur["applied_lsn"], m["applied_lsn"])
+            cur["n_applied"] += m["n_applied"]
+            cur["epoch"] = epoch
+            cur["updated_ts"] = now
+        return sorted(out.values(), key=lambda r: r["partition"])
+
+    # ------------------------------------------------------------------ #
     def _union_row_schema(self, compacted: DataFrame) -> T.StructType:
         """Additive union of the stored schema and this batch's row schema
         (S6 — target DDL follows source, docs/consideration.md:13-18)."""
@@ -172,7 +220,7 @@ class CdcApplyEngine:
     def _write_metrics(
         self,
         events: DataFrame,
-        marks: DataFrame,
+        marks: dict[int, dict],
         epoch: int,
         applied_before: dict,
     ) -> None:
@@ -191,7 +239,10 @@ class CdcApplyEngine:
             F.max("ts_ms").alias("max_ts"),
             F.sum(F.length(F.col("after.content"))).alias("bytes_in"),
         )
-        fresh_agg = marks.select("partition", "n_applied")
+        fresh_agg = spark.createDataFrame(
+            [(int(p), int(m["n_applied"])) for p, m in marks.items()],
+            "partition int, n_applied long",
+        )
         before_df = spark.createDataFrame(
             [(int(k), int(v)) for k, v in applied_before.items()] or [],
             "partition int, applied_lsn_before long",

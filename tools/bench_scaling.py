@@ -65,11 +65,15 @@ def main() -> None:
     ap.add_argument("--run-one", action="store_true")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--changelog", type=str, default=None)
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--n4", type=int, default=32)
+    # N=4 vs 4N=16: both levels fit inside the 32-core box with headroom for
+    # the OS/page cache, so neither config competes with system threads
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--n4", type=int, default=16)
     ap.add_argument("--keys", type=int, default=int(os.environ.get("SCALING_KEYS", "400000")))
     ap.add_argument("--versions", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--chains", type=int, default=24,
+                    help="content md5-chain count (~40B each; 24 ~= 1 KiB source files)")
     args = ap.parse_args()
 
     if args.run_one:
@@ -83,7 +87,8 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="kp_scaling_")
     cl = os.path.join(work, "changelog")
     spec = ChangelogSpec(
-        n_keys=args.keys, versions_per_key=args.versions, n_partitions=64, files=4
+        n_keys=args.keys, versions_per_key=args.versions, n_partitions=64, files=4,
+        content_chains=args.chains, parts_per_file=8,
     )
     print(f"generating {spec.n_events} events ...", file=sys.stderr)
     spark = get_spark(app_name="scaling-gen", cpus=args.n4,
