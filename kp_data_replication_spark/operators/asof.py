@@ -32,15 +32,29 @@ def translate_offsets(commits: DataFrame, offset_syncs: DataFrame) -> DataFrame:
     offset_syncs:  partition, sync_src_offset, sync_tgt_offset
     result:        group, partition, src_offset, tgt_offset
                    (tgt = sync_tgt + (src - sync_src) under the greatest
-                    sync_src <= src; null if no sync point precedes)
+                    sync_src <= src; null if no sync point precedes — an
+                    untranslatable commit must surface, not disappear)
     """
-    s = F.broadcast(offset_syncs)
-    j = commits.join(s, "partition", "left").filter(
-        F.col("sync_src_offset") <= F.col("src_offset")
+    # explicit aliases: commits and syncs often derive from the same source
+    # frame (self-join), where bare column references resolve ambiguously
+    c = commits.alias("_c")
+    s = F.broadcast(offset_syncs.alias("_s"))
+    j = c.join(
+        s,
+        (F.col("_c.partition") == F.col("_s.partition"))
+        & (F.col("_s.sync_src_offset") <= F.col("_c.src_offset")),
+        "left",
+    ).select(
+        F.col("_c.group").alias("group"),
+        F.col("_c.partition").alias("partition"),
+        F.col("_c.src_offset").alias("src_offset"),
+        F.col("_s.sync_src_offset").alias("sync_src_offset"),
+        F.col("_s.sync_tgt_offset").alias("sync_tgt_offset"),
     )
     best = j.groupBy("group", "partition", "src_offset").agg(
         F.max_by(
-            F.struct("sync_src_offset", "sync_tgt_offset"), F.col("sync_src_offset")
+            F.struct("sync_src_offset", "sync_tgt_offset"),
+            F.col("sync_src_offset"),
         ).alias("_sync")
     )
     return best.select(

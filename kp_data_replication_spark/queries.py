@@ -189,7 +189,7 @@ SQL_CDC_OFFSET_TRANSLATION = f"""
     SELECT c.consumer_group, c.partition, c.src_offset,
            arg_max(s.sync_tgt_offset, s.sync_src_offset)
              + (c.src_offset - max(s.sync_src_offset)) AS tgt_offset
-    FROM commits c JOIN syncs s
+    FROM commits c LEFT JOIN syncs s
       ON s.partition = c.partition AND s.sync_src_offset <= c.src_offset
     GROUP BY c.consumer_group, c.partition, c.src_offset
 """

@@ -155,6 +155,20 @@ def test_translate_offsets_window_parity(spark):
     assert a == b
 
 
+def test_translate_offsets_no_preceding_sync_surfaces_null(spark):
+    """A commit before the first sync point is untranslatable — it must
+    surface with a null target offset, not disappear (both variants)."""
+    syncs = spark.createDataFrame(
+        [(0, 10, 9)], "partition int, sync_src_offset long, sync_tgt_offset long"
+    )
+    commits = spark.createDataFrame(
+        [("g", 0, 5), ("g", 0, 15)], "group string, partition int, src_offset long"
+    )
+    for fn in (translate_offsets, translate_offsets_window):
+        got = {(r.src_offset): r.tgt_offset for r in fn(commits, syncs).collect()}
+        assert got == {5: None, 15: 14}, fn.__name__
+
+
 # ---------------------------------------------------------------- merge
 def test_merge_upsert_insert_update_delete(spark):
     target = spark.createDataFrame(
