@@ -59,7 +59,14 @@ def main(argv: list[str] | None = None) -> None:
     lg.add_argument("changelog")
     lg.add_argument("target")
 
+    vc = sub.add_parser("vacuum", help="expire old versions + remove crash orphans")
+    vc.add_argument("target")
+    vc.add_argument("--keep-versions", type=int, default=2)
+
     args = ap.parse_args(argv)
+    if args.cmd == "vacuum":  # pure metadata/file op — no Spark session needed
+        print(json.dumps(TableStore(args.target).vacuum(args.keep_versions)))
+        return
     spark = get_spark(app_name=f"kp-cdc-{args.cmd}", cpus=args.cpus)
 
     if args.cmd == "gen":

@@ -242,3 +242,63 @@ class TableStore:
             json.dump({"version": version}, f)
         os.replace(self.pointer_path + ".tmp", self.pointer_path)
         return version
+
+    # ---------- maintenance ----------
+    def vacuum(self, keep_versions: int = 2) -> dict:
+        """Garbage-collect unreachable files (Iceberg expire_snapshots +
+        remove_orphan_files analogue).
+
+        Retains the manifests of the newest ``keep_versions`` versions and
+        every data/lineage file any of them references; deletes orphan epoch
+        directories left by crashed commits (written but never pointed to)
+        and files only reachable from expired versions. Never touches the
+        current version, so readers of the live pointer are unaffected
+        (immutable files + atomic pointer = safe concurrent vacuum).
+        """
+        current = self.current_version()
+        if current == 0:
+            return {"removed_files": 0, "removed_manifests": 0}
+        man_dir = os.path.join(self.root, "manifests")
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = [v for v in versions if v > current - keep_versions]
+        live: set[str] = set()
+        for v in keep:
+            with open(os.path.join(man_dir, f"v{v}.json")) as f:
+                m = json.load(f)
+            for files in m["buckets"].values():
+                live.update(files)
+            if m.get("lineage"):
+                live.add(m["lineage"])
+
+        removed_files = 0
+        for sub in ("data", "lineage"):
+            base = os.path.join(self.root, sub)
+            if not os.path.isdir(base):
+                continue
+            for dirpath, _, files in os.walk(base, topdown=False):
+                rel_dir = os.path.relpath(dirpath, self.root)
+                if rel_dir in live:  # whole-dir reference (lineage dirs)
+                    continue
+                for f in files:
+                    rel = os.path.join(rel_dir, f)
+                    # keep Hadoop checksum sidecars of live files
+                    is_live_crc = (
+                        f.startswith(".")
+                        and f.endswith(".crc")
+                        and os.path.join(rel_dir, f[1:-4]) in live
+                    )
+                    if rel not in live and not is_live_crc:
+                        os.remove(os.path.join(dirpath, f))
+                        removed_files += 1
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+
+        removed_manifests = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(man_dir, f"v{v}.json"))
+                removed_manifests += 1
+        return {"removed_files": removed_files, "removed_manifests": removed_manifests}
