@@ -276,7 +276,7 @@ def q_cdc_throughput_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CDC_THROUGHPUT_1H = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-           count(*) AS n_records, sum(length(props)) AS n_bytes
+           count(*) AS n_records, sum(length(props))::BIGINT AS n_bytes
     FROM events GROUP BY 1
 """
 
@@ -578,7 +578,7 @@ SQL_DEDUP_SIMHASH = r"""
       SELECT doc, pos, CASE WHEN ((h >> pos) & 1) = 1 THEN 1 ELSE -1 END AS vote
       FROM h CROSS JOIN (SELECT unnest(range(32)) AS pos) p),
     votes AS (SELECT doc, pos, sum(vote) AS v FROM bits GROUP BY 1, 2)
-    SELECT doc, sum(CASE WHEN v > 0 THEN (1::BIGINT << pos) ELSE 0 END) AS simhash
+    SELECT doc, sum(CASE WHEN v > 0 THEN (1::BIGINT << pos) ELSE 0 END)::BIGINT AS simhash
     FROM votes GROUP BY doc
 """
 
