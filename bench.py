@@ -101,9 +101,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    # shuffle.partitions = 64 = n_buckets: the compaction shuffle is then
+    # bucket-aligned and the engine skips the pre-write repartition; 8MB
+    # scan splits keep map waves balanced (changelog chunks are written
+    # with 8MB row groups, so they really split)
     spark = get_spark(
-        app_name="bench", cpus=cpus, shuffle_partitions=cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        app_name="bench", cpus=cpus, shuffle_partitions=64,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
     )
 
     work_dir = tempfile.mkdtemp(prefix="kp_bench_")

@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> None:
     lg = sub.add_parser("lag", help="per-partition replication lag vs a changelog head")
     lg.add_argument("changelog")
     lg.add_argument("target")
+    lg.add_argument("--whitelist", default="^repos$")
+    lg.add_argument("--group", default=None,
+                    help="consumer group whose lineage to compare (default: all)")
 
     vc = sub.add_parser("vacuum", help="expire old versions + remove crash orphans")
     vc.add_argument("target")
@@ -106,14 +109,29 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "lag":
         from pyspark.sql import functions as F
 
+        from .operators.filters import select_topics
         from .operators.metrics import consumer_lag
 
         store = TableStore(args.target)
+        # the head must see the SAME topic selection the engine replicates:
+        # lineage only advances on whitelisted events, so an unfiltered head
+        # would report permanent phantom lag on partitions whose tail events
+        # are blacklisted/internal-topic
         head = (
-            spark.read.option("mergeSchema", "true").parquet(args.changelog)
+            select_topics(
+                spark.read.option("mergeSchema", "true").parquet(args.changelog),
+                args.whitelist,
+            )
             .groupBy("partition").agg(F.max("lsn").alias("max_lsn"))
         )
-        for row in consumer_lag(head, store.read_lineage(spark)).orderBy("partition").collect():
+        lineage = store.read_lineage(spark)
+        if args.group:
+            lineage = lineage.filter(F.col("consumer_group") == args.group)
+        else:  # all flows: report the slowest group's watermark per partition
+            lineage = lineage.groupBy("partition").agg(
+                F.min("applied_lsn").alias("applied_lsn")
+            )
+        for row in consumer_lag(head, lineage).orderBy("partition").collect():
             print(json.dumps(row.asDict()))
     spark.stop()
 

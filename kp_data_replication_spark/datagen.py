@@ -250,7 +250,12 @@ def write_changelog(spark: SparkSession, out_dir: str, spec: ChangelogSpec) -> N
                 parts.append((1, _with_stars(batch.filter(F.col("evolved"))).select(*ENVELOPE_COLS)))
             for i, part in parts:
                 tmp = os.path.join(out_dir, f"_tmp_chunk_{chunk:04d}_{i}")
-                part.coalesce(1).write.mode("overwrite").parquet(tmp)
+                # small row groups keep single-file chunks SPLITTABLE: a
+                # coalesce(1) file with the default 128MB block size is one
+                # row group, which pins scan parallelism to the file count
+                part.coalesce(1).write.mode("overwrite").option(
+                    "parquet.block.size", 8 * 1024 * 1024
+                ).parquet(tmp)
                 src = next(
                     f for f in os.listdir(tmp) if f.endswith(".parquet") and not f.startswith("_")
                 )

@@ -28,6 +28,7 @@ def last_write_wins(
     key_cols: list[str] | None = None,
     order_col: str = "lsn",
     count_col: str | None = None,
+    extra_aggs: dict[str, F.Column] | None = None,
 ) -> DataFrame:
     """Newest event per key: one row per (repo, path) with all original columns.
 
@@ -40,17 +41,62 @@ def last_write_wins(
     from the compacted output alone, with NO second scan of the raw batch
     (the per-partition max lsn necessarily survives compaction: the event
     holding it is the newest for its own key).
+
+    ``extra_aggs``: additional per-key-group aggregates (name -> aggregate
+    Column over the pre-compaction rows), computed in the SAME map-side
+    partial aggregate — the hook that lets the engine fold byte/timestamp
+    metrics into this one scan instead of re-scanning the raw batch.
     """
     key_cols = key_cols or KEY_COLS
     payload = [c for c in df.columns if c not in key_cols]
     aggs = [F.max_by(F.struct(*payload), F.col(order_col)).alias("_newest")]
     if count_col:
         aggs.append(F.count(F.lit(1)).alias(count_col))
+    for name, col in (extra_aggs or {}).items():
+        aggs.append(col.alias(name))
     agg = df.groupBy(*key_cols).agg(*aggs)
     out_cols = [F.col(f"_newest.{c}").alias(c) for c in payload]
     if count_col:
         out_cols.append(F.col(count_col))
+    out_cols.extend(F.col(n) for n in (extra_aggs or {}))
     return agg.select(*key_cols, *out_cols)
+
+
+def last_write_wins_join(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "lsn",
+    count_col: str | None = None,
+    extra_aggs: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """Two-phase twin of :func:`last_write_wins` that never shuffles the
+    wide row payload.
+
+    Phase 1 aggregates ONLY (key, max(order), per-key stats) — the shuffle
+    carries a few dozen bytes per key instead of the full row (for the CDC
+    table, content is ~1 KiB/row: a ~20x cut in shuffled bytes on
+    update-heavy batches). Phase 2 joins the winners back to the raw rows
+    on (key, order). The join strategy is deliberately LEFT TO AQE: the
+    winner aggregate ends a shuffle stage, so AQE sizes it at runtime and
+    broadcasts when it fits (the common CDC micro-batch case) or falls
+    back to a shuffle join — which moves the same bytes the direct
+    aggregate would have, so the fallback is never worse than
+    :func:`last_write_wins`. No driver-side size probe, no extra job.
+
+    Duplicate deliveries of a winner event survive the join as identical
+    copies; ``dropDuplicates(keys)`` collapses them (same tie rationale as
+    the aggregate form: duplicates carry identical payloads,
+    docs/consideration.md:52-58).
+    """
+    key_cols = key_cols or KEY_COLS
+    aggs = [F.max(order_col).alias(order_col)]
+    if count_col:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
+    for name, col in (extra_aggs or {}).items():
+        aggs.append(col.alias(name))
+    winners = df.groupBy(*key_cols).agg(*aggs)
+    joined = df.join(winners, on=[*key_cols, order_col], how="inner")
+    return joined.dropDuplicates(key_cols)
 
 
 def last_write_wins_window(

@@ -105,6 +105,36 @@ SQL_CDC_APPLIED_WATERMARKS = f"""
 """
 
 
+def q_cdc_group_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/A1 per consumer group: the reference's checkpoint topic is keyed
+    on (consumer group, topic, partition) (docs/consideration.md:37-48) —
+    each replication flow commits its own offsets. Two flows with disjoint
+    topic subscriptions checkpoint independently over the same log."""
+    ev = _with_envelope(_events(spark, sf_dir))
+    flow = (
+        F.when(F.col("event_type").isin("signup", "login"), F.lit("flow-auth"))
+        .otherwise(F.lit("flow-activity"))
+    )
+    return (
+        ev.withColumn("consumer_group", flow)
+        .groupBy("consumer_group", "partition")
+        .agg(
+            F.max("lsn").alias("applied_lsn"),
+            F.count(F.lit(1)).alias("n_applied"),
+        )
+    )
+
+
+SQL_CDC_GROUP_CHECKPOINTS = f"""
+    SELECT CASE WHEN event_type IN ('signup', 'login') THEN 'flow-auth'
+                ELSE 'flow-activity' END AS consumer_group,
+           user_id % {P} AS partition,
+           max(event_id) AS applied_lsn,
+           count(*) AS n_applied
+    FROM events GROUP BY 1, 2
+"""
+
+
 def q_cdc_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: offset-sequence continuity audit per partition
     (docs/consideration.md:46 divergence detection)."""
@@ -689,6 +719,7 @@ def q_text_rolling_fingerprint(spark, sf_dir):
 CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_state_lastwrite": (q_cdc_state_lastwrite, SQL_CDC_STATE_LASTWRITE),
     "cdc_applied_watermarks": (q_cdc_applied_watermarks, SQL_CDC_APPLIED_WATERMARKS),
+    "cdc_group_checkpoints": (q_cdc_group_checkpoints, SQL_CDC_GROUP_CHECKPOINTS),
     "cdc_gap_stats": (q_cdc_gap_stats, SQL_CDC_GAP_STATS),
     "cdc_dedup_anti": (q_cdc_dedup_anti, SQL_CDC_DEDUP_ANTI),
     "cdc_offset_translation": (q_cdc_offset_translation, SQL_CDC_OFFSET_TRANSLATION),

@@ -62,8 +62,14 @@ def changelog_schema(row_schema: T.StructType = ROW_SCHEMA) -> T.StructType:
 CHANGELOG_SCHEMA = changelog_schema()
 CHANGELOG_SCHEMA_EVOLVED = changelog_schema(ROW_SCHEMA_EVOLVED)
 
+# The reference's checkpoint topic is keyed on (consumer group, topic,
+# partition) (docs/consideration.md:37-48): each replication flow tracks its
+# own committed offsets. DEFAULT_GROUP is the single-flow default.
+DEFAULT_GROUP = "cdc-engine"
+
 LINEAGE_SCHEMA = T.StructType(
     [
+        T.StructField("consumer_group", T.StringType(), False),
         T.StructField("partition", T.IntegerType(), False),
         T.StructField("applied_lsn", T.LongType(), False),
         T.StructField("epoch", T.LongType(), False),

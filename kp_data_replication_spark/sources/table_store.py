@@ -12,9 +12,15 @@ of the target topic and checkpoints.internal (docs/index.md:17-23).
 Layout:
     root/
       _current                     # json {"version": n} — os.replace'd atomically
-      manifests/v{n}.json          # epoch, schema, bucket -> [data files], lineage file
-      data/e{epoch}/_bucket=k/...  # immutable parquet, written once per epoch
-      lineage/e{epoch}.parquet
+      manifests/v{n}.json          # epoch, writers, schema, bucket -> [data files], lineage file
+      data/v{n}/_bucket=k/...      # immutable parquet, written once per commit attempt
+      lineage/v{n}.parquet
+
+Data/lineage directories are named by VERSION, not epoch: versions are the
+store's own monotone sequence, so two independent writer sequences (a
+streaming checkpoint and a batch replay targeting the same table) can never
+overwrite each other's files, while a re-delivered crashed commit recomputes
+the same version and overwrites its own partial output (idempotent).
 
 Bucketing: rows are hash-bucketed on the key (pmod(hash(repo, path), B) —
 the same key-hash affinity the producers use, SendProductToKafka.py:48). A
@@ -24,13 +30,19 @@ bounds MERGE cost by batch size, not table size (Iceberg's bucket partition
 transform + copy-on-write, re-expressed).
 
 Crash safety (tested by fault injection):
-  * crash while writing data/e{epoch}: pointer untouched; the re-delivered
+  * crash while writing data/v{n}: pointer untouched; the re-delivered
     epoch overwrites the same directory (idempotent).
   * crash after manifest write, before pointer swap: re-delivery rewrites
     v{n+1}.json identically, then swaps.
   * pointer swap is os.replace — atomic on POSIX.
-Fencing: a batch whose epoch <= the committed epoch is a no-op
+Fencing (Delta txnAppId/txnVersion pattern): each commit carries a
+``writer_id`` (streaming checkpoint identity, or "replay" for batch
+replays); the manifest keeps a per-writer last-committed-epoch map, and a
+batch is a no-op ONLY when ITS OWN writer already committed that epoch
 (foreachBatch re-delivery after restart, docs/consideration.md:52-62).
+Epochs from a DIFFERENT writer sequence are never silently fenced — they
+flow through the lineage-watermark event dedup instead, which is the actual
+exactly-once guard.
 """
 
 from __future__ import annotations
@@ -82,6 +94,17 @@ class TableStore:
     def current_epoch(self) -> int:
         m = self.current_manifest()
         return -1 if m is None else m["epoch"]
+
+    def writer_epoch(self, writer_id: str) -> int:
+        """Last epoch committed by ``writer_id`` (-1 if none). Falls back to
+        the global epoch for pre-writer-map manifests (legacy stores)."""
+        m = self.current_manifest()
+        if m is None:
+            return -1
+        writers = m.get("writers")
+        if writers is None:  # legacy manifest: single implicit writer
+            return m["epoch"]
+        return writers.get(writer_id, -1)
 
     @property
     def n_buckets(self) -> int:
@@ -140,9 +163,12 @@ class TableStore:
         return rows
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
+        from ..schema import DEFAULT_GROUP
+
         return spark.createDataFrame(
             [
-                (r["partition"], r["applied_lsn"], r["epoch"], r.get("n_applied"),
+                (r.get("consumer_group") or DEFAULT_GROUP, r["partition"],
+                 r["applied_lsn"], r["epoch"], r.get("n_applied"),
                  r.get("updated_ts"))
                 for r in self.read_lineage_rows()
             ],
@@ -157,6 +183,8 @@ class TableStore:
         lineage: DataFrame | list[dict],
         epoch: int,
         row_schema: T.StructType,
+        clustered: bool = False,
+        writer_id: str = "default",
     ) -> int:
         """Atomically publish a new version: dirty-bucket data + lineage.
 
@@ -164,26 +192,42 @@ class TableStore:
         ``dirty_buckets`` may be present. ``lineage`` may be a DataFrame or
         plain rows (written driver-side — it is one row per log partition).
         Returns the new version number.
+
+        ``clustered``: caller guarantees ``merged_dirty``'s existing
+        partitioning already maps each task to whole buckets (upstream
+        shuffle keyed on the bucket hash with a partition count that is a
+        multiple of n_buckets), so the pre-write repartition — a full extra
+        shuffle of the merged output — is skipped. Only file layout depends
+        on this hint, never row placement: partitionBy routes every row to
+        its bucket directory regardless.
         """
-        if epoch <= self.current_epoch():
-            return self.current_version()  # fenced: already committed
+        if epoch <= self.writer_epoch(writer_id):
+            return self.current_version()  # fenced: this writer already committed it
 
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         prev = self.current_manifest()
         version = self.current_version() + 1
         buckets_map: dict[str, list[str]] = dict(prev["buckets"]) if prev else {}
 
-        epoch_rel = f"data/e{epoch}"
+        epoch_rel = f"data/v{version}"
         epoch_dir = os.path.join(self.root, epoch_rel)
         if merged_dirty is not None and dirty_buckets:
             shutil.rmtree(epoch_dir, ignore_errors=True)  # idempotent re-delivery
             # cluster rows by bucket before the dynamic-partition write: one
             # task (and one file) per dirty bucket instead of
             # n_tasks x n_buckets small files; at real scale Iceberg's write
-            # target-file-size splitting takes over
+            # target-file-size splitting takes over. When the caller's plan
+            # is already bucket-clustered (``clustered``), write directly —
+            # AQE may have coalesced reduce partitions, but coalescing only
+            # merges whole partitions, so each bucket still lands in exactly
+            # one task.
+            to_write = (
+                merged_dirty
+                if clustered
+                else merged_dirty.repartition(len(dirty_buckets), F.col(BUCKET_COL))
+            )
             (
-                merged_dirty.repartition(len(dirty_buckets), F.col(BUCKET_COL))
-                .write.mode("overwrite")
+                to_write.write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
                 .parquet(epoch_dir)
             )
@@ -200,7 +244,7 @@ class TableStore:
                 written[b] = files
             buckets_map.update(written)
 
-        lineage_rel = f"lineage/e{epoch}.parquet"
+        lineage_rel = f"lineage/v{version}.parquet"
         lineage_dir = os.path.join(self.root, lineage_rel)
         shutil.rmtree(lineage_dir, ignore_errors=True)
         if isinstance(lineage, list):
@@ -208,10 +252,13 @@ class TableStore:
             import pyarrow.parquet as pq
 
             os.makedirs(lineage_dir, exist_ok=True)
+            from ..schema import DEFAULT_GROUP
+
             tbl = pa.Table.from_pylist(
-                lineage,
+                [{"consumer_group": DEFAULT_GROUP, **r} for r in lineage],
                 schema=pa.schema(
                     [
+                        ("consumer_group", pa.string()),
                         ("partition", pa.int32()),
                         ("applied_lsn", pa.int64()),
                         ("epoch", pa.int64()),
@@ -224,9 +271,12 @@ class TableStore:
         else:
             lineage.coalesce(1).write.mode("overwrite").parquet(lineage_dir)
 
+        writers = dict(prev.get("writers", {})) if prev else {}
+        writers[writer_id] = epoch
         manifest = {
             "version": version,
             "epoch": epoch,
+            "writers": writers,
             "n_buckets": prev["n_buckets"] if prev else self._n_buckets,
             "schema": row_schema.jsonValue(),
             "buckets": buckets_map,
@@ -248,12 +298,16 @@ class TableStore:
         """Garbage-collect unreachable files (Iceberg expire_snapshots +
         remove_orphan_files analogue).
 
-        Retains the manifests of the newest ``keep_versions`` versions and
-        every data/lineage file any of them references; deletes orphan epoch
-        directories left by crashed commits (written but never pointed to)
-        and files only reachable from expired versions. Never touches the
-        current version, so readers of the live pointer are unaffected
-        (immutable files + atomic pointer = safe concurrent vacuum).
+        Retains the manifests of the newest ``keep_versions`` committed
+        versions and every data/lineage file any of them references; deletes
+        crash orphans (data written but never pointed to — both the
+        pre-manifest and post-manifest crash windows) and files only
+        reachable from expired versions. Never touches the current version,
+        so READERS of the live pointer are unaffected; a concurrent WRITER
+        must not be mid-commit during vacuum (the same single-maintainer
+        caveat as Iceberg's remove_orphan_files), because an above-current
+        manifest is treated as a crash orphan — re-delivery of that epoch
+        rewrites it from scratch anyway.
         """
         current = self.current_version()
         if current == 0:
@@ -263,7 +317,7 @@ class TableStore:
             int(f[1:-5]) for f in os.listdir(man_dir)
             if f.startswith("v") and f.endswith(".json")
         )
-        keep = [v for v in versions if v > current - keep_versions]
+        keep = [v for v in versions if current - keep_versions < v <= current]
         live: set[str] = set()
         for v in keep:
             with open(os.path.join(man_dir, f"v{v}.json")) as f:

@@ -22,9 +22,11 @@ distributed):
       └ atomic commit: data + lineage + epoch               S7/S8/T3/T4
 
 Restart/resume (T1/T2): Structured Streaming's checkpoint replays the last
-uncommitted batch with the SAME epoch id; the store fences on epoch, so
+uncommitted batch with the SAME epoch id; the store fences on
+(writer identity, epoch) — the writer is the checkpoint itself — so
 re-delivery is a no-op — at-least-once delivery (docs/consideration.md:52-58)
-becomes exactly-once.
+becomes exactly-once, and an unrelated writer sequence (a batch replay on
+the same target) can neither fence nor be fenced by this stream.
 """
 
 from __future__ import annotations
@@ -41,9 +43,10 @@ from ..functions.envelope import (
     unpack_envelope,
     unpack_envelope_arrow,
 )
-from ..operators.compact import last_write_wins
+from ..operators.compact import last_write_wins, last_write_wins_join
 from ..operators.dedup_cdc import filter_applied
 from ..operators.filters import DEFAULT_BLACKLIST, select_topics
+from ..schema import DEFAULT_GROUP
 from ..operators.merge import merge_upsert
 from ..sources.table_store import BUCKET_COL, TableStore, bucket_expr
 
@@ -52,13 +55,30 @@ from ..sources.table_store import BUCKET_COL, TableStore, bucket_expr
 class EngineConfig:
     whitelist: str | None = "^repos$"
     blacklist: str | None = DEFAULT_BLACKLIST
-    n_buckets: int = 16
+    # checkpoint lineage is keyed on (consumer_group, partition) — one
+    # group per replication flow, mirroring the reference's checkpoint
+    # topic keying (docs/consideration.md:37-48); two flows targeting the
+    # same table track independent applied-offset watermarks
+    consumer_group: str = DEFAULT_GROUP
+    # NOTE: bucketing comes from the TableStore manifest (n_buckets is a
+    # property of the TABLE, not the engine) — configure it on TableStore
     arrow_unpack: bool = False  # all-Arrow unpack variant (see envelope.py)
     normalize: bool = True
     metrics: bool = True
     # explicit parallelism for the wide stages; None -> session default
     shuffle_partitions: int | None = None
-    extra_meta_cols: tuple = ()
+    # compaction plan: "twophase" shuffles only slim (key, lsn, stats)
+    # winners then joins them back (AQE picks broadcast vs shuffle join
+    # from the winner stage's runtime size); "direct" is the single wide
+    # hash aggregate
+    compact_strategy: str = "twophase"
+    # autoBroadcastJoinThreshold while applying a batch: the winner set of
+    # a typical micro-batch is tens of MB — worth broadcasting well past
+    # Spark's 10MB default. Set None to leave the session value untouched.
+    broadcast_threshold: str | None = "256m"
+    # key->partition affinity contract audit: "fail" (default — a violation
+    # silently risks older images overwriting newer rows), "warn", or "off"
+    affinity_check: str = "fail"
 
 
 @dataclass
@@ -67,25 +87,50 @@ class CdcApplyEngine:
     config: EngineConfig = field(default_factory=EngineConfig)
 
     # ------------------------------------------------------------------ #
-    def apply_batch(self, batch: DataFrame, epoch: int) -> dict:
-        """Apply one micro-batch exactly once. Returns a summary dict."""
+    def apply_batch(
+        self, batch: DataFrame, epoch: int, writer_id: str = "default"
+    ) -> dict:
+        """Apply one micro-batch exactly once. Returns a summary dict.
+
+        ``writer_id`` scopes the epoch-fencing sequence (Delta
+        txnAppId/txnVersion pattern): epochs only fence against THIS
+        writer's own committed epochs, so a batch replay and a streaming
+        checkpoint targeting the same table can never silently no-op each
+        other's never-applied batches — cross-writer re-deliveries fall
+        through to the lineage-watermark event dedup, which is the actual
+        exactly-once guard."""
         import time as _time
 
         t0 = _time.time()
         phases: dict[str, float] = {}
         spark = batch.sparkSession
-        if epoch <= self.store.current_epoch():
-            # fenced: this epoch already committed (restart re-delivery)
+        if epoch <= self.store.writer_epoch(writer_id):
+            # fenced: this writer already committed this epoch (re-delivery)
             return {"epoch": epoch, "status": "fenced"}
         if self.config.shuffle_partitions:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(self.config.shuffle_partitions)
             )
+        if self.config.broadcast_threshold:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold",
+                self.config.broadcast_threshold,
+            )
 
         events = select_topics(batch, self.config.whitelist, self.config.blacklist)
-        # lineage is one row per log partition: read/advance/write it
-        # driver-side (pyarrow) — no Spark jobs on the epoch's serial path
-        lineage_rows = self.store.read_lineage_rows()
+        # lineage is one row per (consumer_group, log partition): read/
+        # advance/write it driver-side (pyarrow) — no Spark jobs on the
+        # epoch's serial path. Only THIS flow's group gates the dedup.
+        group = self.config.consumer_group
+        all_lineage_rows = self.store.read_lineage_rows()
+        lineage_rows = [
+            r for r in all_lineage_rows
+            if (r.get("consumer_group") or DEFAULT_GROUP) == group
+        ]
+        other_group_rows = [
+            r for r in all_lineage_rows
+            if (r.get("consumer_group") or DEFAULT_GROUP) != group
+        ]
         applied_before = {r["partition"]: r["applied_lsn"] for r in lineage_rows}
         lineage = spark.createDataFrame(
             [(r["partition"], r["applied_lsn"]) for r in lineage_rows],
@@ -99,7 +144,27 @@ class CdcApplyEngine:
         # winner per key is chosen by lsn, not content)
         rows = unpack(fresh, normalize=False)
 
-        compacted = last_write_wins(rows, count_col="_n_fresh").withColumn(
+        # fold the per-key byte total into the compaction aggregate: the
+        # metrics pass then never re-reads the (wide) content column — its
+        # raw-batch scan touches only slim columns (partition/lsn/ts_ms).
+        # _pmin/_pmax audit the key->partition affinity contract the
+        # watermark dedup depends on (a key spanning partitions could have
+        # its non-winning partition's max lsn compacted away, under-
+        # advancing that watermark): min==max per key <=> contract holds.
+        extra = {
+            "_pmin": F.min("partition"),
+            "_pmax": F.max("partition"),
+        }
+        has_bytes = "content" in rows.columns
+        if has_bytes:
+            extra["_bytes_fresh"] = F.sum(F.length("content"))
+        if self.config.compact_strategy == "twophase":
+            compacted = last_write_wins_join(
+                rows, count_col="_n_fresh", extra_aggs=extra
+            )
+        else:
+            compacted = last_write_wins(rows, count_col="_n_fresh", extra_aggs=extra)
+        compacted = compacted.withColumn(
             BUCKET_COL, bucket_expr(self.store.n_buckets)
         )
         if self.config.normalize and "content" in compacted.columns:
@@ -112,43 +177,115 @@ class CdcApplyEngine:
             # partition): dirty buckets, changed-key count, AND the applied
             # watermarks — no separate marks job, no second raw-batch scan
             # (the per-partition max lsn necessarily survives compaction)
+            stat_aggs = [
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("lsn").alias("max_lsn"),
+                F.sum("_n_fresh").alias("n_fresh"),
+                F.sum(
+                    F.when(F.col("_pmax") > F.col("_pmin"), 1).otherwise(0)
+                ).alias("n_affinity_violations"),
+            ]
+            if has_bytes:
+                stat_aggs.append(F.sum("_bytes_fresh").alias("bytes_fresh"))
             stats = (
-                compacted.groupBy(BUCKET_COL, "partition")
-                .agg(
-                    F.count(F.lit(1)).alias("n_keys"),
-                    F.max("lsn").alias("max_lsn"),
-                    F.sum("_n_fresh").alias("n_fresh"),
-                )
-                .collect()
+                compacted.groupBy(BUCKET_COL, "partition").agg(*stat_aggs).collect()
             )
+            n_violations = sum(r["n_affinity_violations"] for r in stats)
+            if n_violations:
+                msg = (
+                    f"{n_violations} key(s) have events in more than one log "
+                    "partition this batch — the key->partition affinity "
+                    "contract (Kafka key-hash routing, "
+                    "SendProductToKafka.py:48) is violated; per-partition "
+                    "applied watermarks would under-advance and re-delivered "
+                    "older images could overwrite newer target rows."
+                )
+                if self.config.affinity_check == "fail":
+                    raise ValueError(msg)
+                if self.config.affinity_check == "warn":
+                    import warnings
+
+                    warnings.warn(msg, stacklevel=2)
             dirty = sorted({r[BUCKET_COL] for r in stats})
             n_changed = sum(r["n_keys"] for r in stats)
             marks: dict[int, dict] = {}
             for r in stats:
                 m = marks.setdefault(
-                    r["partition"], {"applied_lsn": -1, "n_applied": 0}
+                    r["partition"], {"applied_lsn": -1, "n_applied": 0, "bytes_in": 0}
                 )
                 m["applied_lsn"] = max(m["applied_lsn"], r["max_lsn"])
                 m["n_applied"] += r["n_fresh"]
+                if has_bytes:
+                    m["bytes_in"] += r["bytes_fresh"] or 0
             phases["compact"] = round(_time.time() - t0, 3)
             t0 = _time.time()
 
+            # metrics are non-transactional monitoring appends: run the job
+            # CONCURRENTLY with the merge+commit (Spark actions are thread-
+            # safe per context) — its driver latency then hides behind the
+            # merge instead of extending the epoch's serial tail
+            metrics_thread = None
+            metrics_err: list[BaseException] = []
+            if self.config.metrics:
+                import threading
+
+                def _metrics_job():
+                    try:
+                        self._write_metrics(events, marks, epoch, applied_before)
+                    except BaseException as e:  # noqa: BLE001
+                        metrics_err.append(e)
+
+                metrics_thread = threading.Thread(
+                    target=_metrics_job, name=f"metrics-e{epoch}", daemon=True
+                )
+                metrics_thread.start()
+
             row_schema = self._union_row_schema(compacted)
             if dirty:
-                target_dirty = self.store.read_state(spark, buckets=dirty)
-                merged = merge_upsert(
-                    target_dirty, compacted.drop(BUCKET_COL, "_n_fresh")
+                batch_side = compacted.drop(
+                    BUCKET_COL, "_n_fresh", "_bytes_fresh", "_pmin", "_pmax"
                 )
+                if self.store._bucket_files(dirty):
+                    target_dirty = self.store.read_state(spark, buckets=dirty)
+                    merged = merge_upsert(target_dirty, batch_side)
+                else:
+                    # every dirty bucket is empty on the target (bootstrap /
+                    # first touch): MERGE degenerates to INSERT-where-not-
+                    # tombstone — skip the join stage entirely; null-pad any
+                    # stored column this pre-evolution batch lacks
+                    merged = batch_side.filter(F.col("op") != "d").drop(
+                        "op", "partition", "lsn", "ts_ms"
+                    )
+                    present = set(merged.columns)
+                    for fld in row_schema.fields:
+                        if fld.name not in present:
+                            merged = merged.withColumn(
+                                fld.name, F.lit(None).cast(fld.dataType)
+                            )
                 merged = merged.select(*[f.name for f in row_schema.fields]).withColumn(
                     BUCKET_COL, bucket_expr(self.store.n_buckets)
                 )
             else:
                 merged = None
 
-            new_lineage = self._advance_lineage_rows(lineage_rows, marks, epoch)
+            new_lineage = self._advance_lineage_rows(
+                lineage_rows, marks, epoch, group
+            ) + other_group_rows
 
+            # The compaction groupBy hash-partitions rows on (repo, path)
+            # with Spark's murmur3 — the SAME function bucket_expr uses — so
+            # whenever shuffle.partitions is a multiple of n_buckets, every
+            # reduce partition maps into exactly one bucket and the
+            # pre-write repartition (a full extra shuffle of the merged
+            # output) is a no-op we can skip.
+            try:
+                n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except Exception:  # noqa: BLE001
+                n_shuffle = 0
+            clustered = n_shuffle > 0 and n_shuffle % self.store.n_buckets == 0
             version = self.store.commit(
-                merged, dirty, new_lineage, epoch, row_schema
+                merged, dirty, new_lineage, epoch, row_schema,
+                clustered=clustered, writer_id=writer_id,
             )
             phases["merge_commit"] = round(_time.time() - t0, 3)
             t0 = _time.time()
@@ -159,9 +296,16 @@ class CdcApplyEngine:
                 "keys_changed": n_changed,
                 "dirty_buckets": len(dirty),
             }
-            if self.config.metrics:
-                self._write_metrics(events, marks, epoch, applied_before)
-                phases["metrics"] = round(_time.time() - t0, 3)
+            if metrics_thread is not None:
+                metrics_thread.join()
+                phases["metrics_wait"] = round(_time.time() - t0, 3)
+                if metrics_err:  # monitoring is best-effort; state committed
+                    import warnings
+
+                    warnings.warn(
+                        f"metrics write failed for epoch {epoch}: {metrics_err[0]!r}",
+                        stacklevel=2,
+                    )
             summary["phases"] = phases
             return summary
         finally:
@@ -170,17 +314,22 @@ class CdcApplyEngine:
     # ------------------------------------------------------------------ #
     @staticmethod
     def _advance_lineage_rows(
-        lineage_rows: list[dict], marks: dict[int, dict], epoch: int
+        lineage_rows: list[dict],
+        marks: dict[int, dict],
+        epoch: int,
+        group: str = DEFAULT_GROUP,
     ) -> list[dict]:
         """Monotone watermark merge, driver-side (the lineage table is one
-        row per log partition). Watermarks never regress — a re-delivered
-        older range cannot move applied_lsn backwards (exactly-once fencing,
-        docs/consideration.md:62)."""
+        row per (consumer_group, log partition)). Watermarks never regress —
+        a re-delivered older range cannot move applied_lsn backwards
+        (exactly-once fencing, docs/consideration.md:62). ``lineage_rows``
+        must already be filtered to ``group``."""
         from datetime import datetime, timezone
 
         now = datetime.now(tz=timezone.utc).replace(tzinfo=None)
         out = {
             r["partition"]: {
+                "consumer_group": group,
                 "partition": r["partition"],
                 "applied_lsn": r["applied_lsn"],
                 "epoch": epoch,
@@ -192,8 +341,8 @@ class CdcApplyEngine:
         for p, m in marks.items():
             cur = out.setdefault(
                 p,
-                {"partition": p, "applied_lsn": -1, "epoch": epoch,
-                 "n_applied": 0, "updated_ts": now},
+                {"consumer_group": group, "partition": p, "applied_lsn": -1,
+                 "epoch": epoch, "n_applied": 0, "updated_ts": now},
             )
             cur["applied_lsn"] = max(cur["applied_lsn"], m["applied_lsn"])
             cur["n_applied"] += m["n_applied"]
@@ -205,7 +354,8 @@ class CdcApplyEngine:
     def _union_row_schema(self, compacted: DataFrame) -> T.StructType:
         """Additive union of the stored schema and this batch's row schema
         (S6 — target DDL follows source, docs/consideration.md:13-18)."""
-        meta = {"op", "partition", "lsn", "ts_ms", BUCKET_COL, "_n_fresh"}
+        meta = {"op", "partition", "lsn", "ts_ms", BUCKET_COL,
+                "_n_fresh", "_bytes_fresh", "_pmin", "_pmax"}
         batch_fields = [
             f for f in compacted.schema.fields if f.name not in meta
         ]
@@ -230,25 +380,44 @@ class CdcApplyEngine:
         (mirror-maker-2/mm2-jmx-exporter.yaml:28-43). Non-transactional
         append — monitoring data, not engine state. ``marks`` comes from the
         compacted cache, so this adds exactly one raw-batch scan (for the
-        duplicate/byte totals that dedup necessarily discards)."""
+        duplicate/byte totals that dedup necessarily discards).
+
+        Scale note: the raw-batch scan here reads ONLY slim columns
+        (partition/lsn/ts_ms — a few bytes per event after parquet column
+        pruning). ``bytes_in`` (the wide content column) is folded into the
+        compaction aggregate upstream and arrives via ``marks``; it counts
+        bytes of APPLIED events — already-applied re-deliveries are excluded,
+        which matches the replicated-bytes meaning of the MM2 byte-rate
+        metric."""
         spark = events.sparkSession
-        all_agg = events.groupBy("partition").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.max("lsn").alias("max_lsn"),
-            F.min("ts_ms").alias("min_ts"),
-            F.max("ts_ms").alias("max_ts"),
-            F.sum(F.length(F.col("after.content"))).alias("bytes_in"),
+        # the slim projection reads a few MB after parquet column pruning,
+        # but split planning follows FILE bytes — with wide-scan-tuned
+        # small splits this tiny job would schedule hundreds of near-empty
+        # tasks; coalesce merges source partitions without a shuffle
+        all_agg = (
+            events.select("partition", "lsn", "ts_ms")
+            .coalesce(32)
+            .groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("lsn").alias("max_lsn"),
+                F.min("ts_ms").alias("min_ts"),
+                F.max("ts_ms").alias("max_ts"),
+            )
         )
         fresh_agg = spark.createDataFrame(
-            [(int(p), int(m["n_applied"])) for p, m in marks.items()],
-            "partition int, n_applied long",
+            [
+                (int(p), int(m["n_applied"]), int(m.get("bytes_in") or 0))
+                for p, m in marks.items()
+            ],
+            "partition int, n_applied long, bytes_in long",
         )
         before_df = spark.createDataFrame(
             [(int(k), int(v)) for k, v in applied_before.items()] or [],
             "partition int, applied_lsn_before long",
         )
         m = (
-            all_agg.join(fresh_agg, "partition", "left")
+            all_agg.join(F.broadcast(fresh_agg), "partition", "left")
             .join(F.broadcast(before_df), "partition", "left")
             .select(
                 F.lit(epoch).cast("long").alias("epoch"),
@@ -256,7 +425,7 @@ class CdcApplyEngine:
                 "n_events",
                 F.coalesce("n_applied", F.lit(0)).alias("n_applied"),
                 (F.col("n_events") - F.coalesce("n_applied", F.lit(0))).alias("n_duplicates"),
-                "bytes_in",
+                F.coalesce("bytes_in", F.lit(0)).alias("bytes_in"),
                 "max_lsn",
                 "applied_lsn_before",
                 "min_ts",
@@ -268,11 +437,33 @@ class CdcApplyEngine:
         )
 
     # ------------------------------------------------------------------ #
-    def replay_batch(self, spark: SparkSession, changelog_path: str) -> dict:
+    def replay_batch(
+        self,
+        spark: SparkSession,
+        changelog_path: str,
+        read_schema: T.StructType | None = None,
+    ) -> dict:
         """Full batch replay (`--from-beginning`, S4): the whole changelog as
-        one epoch."""
-        df = spark.read.option("mergeSchema", "true").parquet(changelog_path)
-        return self.apply_batch(df, self.store.current_epoch() + 1)
+        one epoch, under the dedicated "replay" writer sequence — its epochs
+        never fence (nor are fenced by) a streaming checkpoint's batch ids.
+
+        ``read_schema``: pass the known envelope schema to skip the
+        mergeSchema footer sweep (one footer read per file, serial driver
+        latency on every replay)."""
+        import time as _time
+
+        t0 = _time.time()
+        if read_schema is not None:
+            df = spark.read.schema(read_schema).parquet(changelog_path)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(changelog_path)
+        read_sec = round(_time.time() - t0, 3)
+        out = self.apply_batch(
+            df, self.store.writer_epoch("replay") + 1, writer_id="replay"
+        )
+        if isinstance(out.get("phases"), dict):
+            out["phases"]["read_plan"] = read_sec
+        return out
 
     def start_stream(
         self,
@@ -293,9 +484,15 @@ class CdcApplyEngine:
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .parquet(changelog_path)
         )
+        # the checkpoint IS the stream's identity: batch ids are meaningful
+        # only within one checkpoint's sequence, and the id survives
+        # restarts (same checkpoint -> same writer -> fencing works across
+        # resume), while a different checkpoint or a batch replay can never
+        # fence this stream's never-applied batches
+        writer_id = f"stream:{os.path.abspath(checkpoint_dir)}"
         writer = (
             src.writeStream.foreachBatch(
-                lambda df, eid: self.apply_batch(df, eid) and None
+                lambda df, eid: self.apply_batch(df, eid, writer_id=writer_id) and None
             )
             .option("checkpointLocation", checkpoint_dir)
             .queryName("cdc-apply")

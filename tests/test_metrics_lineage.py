@@ -69,3 +69,39 @@ def test_bytes_in_positive(spark, setup):
     d, store, _ = setup
     m = spark.read.parquet(store.root + "/metrics").filter(F.col("epoch") == 0)
     assert all(r.bytes_in > 0 for r in m.collect())
+
+
+def test_per_group_lineage_is_independent(spark, tmp_path):
+    """Checkpoint lineage is keyed on (consumer_group, partition)
+    (docs/consideration.md:37-48): two flows into the same target track
+    independent watermarks — a second flow's first apply is NOT deduped by
+    the first flow's lineage, and each flow's rows survive the other's
+    commits."""
+    d = str(tmp_path / "cl")
+    write_changelog(spark, d, SPEC)
+    store = TableStore(str(tmp_path / "t"), n_buckets=8)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+
+    a = CdcApplyEngine(store, EngineConfig(metrics=False, consumer_group="flow-a"))
+    b = CdcApplyEngine(store, EngineConfig(metrics=False, consumer_group="flow-b"))
+
+    s_a = a.apply_batch(df, 0, writer_id="wa")
+    assert s_a["keys_changed"] > 0
+    rows = store.read_lineage_rows()
+    assert {r["consumer_group"] for r in rows} == {"flow-a"}
+
+    # flow-b re-applies the same events: ITS lineage is empty, so nothing
+    # is deduped away — the events process and b's watermarks appear,
+    # while a's rows are preserved untouched
+    s_b = b.apply_batch(df, 0, writer_id="wb")
+    assert s_b["status"] == "committed" and s_b["keys_changed"] > 0
+    rows = store.read_lineage_rows()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["consumer_group"], {})[r["partition"]] = r["applied_lsn"]
+    assert set(by_group) == {"flow-a", "flow-b"}
+    assert by_group["flow-a"] == by_group["flow-b"]  # both fully drained
+
+    # a re-delivery to flow-a IS deduped by a's own lineage
+    s_a2 = a.apply_batch(df, 1, writer_id="wa")
+    assert s_a2["keys_changed"] == 0

@@ -35,7 +35,7 @@ def changelog_dir(spark, tmp_path_factory):
 def _pipeline(spark, changelog_dir):
     df = spark.read.parquet(changelog_dir)
     events = select_topics(df, "^repos$")
-    lineage = spark.createDataFrame([(0, 5, 0, 5, None)], LINEAGE_SCHEMA)
+    lineage = spark.createDataFrame([("cdc-engine", 0, 5, 0, 5, None)], LINEAGE_SCHEMA)
     fresh = filter_applied(events, lineage)
     return last_write_wins(unpack_envelope(fresh, normalize=False), count_col="_n")
 
@@ -55,7 +55,7 @@ def test_lineage_dedup_is_broadcast(spark, changelog_dir):
     """J3: the watermark anti-filter must broadcast the lineage side —
     the event stream is never shuffled for dedup."""
     df = spark.read.parquet(changelog_dir)
-    lineage = spark.createDataFrame([(0, 5, 0, 5, None)], LINEAGE_SCHEMA)
+    lineage = spark.createDataFrame([("cdc-engine", 0, 5, 0, 5, None)], LINEAGE_SCHEMA)
     assert_broadcast_join(filter_applied(df, lineage))
 
 

@@ -76,12 +76,52 @@ def test_full_replay_state_equality(spark, changelog_dir, replayed):
 
 
 def test_epoch_fencing_noop(spark, changelog_dir, replayed):
-    """A batch re-delivered with an already-committed epoch is a no-op
-    (exactly-once fencing, docs/consideration.md:62)."""
+    """A batch re-delivered by the SAME writer with an already-committed
+    epoch is a no-op (exactly-once fencing, docs/consideration.md:62)."""
     store, engine = replayed
     df = spark.read.option("mergeSchema", "true").parquet(changelog_dir)
-    assert engine.apply_batch(df, 0)["status"] == "fenced"
+    assert engine.apply_batch(df, 0, writer_id="replay")["status"] == "fenced"
     assert_state_matches(spark, store, changelog_dir)
+
+
+def test_cross_writer_epoch_never_fences_silently(spark, changelog_dir, replayed):
+    """The ADVICE data-loss hazard: a DIFFERENT writer sequence re-using a
+    low epoch number must NOT be silently dropped — its events go through
+    the lineage-watermark dedup instead (all already applied here, so the
+    commit is empty but real), and the state stays correct."""
+    store, engine = replayed
+    df = spark.read.option("mergeSchema", "true").parquet(changelog_dir)
+    s = engine.apply_batch(df, 0, writer_id="stream:/some/checkpoint")
+    assert s["status"] == "committed"  # processed, not fenced
+    assert s["keys_changed"] == 0  # watermark dedup caught every event
+    assert_state_matches(spark, store, changelog_dir)
+
+
+def test_fresh_events_under_low_epoch_are_applied_not_lost(spark, tmp_path):
+    """Regression for the fencing hazard proper: writer A commits epochs
+    0..1; writer B (new checkpoint) delivers NEVER-APPLIED events under
+    epoch 0. Pre-fix these were silently fenced (permanent data loss);
+    now they must be applied."""
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=60, versions_per_key=2, n_partitions=2, files=2, dup_every=0),
+    )
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    engine = CdcApplyEngine(store, FAST)
+    files = sorted(f for f in __import__("os").listdir(d) if f.endswith(".parquet"))
+    half = len(files) // 2
+    first = spark.read.parquet(*[f"{d}/{f}" for f in files[:half]])
+    second = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{d}/{f}" for f in files[half:]]
+    )
+    engine.apply_batch(first, 0, writer_id="stream:/cp-A")
+    engine.apply_batch(first, 1, writer_id="stream:/cp-A")  # dup epoch, no-op content
+    # writer B starts its own sequence at epoch 0 carrying FRESH events
+    s = engine.apply_batch(second, 0, writer_id="stream:/cp-B")
+    assert s["status"] == "committed"
+    assert s["keys_changed"] > 0
+    assert_state_matches(spark, store, d)
 
 
 def test_replay_is_idempotent(spark, changelog_dir, replayed):

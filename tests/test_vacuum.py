@@ -1,18 +1,44 @@
 """TableStore.vacuum: expire old versions + remove crash orphans while the
-live version stays readable (Iceberg expire_snapshots analogue)."""
+live version stays readable (Iceberg expire_snapshots analogue).
+
+Both crash windows are exercised with batches that contain genuinely fresh
+events, so the orphan data directories really exist on disk:
+  * crash BEFORE the manifest write  -> orphan data dir, no manifest
+  * crash AFTER the manifest write, before the pointer swap -> orphan
+    manifest + orphan data dir (treated as crash garbage by vacuum; a
+    re-delivered epoch rewrites both from scratch)
+"""
 
 from __future__ import annotations
 
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from kp_data_replication_spark.datagen import ChangelogSpec, write_changelog
 from kp_data_replication_spark.sources.table_store import TableStore
 from kp_data_replication_spark.streaming.apply import CdcApplyEngine, EngineConfig
 
 
-def test_vacuum_keeps_live_state_and_removes_garbage(spark, tmp_path, monkeypatch):
+def _crashing_replace(monkeypatch, needle: str):
+    """Patch os.replace (as seen by table_store) to crash on paths
+    containing ``needle``."""
+    real_replace = os.replace
+
+    def crashing(src, dst):
+        if needle in dst:
+            raise OSError(f"injected crash at {needle}")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(
+        "kp_data_replication_spark.sources.table_store.os.replace", crashing
+    )
+
+
+def test_vacuum_keeps_live_state_and_removes_both_crash_orphans(
+    spark, tmp_path, monkeypatch
+):
     d = str(tmp_path / "cl")
     write_changelog(
         spark, d,
@@ -22,48 +48,73 @@ def test_vacuum_keeps_live_state_and_removes_garbage(spark, tmp_path, monkeypatc
     engine = CdcApplyEngine(store, EngineConfig(metrics=False))
     files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
     half = len(files) // 2
-    engine.apply_batch(spark.read.parquet(*[f"{d}/{f}" for f in files[:half]]), 0)
-    engine.apply_batch(
-        spark.read.option("mergeSchema", "true").parquet(*[f"{d}/{f}" for f in files[half:]]), 1
+    first = spark.read.parquet(*[f"{d}/{f}" for f in files[:half]])
+    second = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{d}/{f}" for f in files[half:]]
     )
+    engine.apply_batch(first, 0)
+    assert store.current_version() == 1
 
-    # crash-orphan: epoch 2 writes data + manifest but dies before the swap
-    import os as _os
-    real_replace = _os.replace
-
-    def crashing(src, dst):
-        if dst.endswith("_current"):
-            raise OSError("injected")
-        return real_replace(src, dst)
-
-    monkeypatch.setattr(
-        "kp_data_replication_spark.sources.table_store.os.replace", crashing
-    )
+    # ---- crash window 1: BEFORE the manifest write (fresh events aboard) --
+    _crashing_replace(monkeypatch, "manifests/")
     with pytest.raises(OSError):
-        engine.apply_batch(
-            spark.read.option("mergeSchema", "true").parquet(d).limit(0).unionByName(
-                spark.read.option("mergeSchema", "true").parquet(d)
-            ),
-            2,
-        )
+        engine.apply_batch(second, 1)
     monkeypatch.undo()
-
-    rows_before = store.read_state(spark).count()
-    assert store.current_version() == 2  # crash invisible
+    orphan_v2 = os.path.join(store.root, "data", "v2")
+    assert os.path.isdir(orphan_v2)  # data written, never pointed to
+    assert store.current_version() == 1  # crash invisible to readers
 
     report = store.vacuum(keep_versions=1)
     assert report["removed_files"] > 0
-    assert report["removed_manifests"] >= 1  # v1 expired
+    assert not os.path.exists(orphan_v2)
+
+    # ---- crash window 2: AFTER the manifest write, before pointer swap ----
+    _crashing_replace(monkeypatch, "_current")
+    with pytest.raises(OSError):
+        engine.apply_batch(second, 1)
+    monkeypatch.undo()
+    assert os.path.isdir(orphan_v2)
+    assert os.path.exists(os.path.join(store.root, "manifests", "v2.json"))
+    assert store.current_version() == 1
+
+    rows_before = store.read_state(spark).count()
+    report = store.vacuum(keep_versions=1)
+    assert report["removed_files"] > 0
+    assert report["removed_manifests"] >= 1  # the orphan v2 manifest
+    assert not os.path.exists(orphan_v2)
+    assert not os.path.exists(os.path.join(store.root, "manifests", "v2.json"))
 
     # live version unaffected
-    assert store.current_version() == 2
+    assert store.current_version() == 1
     assert store.read_state(spark).count() == rows_before
     assert len(store.read_lineage_rows()) > 0
 
-    # orphan epoch-2 data gone
-    assert not os.path.exists(os.path.join(store.root, "data", "e2"))
-
-    # engine continues committing after vacuum
-    s = engine.apply_batch(spark.read.option("mergeSchema", "true").parquet(d), 2)
+    # re-delivery of the crashed epoch commits cleanly after vacuum
+    s = engine.apply_batch(second, 1)
     assert s["status"] == "committed"
-    assert store.read_state(spark).count() == rows_before
+    assert store.current_version() == 2
+
+    # old expired version's files are GC'd on the next vacuum, live rows stay
+    n_live = store.read_state(spark).count()
+    store.vacuum(keep_versions=1)
+    assert store.read_state(spark).count() == n_live
+
+
+def test_vacuum_expires_old_versions(spark, tmp_path):
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=40, versions_per_key=2, n_partitions=2, files=2, dup_every=0),
+    )
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False))
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    for i, f in enumerate(files):
+        engine.apply_batch(
+            spark.read.option("mergeSchema", "true").parquet(f"{d}/{f}"), i
+        )
+    assert store.current_version() == len(files)
+    before = store.read_state(spark).agg(F.count(F.lit(1))).collect()[0][0]
+    report = store.vacuum(keep_versions=1)
+    assert report["removed_manifests"] == len(files) - 1
+    assert store.read_state(spark).agg(F.count(F.lit(1))).collect()[0][0] == before

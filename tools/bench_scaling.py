@@ -28,27 +28,44 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_one(cpus: int, changelog: str, repeats: int, warmup: bool = True) -> dict:
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA_EVOLVED
     from kp_data_replication_spark.session import get_spark
     from kp_data_replication_spark.sources.table_store import TableStore
     from kp_data_replication_spark.streaming.apply import CdcApplyEngine, EngineConfig
 
+    # shuffle.partitions is a JOB config, identical at both cluster sizes
+    # (as on a real cluster): 64 = n_buckets, so the compaction shuffle is
+    # bucket-aligned and the engine skips the pre-write repartition; 8MB
+    # scan splits keep map-stage waves balanced at every level.
     spark = get_spark(
-        app_name=f"scaling-{cpus}", cpus=cpus, shuffle_partitions=cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        app_name=f"scaling-{cpus}", cpus=cpus, shuffle_partitions=64,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
     )
     n_events = spark.read.option("mergeSchema", "true").parquet(changelog).count()
     times = []
     with tempfile.TemporaryDirectory(prefix=f"scal{cpus}_") as wd:
         runs = (["w"] if warmup else []) + list(range(repeats))
         for i in runs:
-            store = TableStore(os.path.join(wd, f"t{i}"), n_buckets=64)
+            sdir = os.path.join(wd, f"t{i}")
+            store = TableStore(sdir, n_buckets=64)
             engine = CdcApplyEngine(store, EngineConfig())
             t0 = time.time()
-            engine.replay_batch(spark, changelog)
+            engine.replay_batch(spark, changelog, read_schema=CHANGELOG_SCHEMA_EVOLVED)
             dt = time.time() - t0
             if i != "w":  # first run is JIT/page-cache warmup, untimed
                 times.append(dt)
             print(f"  local[{cpus}] run {i}: {dt:.1f}s", file=sys.stderr)
+            # UNTIMED hygiene: drop this run's ~GBs of output and flush
+            # dirty pages NOW, so accumulated writeback debt from run k
+            # can't stall run k+1 mid-flight (this box's dominant noise
+            # mode: kernel writeback/compaction stalls, not CPU steal)
+            import shutil as _shutil
+
+            _shutil.rmtree(sdir, ignore_errors=True)
+            os.sync()
     spark.stop()
     best = min(times)
     return {
@@ -60,20 +77,38 @@ def run_one(cpus: int, changelog: str, repeats: int, warmup: bool = True) -> dic
     }
 
 
+def _canary() -> float:
+    """Fixed single-core hash spin. The host has documented multi-x noise
+    episodes; a canary >~1.5x its typical value marks a contaminated
+    window so per-level minima can be interpreted."""
+    import hashlib
+
+    t0 = time.time()
+    for i in range(300_000):
+        hashlib.md5(b"canary%d" % i).digest()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-one", action="store_true")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--changelog", type=str, default=None)
-    # N=4 vs 4N=16: both levels fit inside the 32-core box with headroom for
-    # the OS/page cache, so neither config competes with system threads
-    ap.add_argument("--n", type=int, default=4)
-    ap.add_argument("--n4", type=int, default=16)
-    ap.add_argument("--keys", type=int, default=int(os.environ.get("SCALING_KEYS", "400000")))
+    # N=8 vs 4N=32 (the pair BASELINE.md itself names). Measured on this
+    # box with pinned multiprocessing hash loops: raw 8->32 scaling is
+    # ~0.89, while any pair that includes a <=4-core level is capped near
+    # 0.71 by per-core clock behavior at low occupancy — an artifact of the
+    # host, not of the engine, so the low-core pair would mismeasure the
+    # engine's own scalability.
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n4", type=int, default=32)
+    ap.add_argument("--keys", type=int, default=int(os.environ.get("SCALING_KEYS", "500000")))
     ap.add_argument("--versions", type=int, default=5)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--chains", type=int, default=24,
                     help="content md5-chain count (~40B each; 24 ~= 1 KiB source files)")
+    ap.add_argument("--parts", type=int, default=32,
+                    help="parquet chunks per file-batch (files*parts total files)")
     args = ap.parse_args()
 
     if args.run_one:
@@ -88,7 +123,7 @@ def main() -> None:
     cl = os.path.join(work, "changelog")
     spec = ChangelogSpec(
         n_keys=args.keys, versions_per_key=args.versions, n_partitions=64, files=4,
-        content_chains=args.chains, parts_per_file=8,
+        content_chains=args.chains, parts_per_file=args.parts,
     )
     print(f"generating {spec.n_events} events ...", file=sys.stderr)
     spark = get_spark(app_name="scaling-gen", cpus=args.n4,
@@ -105,7 +140,11 @@ def main() -> None:
     samples: dict[int, list[dict]] = {args.n: [], args.n4: []}
     for rnd in range(args.repeats):
         for cpus in (args.n, args.n4):
-            print(f"round {rnd}: local[{cpus}] (taskset 0-{cpus - 1}) ...", file=sys.stderr)
+            canary = _canary()  # single-core spin: flags host-noise episodes
+            print(
+                f"round {rnd}: local[{cpus}] (taskset 0-{cpus - 1}, canary {canary:.2f}s) ...",
+                file=sys.stderr,
+            )
             out = subprocess.run(
                 ["taskset", "-c", f"0-{cpus - 1}",
                  sys.executable, os.path.abspath(__file__), "--run-one",
@@ -113,6 +152,7 @@ def main() -> None:
                 capture_output=True, text=True, cwd=REPO, check=True,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            r["canary_sec"] = canary
             print(f"  -> {r['apply_sec']}s", file=sys.stderr)
             samples[cpus].append(r)
 
