@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kp_data_replication_spark.datagen import ChangelogSpec, write_changelog  # noqa: E402
 from kp_data_replication_spark.queries import all_queries  # noqa: E402
+from kp_data_replication_spark.schema import CHANGELOG_SCHEMA_EVOLVED  # noqa: E402
 from kp_data_replication_spark.session import get_spark  # noqa: E402
 from kp_data_replication_spark.sources.table_store import TableStore  # noqa: E402
 from kp_data_replication_spark.streaming.apply import (  # noqa: E402
@@ -81,7 +82,7 @@ def bench_cdc_apply(spark, work_dir: str) -> dict:
         store = TableStore(os.path.join(work_dir, f"target{i}"), n_buckets=64)
         engine = CdcApplyEngine(store, EngineConfig())
         t0 = time.time()
-        summary = engine.replay_batch(spark, cl_dir)
+        summary = engine.replay_batch(spark, cl_dir, read_schema=CHANGELOG_SCHEMA_EVOLVED)
         runs.append(time.time() - t0)
         n_state = store.read_state(spark).count()
         log(f"cdc apply[{i}]: {spec.n_events} events -> {n_state} rows in {runs[-1]:.1f}s")

@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--buckets", type=int, default=64)
     s.add_argument("--whitelist", default="^repos$")
     s.add_argument("--max-files-per-trigger", type=int, default=16)
+    s.add_argument("--max-bytes-per-trigger", default=None,
+                   help="volume throttle per micro-batch in bytes "
+                        "(--throughput analogue; overrides files cap)")
     s.add_argument("--continuous", action="store_true",
                    help="keep running (default: drain available input and stop)")
 
@@ -93,6 +96,7 @@ def main(argv: list[str] | None = None) -> None:
         q = engine.start_stream(
             spark, args.changelog, args.checkpoint, CHANGELOG_SCHEMA_EVOLVED,
             max_files_per_trigger=args.max_files_per_trigger,
+            max_bytes_per_trigger=args.max_bytes_per_trigger,
             available_now=not args.continuous,
         )
         q.awaitTermination()

@@ -8,14 +8,16 @@ the replication and when ... numbering sequencing diverges"
 greatest sync point whose source offset <= the committed offset ("last read
 committed offset ... 3 is mapped as 12 in the target partition").
 
-Two implementations, same semantics:
+Two implementations, same semantics, chosen by `translate_offsets_auto`:
   * `translate_offsets`       — broadcast range join + max_by aggregation.
-    The sync table is tiny (one row per divergence event per partition), so
-    the join is map-side; the aggregation picks the greatest qualifying sync
-    per commit. This is the production path at any scale.
+    Right when syncs are SPARSE (the reference's normal mode: one row per
+    divergence event per partition): the join is map-side and cheap. But
+    the range join emits one row per (commit x qualifying sync) before the
+    max_by — with DENSE syncs (a sync per divergence on a flappy flow) a
+    commit at offset k matches ~k/stride syncs: quadratic-ish candidates.
   * `translate_offsets_window`— union + window (last ignorenulls over an
-    unbounded-preceding frame) — no join at all; useful when the sync table
-    is NOT small relative to commits.
+    unbounded-preceding frame) — no join, no candidate blowup; one sort of
+    (commits + syncs) per partition. The scale-safe shape for dense syncs.
 """
 
 from __future__ import annotations
@@ -66,6 +68,27 @@ def translate_offsets(commits: DataFrame, offset_syncs: DataFrame) -> DataFrame:
             + (F.col("src_offset") - F.col("_sync.sync_src_offset"))
         ).alias("tgt_offset"),
     )
+
+
+def translate_offsets_auto(
+    commits: DataFrame,
+    offset_syncs: DataFrame,
+    dense_sync_threshold: int = 10_000,
+) -> DataFrame:
+    """Production dispatcher: pick the join form for sparse syncs, the
+    window form for dense syncs.
+
+    The density probe is one count over the (slim) sync table — cheap at
+    any scale, and the whole point is to avoid the range join's
+    (commit x qualifying sync) candidate explosion precisely when that
+    count is large. Threshold is per-job tunable; the default assumes a
+    commit set in the thousands, where 10k+ syncs make the window sort
+    cheaper than the candidate fan-out.
+    """
+    n_syncs = offset_syncs.count()
+    if n_syncs > dense_sync_threshold:
+        return translate_offsets_window(commits, offset_syncs)
+    return translate_offsets(commits, offset_syncs)
 
 
 def translate_offsets_window(commits: DataFrame, offset_syncs: DataFrame) -> DataFrame:

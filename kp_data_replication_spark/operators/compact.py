@@ -76,12 +76,14 @@ def last_write_wins_join(
     carries a few dozen bytes per key instead of the full row (for the CDC
     table, content is ~1 KiB/row: a ~20x cut in shuffled bytes on
     update-heavy batches). Phase 2 joins the winners back to the raw rows
-    on (key, order). The join strategy is deliberately LEFT TO AQE: the
-    winner aggregate ends a shuffle stage, so AQE sizes it at runtime and
-    broadcasts when it fits (the common CDC micro-batch case) or falls
-    back to a shuffle join — which moves the same bytes the direct
-    aggregate would have, so the fallback is never worse than
-    :func:`last_write_wins`. No driver-side size probe, no extra job.
+    on (key, order) with an EXPLICIT broadcast hint: leaving the choice to
+    AQE would still plan (and write) the full-width rows-side shuffle
+    before converting, defeating the point. The winner set is bounded by
+    the micro-batch's distinct keys — micro-batch-sized state, not
+    table-sized — so broadcasting is the right default for CDC batches; a
+    flow whose batches carry more distinct keys than driver memory allows
+    should configure compact_strategy="direct" instead (same bytes moved
+    as this function's shuffle-join fallback would).
 
     Duplicate deliveries of a winner event survive the join as identical
     copies; ``dropDuplicates(keys)`` collapses them (same tie rationale as
@@ -95,7 +97,7 @@ def last_write_wins_join(
     for name, col in (extra_aggs or {}).items():
         aggs.append(col.alias(name))
     winners = df.groupBy(*key_cols).agg(*aggs)
-    joined = df.join(winners, on=[*key_cols, order_col], how="inner")
+    joined = df.join(F.broadcast(winners), on=[*key_cols, order_col], how="inner")
     return joined.dropDuplicates(key_cols)
 
 

@@ -57,14 +57,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = 256,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard similarity.
 
-    Plan: shingle-explode -> self-equi-join ON shingle (only co-occurring
-    docs ever meet) -> pair-intersection counts -> broadcast doc sizes ->
-    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. Output (doc1, doc2, jaccard).
+    Plan: shingle-explode -> document-frequency cap -> self-equi-join ON
+    shingle (only co-occurring docs ever meet) -> pair-intersection counts
+    -> broadcast doc sizes -> |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+    Output (doc1, doc2, jaccard).
+
+    ``max_df``: drop shingles occurring in more than max_df documents
+    BEFORE the self-join. A shingle shared by d documents contributes d^2/2
+    join rows — one ubiquitous phrase ("the end of the") makes a quadratic
+    hot group at corpus scale. Near-dup recall is essentially unaffected:
+    near-duplicates share many RARE shingles. Jaccard is then computed over
+    the rare-shingle universe (sizes use the same filtered set, so the
+    measure stays a true Jaccard). None disables the cap.
     """
     sh = _word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc").alias("doc1"), "shingle")
     b = sh.select(F.col("doc").alias("doc2"), "shingle")

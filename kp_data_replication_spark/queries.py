@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .operators.asof import translate_offsets
+from .operators.asof import translate_offsets_auto
 from .operators.compact import last_write_wins
 from .operators.dedup_cdc import filter_applied
 from .operators.filters import fan_in_union, topic_whitelist
@@ -102,6 +102,52 @@ SQL_CDC_APPLIED_WATERMARKS = f"""
     SELECT user_id % {P} AS partition, max(event_id) AS applied_lsn,
            count(*) AS n_events
     FROM events GROUP BY 1
+"""
+
+
+def q_cdc_replication_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: per-partition replication-latency-ms stats over the four-
+    timestamp model (docs/perf-tests.md:173-187; replication-latency-ms,
+    mm2-jmx-exporter.yaml:28-43). ts2 = producer-set event time; ts3 =
+    apply time, derived deterministically here (ts + value ms) so the
+    DuckDB twin is exact — the live engine stamps the real wall-clock
+    apply_ts into its metrics table (streaming/apply.py _write_metrics)."""
+    from .operators.metrics import replication_latency
+
+    ev = _with_envelope(_events(spark, sf_dir))
+    # the parquet ts is TIMESTAMP_NTZ — cast to session-UTC timestamp so
+    # the operator's epoch-seconds math resolves (values identical)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    # exact integer-microsecond apply time so the DuckDB twin is
+    # bit-identical: apply_ts = ts + floor(value ms -> us)
+    ev = ev.withColumn(
+        "apply_ts",
+        F.timestamp_add(
+            "MICROSECOND", F.floor(F.col("value") * 1000).cast("long"), F.col("ts")
+        ).cast("timestamp"),
+    )
+    lat = replication_latency(ev, produce_ts="ts", apply_ts="apply_ts")
+    return lat.select(
+        "partition",
+        F.round("avg_ms", 4).alias("avg_ms"),
+        F.round("max_ms", 4).alias("max_ms"),
+        F.round("p95_ms", 4).alias("p95_ms"),
+    )
+
+
+# latency per row = ((ts_us + floor(value*1000)) / 1e6 - ts_us / 1e6) * 1000
+# with the SAME double ops Spark's cast(timestamp as double) performs
+SQL_CDC_REPLICATION_LATENCY = f"""
+    WITH lat AS (
+      SELECT user_id % {P} AS partition,
+             ((epoch_us(ts) + floor(value * 1000)::BIGINT) / 1000000.0
+              - epoch_us(ts) / 1000000.0) * 1000.0 AS latency_ms
+      FROM events)
+    SELECT partition,
+           round(avg(latency_ms), 4) AS avg_ms,
+           round(max(latency_ms), 4) AS max_ms,
+           round(quantile_cont(latency_ms, 0.95), 4) AS p95_ms
+    FROM lat GROUP BY 1
 """
 
 
@@ -202,7 +248,7 @@ def q_cdc_offset_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
     commits = ev.groupBy(
         F.col("event_type").alias("group"), "partition"
     ).agg(F.max("lsn").alias("src_offset"))
-    out = translate_offsets(commits, syncs)
+    out = translate_offsets_auto(commits, syncs)
     return out.select(
         F.col("group").alias("consumer_group"), "partition", "src_offset", "tgt_offset"
     )
@@ -544,10 +590,12 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
 
 SQL_DEDUP_JACCARD_PAIRS = f"""
     WITH {_SHINGLES_SQL},
-    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 256),
+    shf AS (SELECT sh.doc, sh.shingle FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc, count(*) AS sz FROM shf GROUP BY doc),
     inter AS (
       SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc < b.doc
       GROUP BY 1, 2)
     SELECT doc1, doc2,
            round(inter::DOUBLE / (s1.sz + s2.sz - inter), 4) AS jaccard
@@ -646,6 +694,18 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF coarse-quantizer + multi-probe variant — the 10^9-vector scale
+    path (cells adapt to data; candidates/query ~ n_probe/n_cells of the
+    corpus). Rows-only check; recall@k >= 0.9 vs brute force asserted in
+    tests/test_training_data_ops.py."""
+    from .operators.similarity import cosine_topk_ivf
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                           n_cells=16, n_probe=6)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
@@ -720,6 +780,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_state_lastwrite": (q_cdc_state_lastwrite, SQL_CDC_STATE_LASTWRITE),
     "cdc_applied_watermarks": (q_cdc_applied_watermarks, SQL_CDC_APPLIED_WATERMARKS),
     "cdc_group_checkpoints": (q_cdc_group_checkpoints, SQL_CDC_GROUP_CHECKPOINTS),
+    "cdc_replication_latency": (q_cdc_replication_latency, SQL_CDC_REPLICATION_LATENCY),
     "cdc_gap_stats": (q_cdc_gap_stats, SQL_CDC_GAP_STATS),
     "cdc_dedup_anti": (q_cdc_dedup_anti, SQL_CDC_DEDUP_ANTI),
     "cdc_offset_translation": (q_cdc_offset_translation, SQL_CDC_OFFSET_TRANSLATION),
@@ -743,6 +804,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, None),
+    "ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, None),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_rolling_fingerprint": (q_text_rolling_fingerprint, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),

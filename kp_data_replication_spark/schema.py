@@ -90,5 +90,10 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("applied_lsn_before", T.LongType(), True),
         T.StructField("min_ts", T.TimestampType(), True),
         T.StructField("max_ts", T.TimestampType(), True),
+        # ts3 of the reference's four-timestamp model
+        # (docs/perf-tests.md:173-187): wall clock at target apply; with the
+        # producer-set max_ts (ts2) this yields replication-latency-ms
+        # (mm2-jmx-exporter.yaml:28-43)
+        T.StructField("apply_ts", T.TimestampType(), True),
     ]
 )

@@ -68,9 +68,9 @@ class EngineConfig:
     # explicit parallelism for the wide stages; None -> session default
     shuffle_partitions: int | None = None
     # compaction plan: "twophase" shuffles only slim (key, lsn, stats)
-    # winners then joins them back (AQE picks broadcast vs shuffle join
-    # from the winner stage's runtime size); "direct" is the single wide
-    # hash aggregate
+    # winners then broadcast-joins them back — right for wide rows with a
+    # micro-batch-bounded key set; "direct" is the single wide hash
+    # aggregate — right for slim rows or batches with huge key counts
     compact_strategy: str = "twophase"
     # autoBroadcastJoinThreshold while applying a batch: the winner set of
     # a typical micro-batch is tens of MB — worth broadcasting well past
@@ -416,8 +416,21 @@ class CdcApplyEngine:
             [(int(k), int(v)) for k, v in applied_before.items()] or [],
             "partition int, applied_lsn_before long",
         )
+        # HEARTBEAT semantics (S10, docs/perf-tests.md:173-187, MM2's
+        # heartbeats topic): every KNOWN partition emits a row each epoch
+        # even when the batch carried no events for it — downstream latency/
+        # liveness monitors distinguish "idle but alive" from "stalled"
+        known_df = spark.createDataFrame(
+            [(int(p), 0, None, None, None) for p in sorted(applied_before)],
+            "partition int, n_events long, max_lsn long, "
+            "min_ts timestamp, max_ts timestamp",
+        )
+        idle_df = known_df.join(
+            all_agg.select("partition"), "partition", "left_anti"
+        )
         m = (
-            all_agg.join(F.broadcast(fresh_agg), "partition", "left")
+            all_agg.unionByName(idle_df)
+            .join(F.broadcast(fresh_agg), "partition", "left")
             .join(F.broadcast(before_df), "partition", "left")
             .select(
                 F.lit(epoch).cast("long").alias("epoch"),
@@ -430,6 +443,9 @@ class CdcApplyEngine:
                 "applied_lsn_before",
                 "min_ts",
                 "max_ts",
+                # ts3 (target apply wall clock); with producer-set max_ts
+                # (ts2) this is replication-latency-ms per partition
+                F.current_timestamp().alias("apply_ts"),
             )
         )
         m.coalesce(1).write.mode("append").parquet(
@@ -472,18 +488,24 @@ class CdcApplyEngine:
         checkpoint_dir: str,
         read_schema: T.StructType,
         max_files_per_trigger: int = 1,
+        max_bytes_per_trigger: str | None = None,
         available_now: bool = True,
     ):
         """Continuous tail with restart-resume (T1): file-source analogue of
-        the MM2 consume loop; `maxFilesPerTrigger` is the rate-throttle
-        (docs/perf-tests.md:166 `--throughput`; T7). With
-        ``available_now`` the query drains all pending input then stops —
-        the replay-to-caught-up mode used by tests and bench."""
-        src = (
-            spark.readStream.schema(read_schema)
-            .option("maxFilesPerTrigger", str(max_files_per_trigger))
-            .parquet(changelog_path)
-        )
+        the MM2 consume loop. Rate throttling (T7, docs/perf-tests.md:166
+        `--throughput`): ``maxFilesPerTrigger`` caps files per micro-batch;
+        ``max_bytes_per_trigger`` (bytes, e.g. "33554432") caps batch VOLUME — the
+        file-source analogue of a record-count throttle, since records/byte
+        is roughly constant for a given envelope (a bytes cap admits files
+        until the cap is crossed, so a batch is bounded by cap + one file).
+        With ``available_now`` the query drains all pending input then
+        stops — the replay-to-caught-up mode used by tests and bench."""
+        src = spark.readStream.schema(read_schema)
+        if max_bytes_per_trigger is not None:
+            src = src.option("maxBytesPerTrigger", max_bytes_per_trigger)
+        else:
+            src = src.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        src = src.parquet(changelog_path)
         # the checkpoint IS the stream's identity: batch ids are meaningful
         # only within one checkpoint's sequence, and the id survives
         # restarts (same checkpoint -> same writer -> fencing works across

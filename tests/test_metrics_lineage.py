@@ -71,6 +71,39 @@ def test_bytes_in_positive(spark, setup):
     assert all(r.bytes_in > 0 for r in m.collect())
 
 
+def test_heartbeat_apply_ts_and_idle_rows(spark, tmp_path):
+    """T6/S10: every metrics row carries a wall-clock apply_ts (ts3 of the
+    four-timestamp model); an epoch whose batch misses a known partition
+    still emits a heartbeat row for it (n_events=0) so latency/liveness
+    monitors see 'idle but alive'."""
+    d = str(tmp_path / "cl")
+    write_changelog(spark, d, SPEC)
+    store = TableStore(str(tmp_path / "t"), n_buckets=8)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=True))
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    engine.apply_batch(df, 0)
+    # epoch 1: only partition 0's events -> partitions 1..3 are idle
+    engine.apply_batch(df.filter(F.col("partition") == 0), 1)
+
+    m = spark.read.parquet(store.root + "/metrics")
+    assert m.filter(F.col("apply_ts").isNull()).count() == 0
+    # replication latency is measurable: apply happened after produce
+    e0 = m.filter(F.col("epoch") == 0)
+    assert all(r.apply_ts >= r.max_ts for r in e0.filter(F.col("max_ts").isNotNull()).collect())
+    e1 = m.filter(F.col("epoch") == 1)
+    assert e1.count() == SPEC.n_partitions  # heartbeats for idle partitions
+    idle = e1.filter(F.col("n_events") == 0)
+    assert idle.count() == SPEC.n_partitions - 1
+    assert all(r.apply_ts is not None for r in idle.collect())
+
+    from kp_data_replication_spark.operators.metrics import replication_latency
+
+    lat = replication_latency(
+        e0.filter(F.col("max_ts").isNotNull()), produce_ts="max_ts", apply_ts="apply_ts"
+    )
+    assert all(r.avg_ms >= 0 for r in lat.collect())
+
+
 def test_per_group_lineage_is_independent(spark, tmp_path):
     """Checkpoint lineage is keyed on (consumer_group, partition)
     (docs/consideration.md:37-48): two flows into the same target track

@@ -155,6 +155,39 @@ def test_translate_offsets_window_parity(spark):
     assert a == b
 
 
+def test_translate_offsets_auto_dense_uses_window_no_blowup(spark):
+    """Dense syncs (a sync per divergence on a flappy flow): the auto
+    dispatcher must take the window path — its plan contains NO join, so
+    the (commit x qualifying sync) candidate explosion cannot happen —
+    and the result must equal the join form's."""
+    from pyspark.sql import functions as F
+
+    from kp_data_replication_spark.operators.asof import translate_offsets_auto
+
+    # 20k sync points on one partition; commits near the tail would each
+    # match ~20k candidates in the range join
+    syncs = spark.range(20_000).select(
+        F.lit(0).alias("partition"),
+        (F.col("id") * 2).alias("sync_src_offset"),
+        (F.col("id") * 2 + 7).alias("sync_tgt_offset"),
+    )
+    commits = spark.createDataFrame(
+        [("g", 0, 39_999), ("g", 0, 11), ("g", 0, 0)],
+        "group string, partition int, src_offset long",
+    )
+    auto = translate_offsets_auto(commits, syncs, dense_sync_threshold=10_000)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    got = {r.src_offset: r.tgt_offset for r in auto.collect()}
+    exp = {r.src_offset: r.tgt_offset for r in translate_offsets(commits, syncs).collect()}
+    assert got == exp == {39_999: 40_006, 11: 18, 0: 7}
+
+    # sparse syncs keep the broadcast range join
+    commits2, syncs2 = _sync_tables(spark)
+    sparse = translate_offsets_auto(commits2, syncs2, dense_sync_threshold=10_000)
+    assert "Join" in sparse._jdf.queryExecution().executedPlan().toString()
+
+
 def test_translate_offsets_no_preceding_sync_surfaces_null(spark):
     """A commit before the first sync point is untranslatable — it must
     surface with a null target offset, not disappear (both variants)."""

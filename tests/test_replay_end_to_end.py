@@ -136,6 +136,40 @@ def test_replay_is_idempotent(spark, changelog_dir, replayed):
     assert store.current_version() >= v1
 
 
+def test_partition_count_mismatch_replay(spark, tmp_path):
+    """The reference's flagship validation: 500 records through a
+    10-partition source into a 5-partition target with count equality
+    (docs/perf-tests.md:9-35,87-135). Here: a 10-partition changelog
+    replays into differently-laid-out targets (5 and 16 hash buckets,
+    different shuffle widths) — row count AND per-row sha256 must match
+    the independent pandas oracle in every layout."""
+    d = str(tmp_path / "cl")
+    spec = ChangelogSpec(n_keys=100, versions_per_key=5, n_partitions=10, files=2)
+    write_changelog(spark, d, spec)
+    exp = expected_with_sha(d)
+
+    for n_buckets, shuffle in ((5, 10), (16, 32)):
+        store = TableStore(str(tmp_path / f"t{n_buckets}"), n_buckets=n_buckets)
+        engine = CdcApplyEngine(
+            store, EngineConfig(metrics=False, shuffle_partitions=shuffle)
+        )
+        summary = engine.replay_batch(spark, d)
+        assert summary["status"] == "committed"
+        got = (
+            final_state(spark, store)
+            .select("repo", "path", "content_sha")
+            .toPandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp), (n_buckets, len(got), len(exp))
+        assert list(got["content_sha"]) == list(exp["content_sha"]), n_buckets
+    # the two layouts carry identical state under different physical shapes
+    s5 = TableStore(str(tmp_path / "t5"))
+    s16 = TableStore(str(tmp_path / "t16"))
+    assert s5.n_buckets == 5 and s16.n_buckets == 16
+
+
 def test_arrow_unpack_parity(spark, changelog_dir, tmp_path):
     """The all-Arrow unpack path produces the identical end state."""
     store = TableStore(str(tmp_path / "target"), n_buckets=8)

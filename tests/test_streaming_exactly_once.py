@@ -74,6 +74,28 @@ def test_stream_kill_and_resume(spark, changelog_dir, tmp_path):
     _assert_matches_oracle(spark, store, changelog_dir)
 
 
+def test_bytes_per_trigger_throttle(spark, changelog_dir, tmp_path):
+    """T7: `--throughput`-style volume throttling (docs/perf-tests.md:166).
+    A small maxBytesPerTrigger must split the drain into multiple bounded
+    micro-batches (one file each here, since every file exceeds the cap)
+    and still converge to the exact oracle state."""
+    import os
+
+    store = TableStore(str(tmp_path / "t"), n_buckets=8)
+    cp = str(tmp_path / "cp")
+    engine = CdcApplyEngine(store, FAST)
+    n_files = len([f for f in os.listdir(changelog_dir) if f.endswith(".parquet")])
+
+    q = engine.start_stream(
+        spark, changelog_dir, cp, CHANGELOG_SCHEMA_EVOLVED,
+        max_bytes_per_trigger="1",  # 1 byte — below any single file: 1 file per batch
+    )
+    q.awaitTermination()
+    # one epoch per file -> the batch volume really was bounded
+    assert store.current_epoch() == n_files - 1
+    _assert_matches_oracle(spark, store, changelog_dir)
+
+
 def test_crash_between_data_write_and_pointer_swap(spark, changelog_dir, tmp_path, monkeypatch):
     """T3/T4 fault injection: the commit 'crashes' after writing data files
     and the manifest but BEFORE the atomic pointer swap. The table must still

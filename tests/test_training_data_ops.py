@@ -31,6 +31,7 @@ from kp_data_replication_spark.operators.multimodal import (
 )
 from kp_data_replication_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 
@@ -60,6 +61,27 @@ def test_ngram_jaccard_near_dup(spark, docs):
     assert pairs[(0, 3)] == 1.0  # exact dup
     assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0  # near dup
     assert all(2 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_df_cap_kills_hot_shingle(spark):
+    """A ubiquitous boilerplate phrase must NOT create a quadratic candidate
+    group: with the document-frequency cap, docs sharing ONLY the hot
+    phrase never pair, while true near-dups (sharing rare shingles) still
+    do. The uncapped run pairs everything — the 100TB hot-task hazard."""
+    boiler = "this file is part of the project licensed under apache two"
+    rows = [(i, f"{boiler} unique{i} x{i}") for i in range(40)]
+    rows.append((100, "a very specific rare document about spark adaptive execution plans"))
+    rows.append((101, "a very specific rare document about spark adaptive execution plan"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, threshold=0.5, max_df=10).collect()
+    capped_pairs = {(r.doc1, r.doc2) for r in capped}
+    assert (100, 101) in capped_pairs  # real near-dup survives
+    # boilerplate-only doc pairs are gone (they share nothing rare)
+    assert not any(d1 < 40 and d2 < 40 for d1, d2 in capped_pairs)
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.5, max_df=None).collect()
+    assert len(uncapped) > len(capped)  # the cap is what prevents the blowup
 
 
 def test_minhash_signature_shape_and_determinism(spark, docs):
@@ -130,6 +152,41 @@ def test_cosine_topk_lsh_scores_match_bruteforce(spark, emb):
     # the planted near-copy hashes into the same bucket as its original
     q0 = [r.neighbor_id for r in approx if r.query_id == 0]
     assert 40 in q0
+
+
+def test_cosine_topk_ivf_recall_at_scale(spark):
+    """IVF + multi-probe recall@k >= 0.9 vs brute force on a 10x corpus
+    (VERDICT round-1: the LSH bucket story was the weakest scale path —
+    IVF cells adapt to the data; probes trade recall for candidates)."""
+    rng = np.random.RandomState(11)
+    # 500 vectors in 8 gaussian clusters (realistic embedding structure)
+    centers = rng.randn(8, 16) * 3
+    rows = []
+    for i in range(500):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in c + rng.randn(16) * 0.5]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 20)
+
+    k = 5
+    brute = cosine_topk_bruteforce(corpus, queries, k=k).collect()
+    ivf = cosine_topk_ivf(corpus, queries, k=k, n_cells=16, n_probe=6).collect()
+    truth: dict[int, set] = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set] = {}
+    for r in ivf:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    recall = hits / (len(truth) * k)
+    assert recall >= 0.9, f"recall@{k} = {recall:.3f}"
+    # every returned score is a correctly-computed cosine (subset property)
+    bscores = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk_bruteforce(corpus, queries, k=500).collect()
+    }
+    for r in ivf:
+        assert bscores[(r.query_id, r.neighbor_id)] == r.cos_sim
 
 
 # ---------------------------------------------------------------- text

@@ -109,6 +109,8 @@ def main() -> None:
                     help="content md5-chain count (~40B each; 24 ~= 1 KiB source files)")
     ap.add_argument("--parts", type=int, default=32,
                     help="parquet chunks per file-batch (files*parts total files)")
+    ap.add_argument("--reuse-changelog", type=str, default=None,
+                    help="skip generation and replay this existing changelog dir")
     args = ap.parse_args()
 
     if args.run_one:
@@ -119,17 +121,20 @@ def main() -> None:
     from kp_data_replication_spark.datagen import ChangelogSpec, write_changelog
     from kp_data_replication_spark.session import get_spark
 
-    work = tempfile.mkdtemp(prefix="kp_scaling_")
-    cl = os.path.join(work, "changelog")
     spec = ChangelogSpec(
         n_keys=args.keys, versions_per_key=args.versions, n_partitions=64, files=4,
         content_chains=args.chains, parts_per_file=args.parts,
     )
-    print(f"generating {spec.n_events} events ...", file=sys.stderr)
-    spark = get_spark(app_name="scaling-gen", cpus=args.n4,
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
-    write_changelog(spark, cl, spec)
-    spark.stop()
+    if args.reuse_changelog:
+        cl = args.reuse_changelog
+    else:
+        work = tempfile.mkdtemp(prefix="kp_scaling_")
+        cl = os.path.join(work, "changelog")
+        print(f"generating {spec.n_events} events ...", file=sys.stderr)
+        spark = get_spark(app_name="scaling-gen", cpus=args.n4,
+                          extra_conf={"spark.ui.showConsoleProgress": "false"})
+        write_changelog(spark, cl, spec)
+        spark.stop()
 
     # Interleave the two levels across rounds so host-noise windows hit both
     # symmetrically (sequential A-then-B attributes a noisy first half
@@ -167,7 +172,7 @@ def main() -> None:
     speedup = t_n / t_4n
     eff = speedup / (args.n4 / args.n)
     report = {
-        "n_events": spec.n_events,
+        "n_events": results[args.n]["n_events"],
         f"local[{args.n}]": results[args.n],
         f"local[{args.n4}]": results[args.n4],
         "speedup": round(speedup, 3),
@@ -191,7 +196,7 @@ def main() -> None:
                 "|---|---|---|---|---|---|---|---|\n"
             )
         f.write(
-            f"| {time.strftime('%Y-%m-%d %H:%M')} | {spec.n_events} "
+            f"| {time.strftime('%Y-%m-%d %H:%M')} | {report['n_events']} "
             f"| {t_n}s (local[{args.n}]) | {t_4n}s (local[{args.n4}]) "
             f"| {results[args.n]['events_per_sec']} | {results[args.n4]['events_per_sec']} "
             f"| {report['speedup']} | {report['scaling_efficiency']} |\n"
