@@ -41,6 +41,8 @@ HEADLINE_QUERIES = [
     "cdc_dedup_anti",
     "cdc_offset_translation",
     "cdc_gap_stats",
+    "cdc_group_checkpoints",
+    "cdc_replication_latency",
     "cdc_throughput_1h",
     "cdc_latency_percentiles",
     "cdc_sha_invariant",

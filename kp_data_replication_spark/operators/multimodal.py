@@ -104,6 +104,80 @@ def decode_media(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.select("doc_id", "media").mapInPandas(_decode, schema=FAKE_DECODE_SCHEMA)
 
 
+TENSOR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("tensor", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_to_tensor(df: DataFrame, side: int = 8) -> DataFrame:
+    """Decode media bytes into a dense luma tensor column (array<float>,
+    row-major height x width) — the training-pipeline handoff format.
+
+    The CODEC is the stub boundary (PIL/libvips absent here): pixels are a
+    deterministic function of the byte content (sha256-seeded), so tests are
+    exact. Everything around it is the production shape: Arrow batches in,
+    columnar tensors out, shape metadata beside the data.
+    """
+    import numpy as np
+
+    def _dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = side * side
+        for pdf in it:
+            tensors = []
+            for b in pdf["media"]:
+                # stub decode: tile the digest into n pseudo-pixels in [0,1]
+                seed = hashlib.sha256(b).digest()
+                reps = (n + len(seed) - 1) // len(seed)
+                px = np.frombuffer((seed * reps)[:n], dtype=np.uint8)
+                tensors.append((px.astype(np.float32) / 255.0))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "height": side,
+                    "width": side,
+                    "tensor": tensors,
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(_dec, schema=TENSOR_SCHEMA)
+
+
+def resize_tensor(df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL vectorized preprocessing (no stub): mean-pool every tensor in
+    the Arrow batch by ``factor`` in one stacked numpy op — the shape of a
+    production resize stage (whole-batch ndarray math, not per-row Python).
+    Requires uniform input shapes per batch (the decode above guarantees
+    it; a production pipeline groups by size class first — see the skew
+    note in the module docstring)."""
+    import numpy as np
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            h = int(pdf["height"].iloc[0])
+            w = int(pdf["width"].iloc[0])
+            oh, ow = h // factor, w // factor
+            batch = np.stack([np.asarray(t, dtype=np.float32) for t in pdf["tensor"]])
+            batch = batch.reshape(len(pdf), h, w)
+            pooled = batch.reshape(len(pdf), oh, factor, ow, factor).mean(axis=(2, 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "height": oh,
+                    "width": ow,
+                    "tensor": list(pooled.reshape(len(pdf), oh * ow)),
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=TENSOR_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame index,
     without decoding — the downstream decode UDF receives (media, frame_idx).

@@ -1,0 +1,108 @@
+"""Multi-topic routing: one target table PER replicated topic, auto-created
+on first sight (SURVEY.md §2.1 S6 auto-create; reference
+`refresh.topics.interval.seconds=10`, docs/mm2-provisioning.md:199).
+
+MM2 discovers new whitelisted topics on an interval and materializes new
+target topics mid-stream. The Spark-native analogue: every micro-batch lists
+the DISTINCT whitelisted topics it carries (the file-source trigger IS the
+refresh interval) and routes each topic's events into that topic's own
+TableStore — created on demand, schema'd from its first batch. Each
+(topic) target keeps its own writer-scoped epoch fencing and per-group
+lineage, so topics fail/resume independently.
+
+Scale note: the discovery step is one distinct() over the (slim, dictionary-
+encoded) topic column; per-topic applies reuse the SAME batch DataFrame —
+Spark prunes each pass down to one topic's rows via the pushed whitelist
+filter, so a T-topic batch costs T filtered passes over the batch, not T
+full materializations. For very large T, batch the applies by grouping
+topics; the reference's deployments run tens of topics per flow
+(mirror-maker-2 configs), where this shape is right.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..operators.filters import select_topics
+from ..sources.table_store import TableStore
+from .apply import CdcApplyEngine, EngineConfig
+
+
+def _safe_dirname(topic: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", topic)
+
+
+@dataclass
+class TopicRouter:
+    """Routes a changelog carrying MANY topics into one TableStore per topic."""
+
+    root: str
+    config: EngineConfig = field(default_factory=EngineConfig)
+    n_buckets: int = 16
+
+    def store_for(self, topic: str) -> TableStore:
+        return TableStore(
+            os.path.join(self.root, _safe_dirname(topic)), n_buckets=self.n_buckets
+        )
+
+    def topics_seen(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.exists(os.path.join(self.root, d, "_current"))
+        )
+
+    def apply_batch(self, batch, epoch: int, writer_id: str = "default") -> dict:
+        """Discover this batch's whitelisted topics, apply each to its own
+        target (auto-created on first sight). Fencing is per (topic, writer):
+        a topic added mid-stream starts its own epoch sequence safely."""
+        selected = select_topics(batch, self.config.whitelist, self.config.blacklist)
+        topics = sorted(
+            r[0] for r in selected.select("source_topic").distinct().collect()
+        )
+        out = {}
+        for t in topics:
+            engine = CdcApplyEngine(
+                self.store_for(t),
+                replace(self.config, whitelist=f"^{re.escape(t)}$"),
+            )
+            out[t] = engine.apply_batch(batch, epoch, writer_id=f"{writer_id}:{t}")
+        return out
+
+    def start_stream(
+        self,
+        spark: SparkSession,
+        changelog_path: str,
+        checkpoint_dir: str,
+        read_schema: T.StructType,
+        max_files_per_trigger: int = 1,
+        available_now: bool = True,
+    ):
+        """Continuous tail with per-trigger topic discovery — new whitelisted
+        topics appearing mid-stream materialize new target tables on the
+        next trigger (the `refresh.topics.interval` behavior)."""
+        src = (
+            spark.readStream.schema(read_schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(changelog_path)
+        )
+        writer_id = f"stream:{os.path.abspath(checkpoint_dir)}"
+        writer = (
+            src.writeStream.foreachBatch(
+                lambda df, eid: self.apply_batch(df, eid, writer_id=writer_id)
+                and None
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName("cdc-topic-router")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="5 seconds")
+        return writer.start()

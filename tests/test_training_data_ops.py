@@ -189,6 +189,39 @@ def test_cosine_topk_ivf_recall_at_scale(spark):
         assert bscores[(r.query_id, r.neighbor_id)] == r.cos_sim
 
 
+def test_decode_to_tensor_and_resize(spark, docs):
+    """Tensor-column plumbing: deterministic stub decode into array<float>,
+    then a REAL vectorized mean-pool resize whose values are verifiable in
+    pure numpy (only the codec is stubbed — the batch math is production)."""
+    import hashlib as _hl
+
+    from kp_data_replication_spark.operators.multimodal import (
+        decode_to_tensor,
+        resize_tensor,
+        to_media_table,
+    )
+
+    media = to_media_table(docs)
+    t8 = decode_to_tensor(media, side=8)
+    rows = {r.doc_id: r for r in t8.collect()}
+    assert all(r.height == 8 and r.width == 8 and len(r.tensor) == 64 for r in rows.values())
+    # determinism + exactness of the stub decode
+    b0 = DOCS[0][1].encode()
+    seed = _hl.sha256(b0).digest()
+    px = ((seed * 2)[:64])
+    exp0 = [x / 255.0 for x in px]
+    assert np.allclose(rows[0].tensor, exp0, atol=1e-6)
+    assert rows[0].tensor == rows[3].tensor  # exact dup -> same tensor
+
+    t4 = resize_tensor(t8, factor=2)
+    r4 = {r.doc_id: r for r in t4.collect()}
+    assert all(r.height == 4 and r.width == 4 and len(r.tensor) == 16 for r in r4.values())
+    # mean-pool check against numpy on the known input
+    a = np.array(exp0, dtype=np.float32).reshape(8, 8)
+    pooled = a.reshape(4, 2, 4, 2).mean(axis=(1, 3)).reshape(16)
+    assert np.allclose(r4[0].tensor, pooled, atol=1e-5)
+
+
 # ---------------------------------------------------------------- text
 def test_text_stats_values(spark):
     df = spark.createDataFrame(

@@ -135,6 +135,11 @@ def main() -> None:
                           extra_conf={"spark.ui.showConsoleProgress": "false"})
         write_changelog(spark, cl, spec)
         spark.stop()
+        # settle BEFORE the first timed round: the freshly-written changelog
+        # is gigabytes of dirty pages, and background writeback otherwise
+        # stalls the early rounds (this box's dominant noise mode)
+        os.sync()
+        time.sleep(5)
 
     # Interleave the two levels across rounds so host-noise windows hit both
     # symmetrically (sequential A-then-B attributes a noisy first half
