@@ -74,6 +74,26 @@ def test_compact_then_merge_adds_no_extra_exchange(spark, changelog_dir):
     assert n <= 2, f"unexpected extra exchanges ({n}):\n{plan_string(merged, 'simple')}"
 
 
+def test_twophase_compact_broadcasts_winners_never_shuffles_rows_wide(
+    spark, changelog_dir
+):
+    """The two-phase compaction's join-back must BROADCAST the slim winner
+    aggregate — the raw (wide) rows side must reach the join without any
+    exchange of its own, so content bytes are never shuffled for winner
+    selection (they shuffle once, post-join, in the key-dedup aggregate)."""
+    from kp_data_replication_spark.operators.compact import last_write_wins_join
+
+    df = spark.read.parquet(changelog_dir)
+    rows = unpack_envelope(select_topics(df, "^repos$"), normalize=False)
+    comp = last_write_wins_join(rows, count_col="_n")
+    plan = plan_string(comp)
+    assert "BroadcastExchange" in plan, plan
+    # exactly 2 shuffles end-to-end: the slim winner aggregate + the final
+    # key dedup; a full-width rows-side exchange would make it 3
+    n = count_exchanges(comp)
+    assert n <= 2, f"unexpected exchanges ({n}):\n{plan_string(comp, 'simple')}"
+
+
 def test_topic_filter_pushed_to_scan(spark, changelog_dir):
     """F1/F2 feed the scan: the source_topic predicate appears in
     PushedFilters (StartsWith/IsNotNull family; rlike itself can't push,
