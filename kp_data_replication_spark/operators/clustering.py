@@ -1,0 +1,284 @@
+"""Corpus-curation operators that close the loop from near-dup PAIRS to a
+deduplicated training corpus, plus deterministic sampling and sequence
+packing for LLM data pipelines.
+
+The dedup family (operators/dedup_docs.py, operators/similarity.py) emits
+candidate near-duplicate PAIRS; a real pipeline must then resolve pairs
+into duplicate CLUSTERS (connected components), pick one canonical doc per
+cluster, and drop the rest. These are the operators the reference's users
+would run downstream of replication to curate the replicated corpus
+(reference scope: docs/index.md replication use-cases; the curation ops are
+the beyond-reference training-data surface the engine adds).
+
+Design for 100 TB:
+
+* ``connected_components`` is iterative min-label propagation WITH pointer
+  jumping (path halving), the Shiloach–Vishkin-style hybrid: each round is
+  two bounded shuffles (edge-sized, then label-sized) and path lengths halve
+  every round, so convergence is O(log n) rounds even on adversarial chain
+  graphs — not O(diameter) like naive propagation. Dedup graphs are dense
+  little cliques (diameter 2-3), so in practice 3-4 rounds. Lineage is cut
+  with ``localCheckpoint`` each round so the plan does not grow; the
+  convergence probe is a scalar count, never a data collect.
+* ``sample_stratified`` is a pure scan-side filter — hash-mod on the id
+  with a per-stratum rate CASE expression. No shuffle, no join, no rand():
+  deterministic under retries/re-runs (critical for exactly-once pipelines)
+  and trivially pushed into the parquet scan.
+* ``pack_chunks`` (concat-and-chunk, GPT-pretraining style: documents are
+  concatenated per shard and split at token-budget boundaries) is one
+  window cumsum per shard — shard count bounds parallelism, the window
+  shuffle is the only exchange.
+* ``pack_greedy`` (no document splitting) is per-shard greedy first-fit via
+  ``applyInPandas`` — Arrow-batched, one shuffle on the shard key; shards
+  are hash-balanced so no hot task.
+
+All hash math uses the md5-hex-prefix idiom shared with the DuckDB oracles
+(see dedup_docs.shingle_hash).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ components
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve undirected edges into components: (node, cluster_id) where
+    cluster_id is the minimum node id in the component.
+
+    Min-label propagation + pointer jumping; see module docstring for the
+    scale analysis. Nodes that appear in no edge are absent from the output
+    (they are their own singleton cluster by definition).
+    """
+    spark = pairs.sparkSession
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # parent(u) = min(u, min neighbor) to start
+    labels = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("nbr_min"))
+        .select(F.col("a").alias("node"), F.least("a", "nbr_min").alias("parent"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # hook: push each node's parent across its edges, keep the min
+        prop = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("parent"))
+        )
+        hooked = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("parent").alias("parent"))
+        )
+        # shortcut (pointer jumping): parent <- parent(parent); halves paths
+        x, y = hooked.alias("x"), hooked.alias("y")
+        jumped = (
+            x.join(y, F.col("x.parent") == F.col("y.node"), "left")
+            .select(
+                F.col("x.node").alias("node"),
+                F.coalesce(F.col("y.parent"), F.col("x.parent")).alias("parent"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.parent") != F.col("o.parent"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+
+    return labels.select("node", F.col("parent").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc1",
+    dst: str = "doc2",
+) -> DataFrame:
+    """Cluster assignment + canonical-keep flag for every document.
+
+    Docs in no near-dup pair are their own cluster (kept). Within a cluster
+    the minimum doc id is canonical (keep=true); the rest are drop
+    candidates. Output: (doc_id, cluster_id, keep).
+
+    The join against the component labels is broadcast-able at any scale
+    where the DUPLICATE set is small relative to the corpus (the normal
+    case); Spark's AQE picks broadcast automatically when it fits.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
+# ------------------------------------------------------------ sampling
+SAMPLE_MOD = 1_000_000
+
+
+def _id_hash_mod(id_col: str) -> F.Column:
+    """Deterministic uniform hash of the id into [0, SAMPLE_MOD) — md5 hex
+    prefix, identical in DuckDB: ('0x'||substr(md5(id::VARCHAR),1,8))::BIGINT."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    return h.cast("long") % SAMPLE_MOD
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    hash(id) mod M < rate(stratum) * M.
+
+    Pure filter — no shuffle, no join, no rand(); the same row set comes
+    back on every run and on every retry, which a corpus-mixing pipeline
+    (per-language / per-source rates) needs for reproducible training sets.
+    """
+    rate_col = F.lit(int(default_rate * SAMPLE_MOD))
+    for k, v in sorted(rates.items()):
+        rate_col = F.when(F.col(stratum_col) == k, F.lit(int(v * SAMPLE_MOD))).otherwise(
+            rate_col
+        )
+    return df.filter(_id_hash_mod(id_col) < rate_col)
+
+
+def sample_summary(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """(stratum, n_total, n_kept) per stratum under ``rates`` — the audit
+    view of sample_stratified; one map-side-partial aggregate."""
+    kept = sample_stratified(df, rates, stratum_col, id_col, default_rate)
+    tot = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    k = kept.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return tot.join(k, "stratum", "left").select(
+        "stratum", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
+
+
+# ------------------------------------------------------------ packing
+def pack_chunks(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (documents concatenated per shard
+    in id order, split at token-budget boundaries; docs may straddle a
+    boundary — the GPT-pretraining packing style).
+
+    chunk_id = floor(preceding-cumsum / budget) via one window cumsum per
+    shard. Output: (shard, chunk_id, n_docs, n_tokens). One shuffle on the
+    hash shard key; shards are uniform so no hot task, and shard count is
+    the scale knob (per-shard window state is O(1)).
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(
+        (_id_hash_mod(id_col) % n_shards).alias("shard"),
+        F.col(id_col).alias("doc"),
+        toks.alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = base.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        cum.withColumn(
+            "chunk_id", F.floor((F.col("cum") - F.col("n_tok")) / F.lit(budget))
+        )
+        .groupBy("shard", "chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+PACK_SCHEMA = (
+    "shard int, pack_id long, n_docs long, n_tokens long, doc_ids array<long>"
+)
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequential packing WITHOUT splitting documents: walk docs in
+    id order per shard, open a new pack when the next doc would overflow the
+    token budget. Oversized single docs get their own pack (flagged by
+    n_tokens > budget) — the no-truncation contract.
+
+    Per-shard ``applyInPandas`` (Arrow-batched, single shuffle on the shard
+    key). Greedy-with-reset is inherently sequential per shard — this is the
+    honest Spark shape for it: parallelism across shards, linear scan within.
+    Deterministic: shard assignment and scan order are hash/id-based.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(
+        (_id_hash_mod(id_col) % n_shards).cast("int").alias("shard"),
+        F.col(id_col).cast("long").alias("doc"),
+        toks.cast("long").alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        packs, cur_docs, cur_tok = [], [], 0
+        for doc, n_tok in zip(pdf["doc"], pdf["n_tok"]):
+            if cur_docs and cur_tok + n_tok > budget:
+                packs.append((cur_docs, cur_tok))
+                cur_docs, cur_tok = [], 0
+            cur_docs.append(int(doc))
+            cur_tok += int(n_tok)
+        if cur_docs:
+            packs.append((cur_docs, cur_tok))
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "pack_id": [shard * 1_000_000 + i for i in range(len(packs))],
+                "n_docs": [len(d) for d, _ in packs],
+                "n_tokens": [t for _, t in packs],
+                "doc_ids": [d for d, _ in packs],
+            }
+        )
+
+    return base.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)

@@ -546,6 +546,13 @@ from .operators.dedup_docs import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash,
 )
+from .operators.clustering import (  # noqa: E402
+    SAMPLE_MOD,
+    dedup_clusters,
+    pack_chunks,
+    pack_greedy,
+    sample_summary,
+)
 from .operators.multimodal import media_metadata, to_media_table  # noqa: E402
 from .operators.similarity import (  # noqa: E402
     cosine_topk_bruteforce,
@@ -767,6 +774,104 @@ SQL_MULTIMODAL_META = """
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup PAIRS -> duplicate CLUSTERS (connected components, pointer
+    jumping) -> canonical-keep flag; the op that turns pair detection into
+    an actual deduplicated corpus."""
+    docs = _docs(spark, sf_dir)
+    return dedup_clusters(docs, minhash_lsh_pairs(docs))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH_LSH_PAIRS}),
+    e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+          UNION SELECT doc2, doc1 FROM pairs),
+    reach(node, root) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node),
+    comp AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25, "zh": 0.0}
+SAMPLE_DEFAULT_RATE = 0.75
+
+
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Deterministic hash-mod stratified sampling audit: per-language
+    keep-counts under a per-stratum rate table (no rand(), reproducible)."""
+    return sample_summary(
+        _docs(spark, sf_dir),
+        SAMPLE_RATES,
+        stratum_col="lang",
+        id_col="doc_id",
+        default_rate=SAMPLE_DEFAULT_RATE,
+    )
+
+
+_RATES_SQL = ", ".join(
+    f"('{k}', {int(v * SAMPLE_MOD)})" for k, v in sorted(SAMPLE_RATES.items())
+)
+
+SQL_CORPUS_SAMPLE_STRATIFIED = f"""
+    WITH rates(stratum, r) AS (VALUES {_RATES_SQL}),
+    h AS (SELECT lang,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {SAMPLE_MOD} AS hm
+          FROM documents),
+    tot AS (SELECT lang AS stratum, count(*) AS n_total FROM documents GROUP BY 1),
+    kept AS (
+      SELECT h.lang AS stratum, count(*) AS n_kept
+      FROM h LEFT JOIN rates ON rates.stratum = h.lang
+      WHERE hm < coalesce(r, {int(SAMPLE_DEFAULT_RATE * SAMPLE_MOD)})
+      GROUP BY 1)
+    SELECT t.stratum, t.n_total, coalesce(k.n_kept, 0) AS n_kept
+    FROM tot t LEFT JOIN kept k ON k.stratum = t.stratum
+"""
+
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-pretraining style): one window
+    cumsum per hash shard, chunk boundary every PACK_BUDGET tokens."""
+    return pack_chunks(
+        _docs(spark, sf_dir), budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+
+
+SQL_PACK_CHUNKS = rf"""
+    WITH base AS (
+      SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               % {SAMPLE_MOD} % {PACK_SHARDS} AS shard,
+             doc_id AS doc,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents),
+    cum AS (
+      SELECT shard, doc, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base)
+    SELECT shard, ((cum - n_tok) // {PACK_BUDGET})::BIGINT AS chunk_id,
+           count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+    FROM cum GROUP BY 1, 2
+"""
+
+
+def q_pack_greedy(spark, sf_dir):
+    """Greedy no-split sequence packing (applyInPandas; rows-only check —
+    greedy reset-on-overflow has no SQL twin; parity-tested against a pure
+    Python reference in tests/test_training_data_ops.py)."""
+    return pack_greedy(
+        _docs(spark, sf_dir), budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    ).drop("doc_ids")
+
+
 def q_text_rolling_fingerprint(spark, sf_dir):
     """Karp-Rabin rolling hash (Arrow UDF; rows-only check — per-char
     polynomial fold has no SQL twin)."""
@@ -805,6 +910,13 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, None),
     "ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, None),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "corpus_sample_stratified": (
+        q_corpus_sample_stratified,
+        SQL_CORPUS_SAMPLE_STRATIFIED,
+    ),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "pack_greedy": (q_pack_greedy, None),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_rolling_fingerprint": (q_text_rolling_fingerprint, None),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),

@@ -1,0 +1,145 @@
+"""Corpus-curation operators: connected-components duplicate clustering,
+deterministic stratified sampling, sequence packing (chunk + greedy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kp_data_replication_spark.operators.clustering import (
+    connected_components,
+    dedup_clusters,
+    pack_chunks,
+    pack_greedy,
+    sample_stratified,
+)
+
+
+def _cc_reference(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    # two triangles bridged by one edge + an isolated pair
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (3, 10), (50, 51)]
+    df = spark.createDataFrame(pairs, "doc1 long, doc2 long")
+    got = {r["node"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == _cc_reference(pairs)
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    # a 64-node path graph: naive min-propagation needs ~64 rounds; pointer
+    # jumping must finish well inside max_iter=10
+    pairs = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(pairs, "doc1 long, doc2 long")
+    got = {r["node"]: r["cluster_id"] for r in
+           connected_components(df, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_dedup_clusters_keep_flag(spark):
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "doc1 long, doc2 long")
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in dedup_clusters(docs, pairs).collect()}
+    assert rows == {
+        0: (0, True), 1: (1, True), 2: (2, True), 3: (3, True),
+        4: (1, False), 5: (1, False),
+    }
+
+
+def test_sample_stratified_deterministic_and_monotone(spark):
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    a = sample_stratified(docs, {"en": 0.5, "fr": 0.1})
+    b = sample_stratified(docs, {"en": 0.5, "fr": 0.1})
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())  # re-run stable
+    # higher rate strictly supersets the lower-rate selection per stratum
+    wider = sorted(
+        r["doc_id"] for r in sample_stratified(docs, {"en": 0.8, "fr": 0.1}).collect()
+    )
+    assert set(ids_a) <= set(wider)
+    # rates land near expectation (hash is uniform)
+    n_en = sum(1 for i in ids_a if i % 2 == 0)
+    n_fr = len(ids_a) - n_en
+    assert abs(n_en - 500) < 60 and abs(n_fr - 100) < 40
+
+
+def _greedy_reference(docs: list[tuple[int, int]], budget: int):
+    """(n_docs, n_tokens) per pack for one shard, docs sorted by id."""
+    packs, cur, tok = [], 0, 0
+    for _, n in sorted(docs):
+        if cur and tok + n > budget:
+            packs.append((cur, tok))
+            cur, tok = 0, 0
+        cur += 1
+        tok += n
+    if cur:
+        packs.append((cur, tok))
+    return packs
+
+
+def test_pack_greedy_matches_reference_and_never_splits(spark):
+    rows = [(i, " ".join(["w"] * (7 + (i * 13) % 40))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_greedy(docs, budget=64, n_shards=4).collect()
+    # every pack respects the budget unless it is a single oversized doc
+    for r in out:
+        assert r["n_tokens"] <= 64 or r["n_docs"] == 1
+        assert r["n_docs"] == len(r["doc_ids"])
+    # per-shard parity with the pure-Python reference
+    from kp_data_replication_spark.operators.clustering import _id_hash_mod
+
+    shard_of = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", (_id_hash_mod("doc_id") % 4).cast("int").alias("s")
+        ).collect()
+    }
+    n_tok = {i: 7 + (i * 13) % 40 for i, _ in rows}
+    for s in range(4):
+        ref = _greedy_reference(
+            [(i, n_tok[i]) for i in n_tok if shard_of[i] == s], 64
+        )
+        got = sorted(
+            (r["n_docs"], r["n_tokens"]) for r in out if r["shard"] == s
+        )
+        # reference preserves order; compare as multisets plus count
+        assert sorted(ref) == got
+        assert len(ref) == len([r for r in out if r["shard"] == s])
+
+
+def test_pack_chunks_totals_conserved(spark):
+    rows = [(i, " ".join(["w"] * (5 + i % 11))) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_chunks(docs, budget=100, n_shards=4)
+    total = out.agg(F.sum("n_tokens"), F.sum("n_docs")).first()
+    assert total[0] == sum(5 + i % 11 for i in range(300))
+    assert total[1] == 300
+    # no chunk id gaps per shard (contiguous boundaries)
+    per = out.groupBy("shard").agg(
+        F.min("chunk_id").alias("lo"),
+        F.max("chunk_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    for r in per:
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1
