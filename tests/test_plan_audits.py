@@ -111,3 +111,53 @@ def test_unpack_prunes_nested_columns(spark, changelog_dir):
     rs = scan_read_schema(slim)
     assert "content" not in rs, rs
     assert "headers" not in rs, rs
+
+
+# ------------------------------------------------------------------ #
+# corpus-curation operators (operators/clustering.py)
+# ------------------------------------------------------------------ #
+def test_sample_stratified_is_scan_only(spark, tmp_path):
+    """Stratified sampling must stay a pure scan-side filter: zero
+    exchanges, no Python, and only the needed columns read."""
+    from kp_data_replication_spark.operators.clustering import sample_stratified
+
+    p = str(tmp_path / "docs")
+    spark.range(0, 500).selectExpr(
+        "id as doc_id", "'t' as text", "case when id % 2 = 0 then 'en' else 'fr' end as lang"
+    ).write.parquet(p)
+    out = sample_stratified(
+        spark.read.parquet(p).select("doc_id", "lang"), {"en": 0.5}
+    )
+    assert count_exchanges(out) == 0
+    assert_no_row_python(out)
+    rs = scan_read_schema(out)
+    assert "text" not in rs  # column pruning reached the scan
+
+
+def test_pack_chunks_single_exchange(spark, tmp_path):
+    """Concat-and-chunk packing = one shard-key exchange feeding both the
+    window cumsum and the chunk aggregate (no second shuffle: the groupBy
+    keys are a superset of the window partition key only via shard, so a
+    second exchange on (shard, chunk_id) is acceptable — assert <= 2 and
+    no Python)."""
+    from kp_data_replication_spark.operators.clustering import pack_chunks
+
+    p = str(tmp_path / "docs")
+    spark.range(0, 300).selectExpr("id as doc_id", "'w w w w' as text").write.parquet(p)
+    out = pack_chunks(spark.read.parquet(p), budget=64, n_shards=4)
+    assert count_exchanges(out) <= 2
+    assert_no_row_python(out)
+
+
+def test_pack_greedy_is_arrow(spark, tmp_path):
+    """Greedy packing is applyInPandas: exactly one exchange (the shard
+    shuffle) and Arrow-batched Python, never row-at-a-time."""
+    from kp_data_replication_spark.operators.clustering import pack_greedy
+
+    p = str(tmp_path / "docs")
+    spark.range(0, 300).selectExpr("id as doc_id", "'w w w w' as text").write.parquet(p)
+    out = pack_greedy(spark.read.parquet(p), budget=64, n_shards=4)
+    s = plan_string(out)
+    assert "FlatMapGroupsInPandas" in s or "FlatMapGroupsInArrow" in s
+    assert "BatchEvalPython" not in s
+    assert count_exchanges(out) == 1
