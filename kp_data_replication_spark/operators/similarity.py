@@ -169,7 +169,10 @@ def cosine_topk_ivf(
         corpus.crossJoin(F.broadcast(cents))
         .withColumn("_sim", cosine_expr(F.col(vec_col), F.col("_centroid")))
         .groupBy(id_col, vec_col)
-        .agg(F.max_by("cell", "_sim").alias("cell"))
+        # deterministic argmax: ties on cosine break toward the larger cell
+        # id (struct comparison is lexicographic) — keeps the result — and
+        # the SQL oracle — stable under any plan/partitioning change
+        .agg(F.max_by("cell", F.struct(F.col("_sim"), F.col("cell"))).alias("cell"))
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cvec"),

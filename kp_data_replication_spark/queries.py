@@ -704,13 +704,50 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
 def q_ann_cosine_topk_ivf(spark, sf_dir):
     """IVF coarse-quantizer + multi-probe variant — the 10^9-vector scale
     path (cells adapt to data; candidates/query ~ n_probe/n_cells of the
-    corpus). Rows-only check; recall@k >= 0.9 vs brute force asserted in
-    tests/test_training_data_ops.py."""
+    corpus). Fully deterministic (sample centroids, explicit tiebreaks),
+    so it carries an exact SQL oracle; recall@k >= 0.9 vs brute force is
+    additionally asserted in tests/test_training_data_ops.py."""
     from .operators.similarity import cosine_topk_ivf
 
     emb = _emb(spark, sf_dir)
     return cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5,
                            n_cells=16, n_probe=6)
+
+
+SQL_ANN_COSINE_TOPK_IVF = f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      ORDER BY vec_id LIMIT 16),
+    c_sim AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             {_COS_SQL.format(a="e.embedding", b="c.cv")} AS sim
+      FROM embeddings e CROSS JOIN cents c),
+    c_assign AS (
+      SELECT vec_id AS neighbor_id, embedding AS cvec, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+        FROM c_sim) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10),
+    q_sim AS (
+      SELECT q.query_id, q.qv, c.cell,
+             {_COS_SQL.format(a="q.qv", b="c.cv")} AS sim
+      FROM q CROSS JOIN cents c),
+    q_probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, cell) AS pr
+        FROM q_sim) WHERE pr <= 6),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             {_COS_SQL.format(a="p.qv", b="a.cvec")} AS cos
+      FROM c_assign a JOIN q_probes p USING (cell)
+      WHERE a.neighbor_id != p.query_id)
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+"""
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -909,7 +946,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, None),
-    "ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, None),
+    "ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, SQL_ANN_COSINE_TOPK_IVF),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "corpus_sample_stratified": (
         q_corpus_sample_stratified,
