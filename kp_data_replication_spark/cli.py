@@ -69,6 +69,20 @@ def main(argv: list[str] | None = None) -> None:
     vc.add_argument("target")
     vc.add_argument("--keep-versions", type=int, default=2)
 
+    cu = sub.add_parser(
+        "curate",
+        help="corpus curation funnel: exact + near-dup dedup -> "
+             "stratified sample -> token-budget packing",
+    )
+    cu.add_argument("documents", help="documents parquet (doc_id/text/lang/source)")
+    cu.add_argument("out_dir")
+    cu.add_argument("--lang-rates", default=None,
+                    help="per-language sample rates, e.g. 'en=0.5,fr=0.25'")
+    cu.add_argument("--default-rate", type=float, default=1.0)
+    cu.add_argument("--pack-budget", type=int, default=2048)
+    cu.add_argument("--pack-shards", type=int, default=64)
+    cu.add_argument("--min-shared-bands", type=int, default=1)
+
     args = ap.parse_args(argv)
     if args.cmd == "vacuum":  # pure metadata/file op — no Spark session needed
         print(json.dumps(TableStore(args.target).vacuum(args.keep_versions)))
@@ -110,6 +124,18 @@ def main(argv: list[str] | None = None) -> None:
             "rows": df.count(),
             "schema": df.schema.simpleString(),
         }))
+    elif args.cmd == "curate":
+        from .curate import curate_to_dir, parse_rates
+
+        stats = curate_to_dir(
+            spark, args.documents, args.out_dir,
+            lang_rates=parse_rates(args.lang_rates),
+            default_rate=args.default_rate,
+            pack_budget=args.pack_budget,
+            pack_shards=args.pack_shards,
+            min_shared_bands=args.min_shared_bands,
+        )
+        print(json.dumps(stats))
     elif args.cmd == "lag":
         from pyspark.sql import functions as F
 

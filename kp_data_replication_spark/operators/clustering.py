@@ -58,32 +58,39 @@ def connected_components(
     scale analysis. Nodes that appear in no edge are absent from the output
     (they are their own singleton cluster by definition).
     """
-    spark = pairs.sparkSession
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # symmetrized edges WITH self-loops: the hook step below then reads
+    # "parent(u) = min over parents of N(u) ∪ {u}" as ONE join + aggregate.
+    # (The union-of-labels-with-propagated-labels formulation puts the
+    # label table on both sides of a union, which Spark 4.1's optimizer
+    # mis-resolves under eager localCheckpoint when the pair source is
+    # itself a multi-self-join plan like LSH banding — key-not-found on a
+    # live attribute. Self-loops sidestep the shape entirely.)
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .unionByName(e.select(F.col("a").alias("a"), F.col("a").alias("b")))
+        .unionByName(e.select(F.col("b").alias("a"), F.col("b").alias("b")))
         .distinct()
         .localCheckpoint()
     )
 
-    # parent(u) = min(u, min neighbor) to start
+    # parent(u) = min(N(u) ∪ {u}) to start (self-loops make min(b) enough)
     labels = (
         edges.groupBy("a")
-        .agg(F.min("b").alias("nbr_min"))
-        .select(F.col("a").alias("node"), F.least("a", "nbr_min").alias("parent"))
+        .agg(F.min("b").alias("parent"))
+        .select(F.col("a").alias("node"), "parent")
         .localCheckpoint()
     )
 
     for _ in range(max_iter):
-        # hook: push each node's parent across its edges, keep the min
-        prop = (
-            edges.join(labels, edges["a"] == labels["node"])
-            .select(F.col("b").alias("node"), F.col("parent"))
-        )
+        # hook: parent(u) <- min over parents of N(u) ∪ {u} (self-loop
+        # carries u's own parent through the same join)
         hooked = (
-            labels.unionByName(prop)
-            .groupBy("node")
+            edges.join(labels, edges["a"] == labels["node"])
+            .groupBy(edges["b"])
             .agg(F.min("parent").alias("parent"))
+            .select(F.col("b").alias("node"), "parent")
+            .localCheckpoint()
         )
         # shortcut (pointer jumping): parent <- parent(parent); halves paths
         x, y = hooked.alias("x"), hooked.alias("y")

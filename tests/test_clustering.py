@@ -143,3 +143,47 @@ def test_pack_chunks_totals_conserved(spark):
     ).collect()
     for r in per:
         assert r["lo"] == 0 and r["n"] == r["hi"] + 1
+
+
+def test_curate_funnel_end_to_end(spark, tmp_path):
+    """Full curation pipeline over a corpus with planted exact and near
+    duplicates: the funnel removes exactly the planted dupes, sampling is
+    deterministic, and every surviving doc lands in exactly one pack."""
+    from kp_data_replication_spark.curate import curate_to_dir, parse_rates
+
+    assert parse_rates("en=0.5, fr=0.25") == {"en": 0.5, "fr": 0.25}
+
+    base = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(30)), "en")
+        for i in range(40)
+    ]
+    rows = list(base)
+    # exact dupes: 5 copies of doc 0's text under new ids
+    rows += [(100 + i, base[0][1], "en") for i in range(5)]
+    # near dupes: doc 1's text with ONE token changed (same shingle mass)
+    t1 = base[1][1].split()
+    rows += [
+        (200 + i, " ".join(t1[:-1] + [f"alt{i}"]), "en") for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p_in = str(tmp_path / "docs_in")
+    docs.withColumn("source", F.lit("s0")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(p_in)
+
+    out = str(tmp_path / "curated_out")
+    stats = curate_to_dir(spark, p_in, out, pack_budget=128, pack_shards=4)
+
+    assert stats["n_input"] == 48
+    assert stats["exact_dupes_removed"] == 5
+    # the three near-dup variants of doc 1 cluster with it; 3 drop
+    assert stats["neardup_removed"] == 3
+    assert stats["n_after_sampling"] == 40  # no rates -> identity
+    curated = spark.read.parquet(out + "/curated")
+    assert curated.count() == 40
+    packs = spark.read.parquet(out + "/packs")
+    packed_ids = sorted(
+        i for r in packs.select("doc_ids").collect() for i in r["doc_ids"]
+    )
+    assert packed_ids == sorted(r["doc_id"] for r in curated.collect())
+    assert stats["n_tokens_packed"] == 30 * 40
