@@ -21,7 +21,7 @@ from .datagen import ChangelogSpec, write_changelog
 from .schema import CHANGELOG_SCHEMA_EVOLVED
 from .session import get_spark
 from .sources.table_store import TableStore
-from .streaming.apply import CdcApplyEngine, EngineConfig, final_state
+from .streaming.apply import CdcApplyEngine, EngineConfig
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -55,8 +55,23 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--continuous", action="store_true",
                    help="keep running (default: drain available input and stop)")
 
-    st = sub.add_parser("state", help="show current target state summary")
+    st = sub.add_parser("state", help="show target state summary (time travel with --version)")
     st.add_argument("target")
+    st.add_argument("--version", type=int, default=None,
+                    help="read AS OF this committed version (default: current)")
+
+    ch = sub.add_parser("changes", help="row-level changefeed between two versions")
+    ch.add_argument("target")
+    ch.add_argument("v_from", type=int)
+    ch.add_argument("v_to", type=int, nargs="?", default=None)
+
+    rb = sub.add_parser("rebucket", help="rescale the table's bucket layout in place")
+    rb.add_argument("target")
+    rb.add_argument("n_buckets", type=int)
+
+    rw = sub.add_parser("rewrite", help="compact multi-file buckets (rewrite_data_files)")
+    rw.add_argument("target")
+    rw.add_argument("--min-files", type=int, default=2)
 
     lg = sub.add_parser("lag", help="per-partition replication lag vs a changelog head")
     lg.add_argument("changelog")
@@ -117,13 +132,35 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps({"status": "drained", "epoch": engine.store.current_epoch()}))
     elif args.cmd == "state":
         store = TableStore(args.target)
-        df = final_state(spark, store)
+        version = args.version if args.version is not None else store.current_version()
+        df = store.read_state(spark, version=args.version)
         print(json.dumps({
-            "version": store.current_version(),
+            "version": version,
             "epoch": store.current_epoch(),
             "rows": df.count(),
             "schema": df.schema.simpleString(),
         }))
+    elif args.cmd == "changes":
+        from .operators.changefeed import CHANGE_TYPE_COL, table_changes
+
+        from pyspark.sql import functions as F
+
+        store = TableStore(args.target)
+        ch = table_changes(spark, store, args.v_from, args.v_to)
+        counts = {
+            r[CHANGE_TYPE_COL]: r["n"]
+            for r in ch.groupBy(CHANGE_TYPE_COL).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        print(json.dumps({
+            "v_from": args.v_from,
+            "v_to": args.v_to if args.v_to is not None else store.current_version(),
+            "changes": counts,
+        }))
+    elif args.cmd == "rebucket":
+        print(json.dumps(TableStore(args.target).rebucket(spark, args.n_buckets)))
+    elif args.cmd == "rewrite":
+        print(json.dumps(TableStore(args.target).rewrite_buckets(
+            spark, min_files=args.min_files)))
     elif args.cmd == "curate":
         from .curate import curate_to_dir, parse_rates
 

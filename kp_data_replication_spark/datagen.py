@@ -57,6 +57,9 @@ class ChangelogSpec:
     internal_topic_every: int = 17  # key_id % 17 == 0 -> config-like topic (blacklist tests)
     content_chains: int = 3  # md5 chains per content body (~40 bytes each);
     # real source files are KBs — bench/scaling specs raise this to ~24 (1 KiB)
+    lsn_base: int = 0  # offset the per-partition lsn sequence — follow-on
+    # changelog segments (a later tail of the same log) start above the
+    # lsns an earlier segment already applied
     parts_per_file: int = 2  # parquet files per file-batch. Each file holds a
     # CONTIGUOUS slice of the global produce sequence (so per-partition lsn
     # ranges stay ordered across files — the reference's ordering contract,
@@ -165,7 +168,9 @@ def build_changelog(spark: SparkSession, spec: ChangelogSpec) -> DataFrame:
     # NOTE: the lsn window (the only shuffle in the generator) runs BEFORE the
     # heavy before/after images are attached, so only slim rows are sorted.
     w = W.partitionBy("partition").orderBy("seq")
-    df = df.withColumn("lsn", F.row_number().over(w).cast("long") - 1)
+    df = df.withColumn(
+        "lsn", F.row_number().over(w).cast("long") - 1 + F.lit(spec.lsn_base)
+    )
 
     df = df.withColumn("after_full", image2(v)).withColumn(
         "before_full", F.when(v > 0, image2(v - 1))

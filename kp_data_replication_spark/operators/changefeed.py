@@ -1,0 +1,188 @@
+"""Incremental table reads: version-to-version changefeed + chained replication.
+
+The reference's MirrorMaker topology composes: a mirrored topic is itself a
+source for the next hop (docs/index.md:32-52 shows event-store -> local and
+local -> event-store flows; mirror-maker-2/bi-directional runs two at once).
+The lakehouse analogue is a CHANGEFEED: the target table can re-emit the
+row-level changes between any two of its committed versions (Delta CDF /
+Iceberg incremental-read semantics), so a downstream engine can tail this
+table exactly like the upstream engine tails the changelog — replication
+chains A -> B -> C without re-reading A's log.
+
+Scale shape (100 TB):
+  * `changed_buckets` prunes at the MANIFEST level — only buckets whose
+    data-file lists differ between the two versions are read at all. A
+    micro-batch commit touches few buckets, so an incremental read costs
+    O(changed data), never O(table).
+  * `diff_states` is a single full-outer join of two bucket-restricted
+    states, both sides hash-partitioned on the same key columns — one
+    shuffle each, no broadcast assumption (both sides can be large), no
+    driver-side row handling.
+  * unchanged rows inside a rewritten bucket (e.g. after a small-file
+    `rewrite_buckets` maintenance pass) are dropped by a null-safe
+    column comparison, so maintenance commits emit an EMPTY changefeed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import KEY_COLS
+from ..sources.table_store import TableStore
+
+CHANGE_TYPE_COL = "_change_type"
+VERSION_COL = "_commit_version"
+
+
+def changed_buckets(store: TableStore, v_from: int, v_to: int) -> list[int]:
+    """Buckets whose data-file lists differ between two committed versions.
+
+    Pure manifest metadata — no data files are opened. This is the Iceberg
+    incremental-read planning step: a version's manifest names exactly the
+    files each bucket consists of, so identical file lists mean identical
+    bucket contents (files are immutable, written once per commit attempt).
+    """
+    m_from = store.manifest(v_from)
+    m_to = store.manifest(v_to)
+    if m_to is None:
+        raise ValueError(f"version {v_to} does not exist in {store.root}")
+    b_from = (m_from or {}).get("buckets", {})
+    b_to = m_to.get("buckets", {})
+    out = set()
+    for b in set(b_from) | set(b_to):
+        if b_from.get(b, []) != b_to.get(b, []):
+            out.add(int(b))
+    return sorted(out)
+
+
+def diff_states(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two table states: insert / update / delete.
+
+    Output: key cols + data cols (post-image for insert/update, pre-image
+    for delete — the Delta CDF convention minus the update_preimage rows)
+    + ``_change_type``. Rows identical in both states are dropped via a
+    null-safe comparison, so a physical rewrite with no logical change
+    produces no rows.
+
+    Schemas may differ additively (the new state may carry columns the old
+    lacks); the old side is null-padded to the union, matching the additive
+    evolution contract (docs/consideration.md:13-18).
+    """
+    key_cols = key_cols or KEY_COLS
+    # null-pad old for columns added after v_from
+    new_types = {f.name: f.dataType for f in new.schema.fields}
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new_types[c]))
+    data_cols = [c for c in new.columns if c not in key_cols]
+
+    o = old.select(*key_cols, F.lit(True).alias("_o_present"),
+                   *[F.col(c).alias(f"_o_{c}") for c in data_cols])
+    n = new.select(*key_cols, F.lit(True).alias("_n_present"),
+                   *[F.col(c).alias(f"_n_{c}") for c in data_cols])
+    j = o.join(n, key_cols, "full_outer")
+
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
+    same = F.lit(True)
+    for c in data_cols:
+        same = same & F.col(f"_n_{c}").eqNullSafe(F.col(f"_o_{c}"))
+
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )  # else null -> unchanged, filtered
+    return (
+        j.withColumn(CHANGE_TYPE_COL, change)
+        .filter(F.col(CHANGE_TYPE_COL).isNotNull())
+        .select(
+            *key_cols,
+            *[
+                F.when(in_new, F.col(f"_n_{c}")).otherwise(F.col(f"_o_{c}")).alias(c)
+                for c in data_cols
+            ],
+            CHANGE_TYPE_COL,
+        )
+    )
+
+
+def table_changes(
+    spark: SparkSession,
+    store: TableStore,
+    v_from: int,
+    v_to: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Changefeed between two committed versions of a :class:`TableStore`.
+
+    ``v_from`` may be 0 (empty table — everything in ``v_to`` is an
+    insert); ``v_to`` defaults to the current version. Only buckets whose
+    manifest file lists differ are read (see :func:`changed_buckets`).
+    Raises if either manifest has been vacuumed away.
+    """
+    if v_to is None:
+        v_to = store.current_version()
+    if v_to < v_from:
+        raise ValueError(f"v_to={v_to} < v_from={v_from}")
+    dirty = changed_buckets(store, v_from, v_to)
+    old = store.read_state(spark, buckets=dirty, version=v_from)
+    new = store.read_state(spark, buckets=dirty, version=v_to)
+    return diff_states(old, new, key_cols).withColumn(
+        VERSION_COL, F.lit(v_to).cast("long")
+    )
+
+
+def changefeed_envelope(
+    spark: SparkSession,
+    store: TableStore,
+    v_from: int,
+    v_to: int | None = None,
+    key_cols: list[str] | None = None,
+    n_partitions: int = 8,
+    source_topic: str = "repos",
+) -> DataFrame:
+    """Changefeed re-encoded as a changelog-envelope batch — the chaining
+    adapter: feed this straight into a downstream ``CdcApplyEngine.
+    apply_batch`` and the downstream table converges to this table's state
+    (replication chain A -> B, the MM2 cascading-mirror topology).
+
+    Envelope contract the downstream engine depends on:
+      * partition = pmod(hash(key), n_partitions) — key->partition affinity
+        holds by construction (SendProductToKafka.py:48 key-hash routing);
+      * lsn = v_to for every row — monotone per partition across versions,
+        so the downstream lineage watermark dedups a re-delivered version
+        batch to zero rows (idempotent chaining);
+      * op: insert->'c', update->'u', delete->'d' with before/after images
+        in Debezium form.
+    """
+    if v_to is None:
+        v_to = store.current_version()
+    key_cols = key_cols or KEY_COLS
+    ch = table_changes(spark, store, v_from, v_to, key_cols)
+    data_cols = [c for c in ch.columns if c not in (CHANGE_TYPE_COL, VERSION_COL)]
+    image = F.struct(*[F.col(c) for c in data_cols])
+    is_del = F.col(CHANGE_TYPE_COL) == "delete"
+    return ch.select(
+        F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_partitions))
+        .cast("int")
+        .alias("partition"),
+        F.col(VERSION_COL).alias("lsn"),
+        F.when(F.col(CHANGE_TYPE_COL) == "insert", F.lit("c"))
+        .when(is_del, F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.when(is_del, image).alias("before"),
+        F.when(~is_del, image).alias("after"),
+        F.current_timestamp().alias("ts_ms"),
+        F.create_map(
+            F.lit("cascade_version"), F.col(VERSION_COL).cast("string")
+        ).alias("headers"),
+        F.lit(source_topic).alias("source_topic"),
+    )

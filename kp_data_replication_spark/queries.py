@@ -445,6 +445,65 @@ SQL_CDC_MERGE_UPSERT = """
 """
 
 
+def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed (incremental read): row-level diff between the table
+    state as of lsn<7000 and the final state — insert/update/delete per
+    key, unchanged rows dropped (operators/changefeed.diff_states; Delta
+    CDF / Iceberg incremental-read semantics re-expressed; enables the
+    chained-replication topology of docs/index.md:32-52)."""
+    from .operators.changefeed import diff_states
+
+    ev = _with_envelope(_events(spark, sf_dir))
+
+    def state(e: DataFrame) -> DataFrame:
+        s = last_write_wins(e, key_cols=["user_id"], order_col="lsn")
+        return s.filter(F.col("op") != "d").select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+
+    diff = diff_states(
+        state(ev.filter(F.col("lsn") < 7000)), state(ev), key_cols=["user_id"]
+    )
+    return diff.select(
+        "user_id",
+        "last_event_id",
+        "last_event_type",
+        F.round("last_value", 4).alias("last_value"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+SQL_CDC_TABLE_CHANGES = """
+    WITH old_state AS (
+      SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+             value AS last_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events WHERE event_id < 7000) t
+      WHERE rn = 1 AND event_type <> 'error'),
+    new_state AS (
+      SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+             value AS last_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+            FROM events) t
+      WHERE rn = 1 AND event_type <> 'error')
+    SELECT coalesce(n.user_id, o.user_id) AS user_id,
+           coalesce(n.last_event_id, o.last_event_id) AS last_event_id,
+           coalesce(n.last_event_type, o.last_event_type) AS last_event_type,
+           round(coalesce(n.last_value, o.last_value), 4) AS last_value,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.last_event_id <> n.last_event_id
+       OR o.last_event_type <> n.last_event_type
+       OR o.last_value <> n.last_value
+"""
+
+
 # --------------------------------------------------------------------- #
 # Relational coverage (scan/filter/join/agg/window/set — SURVEY.md §2.3-2.7)
 # --------------------------------------------------------------------- #
@@ -933,6 +992,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_latency_percentiles": (q_cdc_latency_percentiles, SQL_CDC_LATENCY_PERCENTILES),
     "cdc_sha_invariant": (q_cdc_sha_invariant, SQL_CDC_SHA_INVARIANT),
     "cdc_merge_upsert": (q_cdc_merge_upsert, SQL_CDC_MERGE_UPSERT),
+    "cdc_table_changes": (q_cdc_table_changes, SQL_CDC_TABLE_CHANGES),
     "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING_SUMMARY),
     "join_segment_revenue": (q_join_segment_revenue, SQL_JOIN_SEGMENT_REVENUE),
     "window_topk_orders": (q_window_topk_orders, SQL_WINDOW_TOPK_ORDERS),

@@ -84,12 +84,16 @@ class TableStore:
         with open(self.pointer_path) as f:
             return json.load(f)["version"]
 
-    def current_manifest(self) -> dict | None:
-        v = self.current_version()
-        if v == 0:
+    def manifest(self, version: int) -> dict | None:
+        """Manifest of a specific committed version (None for v0 = the empty
+        table; raises FileNotFoundError if the version has been vacuumed)."""
+        if version == 0:
             return None
-        with open(os.path.join(self.root, "manifests", f"v{v}.json")) as f:
+        with open(os.path.join(self.root, "manifests", f"v{version}.json")) as f:
             return json.load(f)
+
+    def current_manifest(self) -> dict | None:
+        return self.manifest(self.current_version())
 
     def current_epoch(self) -> int:
         m = self.current_manifest()
@@ -118,8 +122,10 @@ class TableStore:
         return T.StructType.fromJson(m["schema"])
 
     # ---------- reads ----------
-    def _bucket_files(self, buckets: list[int] | None = None) -> list[str]:
-        m = self.current_manifest()
+    def _bucket_files(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> list[str]:
+        m = self.current_manifest() if version is None else self.manifest(version)
         if m is None:
             return []
         sel = m["buckets"] if buckets is None else {
@@ -128,13 +134,23 @@ class TableStore:
         return [os.path.join(self.root, p) for files in sel.values() for p in files]
 
     def read_state(
-        self, spark: SparkSession, buckets: list[int] | None = None
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        """Current table state (optionally restricted to some buckets),
-        always through the manifest schema so old files are null-padded for
-        columns added later (additive evolution, docs/consideration.md:13-18)."""
-        schema = self.schema()
-        files = self._bucket_files(buckets)
+        """Table state (optionally restricted to some buckets), always
+        through the manifest schema so old files are null-padded for columns
+        added later (additive evolution, docs/consideration.md:13-18).
+
+        ``version``: time travel — read the table AS OF that committed
+        version (Iceberg snapshot read). None = current. Data files are
+        immutable and manifests are retained until :meth:`vacuum`, so any
+        unexpired version reads consistently while writers keep committing.
+        """
+        m = self.current_manifest() if version is None else self.manifest(version)
+        schema = None if m is None else T.StructType.fromJson(m["schema"])
+        files = self._bucket_files(buckets, version=version)
         if schema is None or not files:
             return spark.createDataFrame([], schema or T.StructType(
                 [T.StructField(c, T.StringType()) for c in KEY_COLS]
@@ -294,6 +310,159 @@ class TableStore:
         return version
 
     # ---------- maintenance ----------
+    def versions(self) -> list[int]:
+        """Committed (pointer-reachable, unexpired) versions, ascending."""
+        current = self.current_version()
+        man_dir = os.path.join(self.root, "manifests")
+        if current == 0 or not os.path.isdir(man_dir):
+            return []
+        return sorted(
+            v for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+            and (v := int(f[1:-5])) <= current
+        )
+
+    def rewrite_buckets(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        buckets: list[int] | None = None,
+    ) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` analogue).
+
+        Commits are copy-on-write at bucket granularity, so epochs do NOT
+        accrete files per bucket — multi-file buckets arise from size-split
+        writes (a task writing a bucket larger than the parquet target file
+        size, or a ``clustered=True`` commit whose upstream partitioning put
+        one bucket's rows in several tasks). This maintenance pass rewrites
+        each bucket that has > ``min_files`` data files (or the explicit
+        ``buckets`` list) into a single file and commits a new version whose
+        manifest points at the rewritten files. Logical state is unchanged:
+        the commit keeps the previous epoch, writer map, schema, and lineage
+        pointer, so it neither fences nor is fenced by any writer sequence,
+        and :func:`~..operators.changefeed.table_changes` across the rewrite
+        is empty (rows compare equal).
+
+        Scale shape: one distributed job per pass — read only the fat
+        buckets, one shuffle to cluster rows by bucket, one file per bucket
+        out (at real scale Iceberg's target-file-size splitting takes over).
+        Same single-maintainer caveat as :meth:`vacuum`: don't run
+        concurrently with a writer's commit window. Returns
+        ``{"rewritten_buckets": [...], "files_before": n, "version": v}``.
+        """
+        m = self.current_manifest()
+        if m is None:
+            return {"rewritten_buckets": [], "files_before": 0, "version": 0}
+        fat = {
+            int(b): files
+            for b, files in m["buckets"].items()
+            if len(files) > min_files and (buckets is None or int(b) in buckets)
+        }
+        if not fat:
+            return {
+                "rewritten_buckets": [],
+                "files_before": 0,
+                "version": self.current_version(),
+            }
+        sel = sorted(fat)
+        files_before = sum(len(v) for v in fat.values())
+        version = self.current_version() + 1
+        epoch_rel = f"data/v{version}"
+        epoch_dir = os.path.join(self.root, epoch_rel)
+        shutil.rmtree(epoch_dir, ignore_errors=True)
+        df = self.read_state(spark, buckets=sel).withColumn(
+            BUCKET_COL, bucket_expr(m["n_buckets"])
+        )
+        (
+            df.repartition(len(sel), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(epoch_dir)
+        )
+        buckets_map = dict(m["buckets"])
+        for b in sel:
+            d = os.path.join(epoch_dir, f"{BUCKET_COL}={b}")
+            buckets_map[str(b)] = sorted(
+                f"{epoch_rel}/{BUCKET_COL}={b}/{f}"
+                for f in (os.listdir(d) if os.path.isdir(d) else [])
+                if f.endswith(".parquet")
+            )
+        manifest = {**m, "version": version, "buckets": buckets_map}
+        mpath = os.path.join(self.root, "manifests", f"v{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        with open(self.pointer_path + ".tmp", "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(self.pointer_path + ".tmp", self.pointer_path)
+        return {
+            "rewritten_buckets": sel,
+            "files_before": files_before,
+            "version": version,
+        }
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
+        """Change the table's bucket count in place (Iceberg partition-spec
+        evolution + one full rewrite).
+
+        Bucketing is what bounds MERGE cost by batch size: a micro-batch
+        rewrites only the buckets its keys hash into. The right bucket
+        count therefore scales with table size — a table that has grown
+        100x wants more, smaller buckets so a small batch stops rewriting
+        huge files. This pass rehashes every row into ``new_n_buckets``
+        (one shuffle, one file per new bucket) and commits a new version
+        with the updated ``n_buckets``; epoch, writer map, schema, and
+        lineage are untouched, so writers resume seamlessly — the engine
+        reads ``n_buckets`` from the manifest on every batch. Readers of
+        older versions still see the old layout (each manifest carries its
+        own bucket map). Same single-maintainer caveat as :meth:`vacuum`.
+        """
+        m = self.current_manifest()
+        if m is None:
+            self._n_buckets = new_n_buckets
+            return {"version": 0, "n_buckets": new_n_buckets}
+        if new_n_buckets == m["n_buckets"]:
+            return {"version": self.current_version(), "n_buckets": new_n_buckets}
+        version = self.current_version() + 1
+        epoch_rel = f"data/v{version}"
+        epoch_dir = os.path.join(self.root, epoch_rel)
+        shutil.rmtree(epoch_dir, ignore_errors=True)
+        df = self.read_state(spark).withColumn(
+            BUCKET_COL, bucket_expr(new_n_buckets)
+        )
+        (
+            df.repartition(new_n_buckets, F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(epoch_dir)
+        )
+        buckets_map: dict[str, list[str]] = {
+            str(b): [] for b in range(new_n_buckets)
+        }
+        for d in os.listdir(epoch_dir):
+            if not d.startswith(f"{BUCKET_COL}="):
+                continue
+            b = d.split("=", 1)[1]
+            buckets_map[b] = sorted(
+                f"{epoch_rel}/{d}/{f}"
+                for f in os.listdir(os.path.join(epoch_dir, d))
+                if f.endswith(".parquet")
+            )
+        manifest = {
+            **m,
+            "version": version,
+            "n_buckets": new_n_buckets,
+            "buckets": buckets_map,
+        }
+        mpath = os.path.join(self.root, "manifests", f"v{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        with open(self.pointer_path + ".tmp", "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(self.pointer_path + ".tmp", self.pointer_path)
+        return {"version": version, "n_buckets": new_n_buckets}
+
     def vacuum(self, keep_versions: int = 2) -> dict:
         """Garbage-collect unreachable files (Iceberg expire_snapshots +
         remove_orphan_files analogue).

@@ -1,0 +1,280 @@
+"""Time travel, version-to-version changefeed, chained replication, and
+small-file rewrite maintenance.
+
+The reference composes mirrors: a replicated topic is itself a source for
+the next hop (docs/index.md:32-52, mirror-maker-2/bi-directional). Here the
+target TABLE re-emits row-level changes between committed versions (Delta
+CDF / Iceberg incremental-read semantics), so replication chains A -> B
+without re-reading A's changelog; `rewrite_buckets` is the Iceberg
+rewrite_data_files analogue keeping per-bucket file counts bounded over
+long streams.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kp_data_replication_spark.datagen import ChangelogSpec, write_changelog
+from kp_data_replication_spark.operators.changefeed import (
+    changed_buckets,
+    changefeed_envelope,
+    diff_states,
+    table_changes,
+)
+from kp_data_replication_spark.sources.table_store import TableStore
+from kp_data_replication_spark.streaming.apply import (
+    CdcApplyEngine,
+    EngineConfig,
+    final_state,
+)
+
+FAST = EngineConfig(metrics=False)
+SPEC = ChangelogSpec(n_keys=100, versions_per_key=3, n_partitions=4, files=6, dup_every=0)
+
+
+@pytest.fixture(scope="module")
+def stepped(spark, tmp_path_factory):
+    """A store built by applying the changelog in 3 epochs (2 files each),
+    so versions v1..v3 exist with known intermediate states."""
+    d = str(tmp_path_factory.mktemp("cl"))
+    write_changelog(spark, d, SPEC)
+    store = TableStore(str(tmp_path_factory.mktemp("t")) + "/t", n_buckets=8)
+    engine = CdcApplyEngine(store, FAST)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    batches = [files[0:2], files[2:4], files[4:6]]
+    for epoch, group in enumerate(batches):
+        batch = spark.read.option("mergeSchema", "true").parquet(
+            *[f"{d}/{f}" for f in group]
+        )
+        out = engine.apply_batch(batch, epoch)
+        assert out["status"] == "committed"
+    return d, store
+
+
+def _sha_state(spark, store, version=None):
+    df = store.read_state(spark, version=version)
+    return sorted(
+        (r["repo"], r["path"], r["sha"])
+        for r in df.select(
+            "repo", "path", F.sha2("content", 256).alias("sha")
+        ).collect()
+    )
+
+
+def test_time_travel_reads_each_committed_version(spark, stepped):
+    d, store = stepped
+    assert store.versions() == [1, 2, 3]
+    # replaying only the first epoch's files into a fresh store must equal
+    # the time-travel read AS OF v1
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))[:2]
+    twin = TableStore(store.root + "_twin", n_buckets=8)
+    CdcApplyEngine(twin, FAST).apply_batch(
+        spark.read.option("mergeSchema", "true").parquet(*[f"{d}/{f}" for f in files]),
+        0,
+    )
+    assert _sha_state(spark, store, version=1) == _sha_state(spark, twin)
+    # current == explicit current version
+    assert _sha_state(spark, store) == _sha_state(spark, store, version=3)
+
+
+def test_diff_states_classifies_insert_update_delete(spark):
+    old = spark.createDataFrame(
+        [("r1", "a", "x"), ("r1", "b", "y"), ("r2", "c", "z")],
+        "repo string, path string, content string",
+    )
+    new = spark.createDataFrame(
+        [("r1", "a", "x"), ("r1", "b", "Y2"), ("r3", "d", "w")],
+        "repo string, path string, content string",
+    )
+    got = {
+        (r["repo"], r["path"]): (r["_change_type"], r["content"])
+        for r in diff_states(old, new).collect()
+    }
+    assert got == {
+        ("r1", "b"): ("update", "Y2"),   # post-image
+        ("r2", "c"): ("delete", "z"),    # pre-image
+        ("r3", "d"): ("insert", "w"),
+    }  # ("r1","a") unchanged -> absent
+
+
+def test_table_changes_replays_to_the_newer_state(spark, stepped):
+    """Applying the v1->v3 changefeed on top of the v1 state must yield
+    exactly the v3 state — the defining property of a changefeed."""
+    d, store = stepped
+    ch = table_changes(spark, store, 1, 3)
+    old = store.read_state(spark, version=1)
+    # apply: delete removed keys, upsert insert/update post-images
+    data_cols = [c for c in old.columns]
+    changes = {
+        (r["repo"], r["path"]): r
+        for r in ch.collect()
+    }
+    base = {(r["repo"], r["path"]): r for r in old.collect()}
+    for k, r in changes.items():
+        if r["_change_type"] == "delete":
+            base.pop(k, None)
+        else:
+            base[k] = r
+    import hashlib
+
+    rebuilt = sorted(
+        (k[0], k[1], hashlib.sha256(r["content"].encode()).hexdigest())
+        for k, r in base.items()
+    )
+    assert rebuilt == _sha_state(spark, store, version=3)
+
+
+def test_changed_buckets_prunes_at_manifest_level(spark, stepped):
+    d, store = stepped
+    # v3 committed only epoch-3's dirty buckets: the diff planning set for
+    # v2->v3 must be exactly those buckets, not the whole table
+    m2, m3 = store.manifest(2), store.manifest(3)
+    expected = sorted(
+        int(b)
+        for b in set(m2["buckets"]) | set(m3["buckets"])
+        if m2["buckets"].get(b, []) != m3["buckets"].get(b, [])
+    )
+    assert changed_buckets(store, 2, 3) == expected
+    # self-diff is empty and reads nothing
+    assert changed_buckets(store, 3, 3) == []
+    assert table_changes(spark, store, 3, 3).count() == 0
+
+
+def test_chained_replication_converges_and_is_idempotent(spark, stepped):
+    """A -> B cascade: B tails A's changefeed version by version and ends
+    sha-identical to A; re-delivering a version batch is a no-op (the
+    lsn=version watermark dedups it)."""
+    d, store_a = stepped
+    store_b = TableStore(store_a.root + "_b", n_buckets=4)  # N->M layout too
+    engine_b = CdcApplyEngine(store_b, FAST)
+    prev = 0
+    for epoch, v in enumerate(store_a.versions()):
+        env = changefeed_envelope(spark, store_a, prev, v, n_partitions=4)
+        out = engine_b.apply_batch(env, epoch, writer_id="cascade")
+        assert out["status"] == "committed"
+        prev = v
+    assert _sha_state(spark, store_b) == _sha_state(spark, store_a)
+
+    # re-deliver the last version's batch under a new epoch: zero fresh
+    # events pass the watermark dedup -> state unchanged
+    env = changefeed_envelope(spark, store_a, 2, 3, n_partitions=4)
+    out = engine_b.apply_batch(env, 99, writer_id="cascade")
+    assert out["keys_changed"] == 0
+    assert _sha_state(spark, store_b) == _sha_state(spark, store_a)
+
+
+def test_rewrite_buckets_compacts_files_preserves_state_and_emits_empty_changefeed(
+    spark, tmp_path
+):
+    """Commits are bucket-CoW, so multi-file buckets come from size-split /
+    unaligned-clustered writes, not epoch accretion. Simulate one, then
+    rewrite it back to one file per bucket."""
+    from kp_data_replication_spark.schema import ROW_SCHEMA
+    from kp_data_replication_spark.sources.table_store import BUCKET_COL, bucket_expr
+
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    rows = spark.range(400).select(
+        F.format_string("org/r%d", F.col("id") % 7).alias("repo"),
+        F.format_string("f%d.py", F.col("id")).alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.format_string("content-%d", F.col("id")).alias("content"),
+    ).withColumn(BUCKET_COL, bucket_expr(4))
+    # clustered=True with round-robin partitioning: every task holds rows of
+    # every bucket -> several files per bucket directory
+    store.commit(
+        rows.repartition(3), list(range(4)),
+        [{"partition": 0, "applied_lsn": 0, "epoch": 0,
+          "n_applied": 400, "updated_ts": None}],
+        epoch=0, row_schema=ROW_SCHEMA, clustered=True,
+    )
+    m = store.current_manifest()
+    fat = [int(b) for b, fl in m["buckets"].items() if len(fl) > 1]
+    assert fat, "unaligned clustered commit should have left multi-file buckets"
+    before_sha = _sha_state(spark, store)
+    v_before = store.current_version()
+
+    out = store.rewrite_buckets(spark, min_files=1)
+    assert sorted(out["rewritten_buckets"]) == sorted(fat)
+    assert out["version"] == v_before + 1
+
+    m2 = store.current_manifest()
+    for b in fat:
+        assert len(m2["buckets"][str(b)]) == 1
+    # logical state unchanged; epoch/writers untouched (no fencing impact)
+    assert _sha_state(spark, store) == before_sha
+    assert m2["epoch"] == m["epoch"]
+    assert m2.get("writers") == m.get("writers")
+    # physical rewrite emits an EMPTY changefeed (null-safe row compare)
+    assert table_changes(spark, store, v_before, v_before + 1).count() == 0
+    # and a second pass is a no-op
+    again = store.rewrite_buckets(spark, min_files=1)
+    assert again["rewritten_buckets"] == []
+
+
+def test_rebucket_rescales_layout_preserves_state_and_future_applies(
+    spark, stepped, tmp_path
+):
+    """Partition-spec evolution: a table grown 100x wants more buckets so a
+    micro-batch stops rewriting huge files. Rebucket 8->16 in place; state
+    is sha-identical, the changefeed across the rebucket is empty, and the
+    next epoch applies against the NEW layout (engine reads n_buckets from
+    the manifest per batch)."""
+    d, store = stepped
+    before_sha = _sha_state(spark, store)
+    v_before = store.current_version()
+    out = store.rebucket(spark, 16)
+    assert out["n_buckets"] == 16 and store.n_buckets == 16
+    m = store.current_manifest()
+    assert m["n_buckets"] == 16 and len(m["buckets"]) == 16
+    assert _sha_state(spark, store) == before_sha
+    # physical-only change: empty changefeed (row-level null-safe compare)
+    assert table_changes(spark, store, v_before, out["version"]).count() == 0
+    # old versions still read through their own bucket map
+    assert _sha_state(spark, store, version=v_before) == before_sha
+
+    # a follow-on epoch lands in the 16-bucket layout
+    extra_dir = str(tmp_path / "extra16")
+    write_changelog(
+        spark, extra_dir,
+        ChangelogSpec(n_keys=30, versions_per_key=1, n_partitions=4, files=1,
+                      dup_every=0, lsn_base=20_000),
+    )
+    engine = CdcApplyEngine(store, FAST)
+    res = engine.apply_batch(
+        spark.read.option("mergeSchema", "true").parquet(extra_dir),
+        store.writer_epoch("default") + 1,
+    )
+    assert res["status"] == "committed"
+    m2 = store.current_manifest()
+    assert m2["n_buckets"] == 16
+    # dirty buckets of the new epoch were hashed with the NEW bucket count
+    assert all(int(b) < 16 for b in m2["buckets"])
+
+
+def test_rewrite_then_apply_then_vacuum_keeps_working(spark, stepped, tmp_path):
+    """Maintenance interleaves with ingest: rewrite -> new epoch applies on
+    the compacted layout -> vacuum drops pre-rewrite files -> state intact."""
+    d, store = stepped
+    engine = CdcApplyEngine(store, FAST)
+    # fresh follow-on changelog with higher lsns: reuse the same generator
+    # but a later lsn base via a second write + filter on new events only
+    extra_dir = str(tmp_path / "extra")
+    write_changelog(
+        spark, extra_dir,
+        ChangelogSpec(n_keys=40, versions_per_key=1, n_partitions=4, files=1,
+                      dup_every=0, lsn_base=10_000),
+    )
+    batch = spark.read.option("mergeSchema", "true").parquet(extra_dir)
+    out = engine.apply_batch(batch, store.writer_epoch("default") + 1)
+    assert out["status"] == "committed"
+    state_after = _sha_state(spark, store)
+
+    store.vacuum(keep_versions=1)
+    assert _sha_state(spark, store) == state_after
+    # time travel to vacuumed versions now raises cleanly
+    with pytest.raises(FileNotFoundError):
+        store.read_state(spark, version=1)

@@ -30,3 +30,29 @@ def test_gen_replay_state_roundtrip(tmp_path):
 
     s = json.loads(_run("state", tgt))
     assert s["rows"] > 0 and s["version"] == 1
+
+
+def test_maintenance_and_changes_subcommands(tmp_path):
+    cl = str(tmp_path / "cl")
+    tgt = str(tmp_path / "tgt")
+    _run("gen", cl, "--keys", "60", "--versions", "2",
+         "--partitions", "2", "--files", "2")
+    _run("replay", cl, tgt)
+
+    rb = json.loads(_run("rebucket", tgt, "8"))
+    assert rb["n_buckets"] == 8 and rb["version"] == 2
+
+    # physical-only rebucket: empty changefeed v1 -> v2
+    ch = json.loads(_run("changes", tgt, "1", "2"))
+    assert ch["changes"] == {}
+
+    # everything in v1 is an insert relative to the empty table
+    ch0 = json.loads(_run("changes", tgt, "0", "1"))
+    assert set(ch0["changes"]) == {"insert"} and ch0["changes"]["insert"] > 0
+
+    rw = json.loads(_run("rewrite", tgt))
+    assert rw["rewritten_buckets"] == []  # bucket-CoW commits: 1 file each
+
+    s1 = json.loads(_run("state", tgt, "--version", "1"))
+    s2 = json.loads(_run("state", tgt))
+    assert s1["rows"] == s2["rows"] and s2["version"] == 2
