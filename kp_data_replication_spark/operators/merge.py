@@ -18,25 +18,92 @@ so at 100 TB a micro-batch rewrites only dirty buckets, never the table.
 
 Schema evolution (S6): the batch's row schema may have grown additively
 (docs/consideration.md:13-18 — topic config changes propagate source ->
-target automatically). `align_schemas` null-pads the target to the union
-schema before the join, the analogue of `ALTER TABLE ADD COLUMNS`.
+target automatically). `evolve_columns` null-pads the target to the union
+schema before the join (the analogue of `ALTER TABLE ADD COLUMNS`), and
+`widen_type` implements TYPE WIDENING for a column whose source type grew
+(int -> long, float -> double, ... — the Iceberg/Delta type-widening
+lattice): the target column is promoted, never truncated. Old parquet
+files need no rewrite — Spark's parquet reader upcasts int32 pages into a
+bigint read schema natively, so widening is a pure metadata change.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schema import KEY_COLS
+
+_INT_RANK = {T.ByteType(): 1, T.ShortType(): 2, T.IntegerType(): 3, T.LongType(): 4}
+_FLOAT_RANK = {T.FloatType(): 1, T.DoubleType(): 2}
+
+
+def widen_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The narrower-to-wider promotion of two primitive types, or None when
+    neither losslessly contains the other (the Delta/Iceberg type-widening
+    lattice: byte<short<int<long; float<double; byte/short/int -> double —
+    long -> double is lossy and refused)."""
+    if a == b:
+        return a
+    if a in _INT_RANK and b in _INT_RANK:
+        return a if _INT_RANK[a] >= _INT_RANK[b] else b
+    if a in _FLOAT_RANK and b in _FLOAT_RANK:
+        return T.DoubleType()
+    ints = {a, b} & set(_INT_RANK)
+    floats = {a, b} & set(_FLOAT_RANK)
+    if ints and floats:
+        (i,), (f,) = ints, floats
+        # byte/short/int are exact in double; float -> double also exact
+        if _INT_RANK[i] <= 3:
+            return T.DoubleType()
+    return None
+
+
+def widen_fields(
+    stored: T.StructType, batch_fields: list[T.StructField]
+) -> T.StructType:
+    """Union schema with type widening: stored column order is preserved,
+    overlapping columns take the widened type, new batch columns append.
+    Raises on a non-widenable type change (that is a breaking change, not
+    schema evolution — e.g. string -> int)."""
+    by_name = {f.name: f for f in batch_fields}
+    out: list[T.StructField] = []
+    for f in stored.fields:
+        b = by_name.get(f.name)
+        if b is None or b.dataType == f.dataType:
+            out.append(f)
+            continue
+        w = widen_type(f.dataType, b.dataType)
+        if w is None:
+            raise ValueError(
+                f"incompatible type change for column '{f.name}': "
+                f"{f.dataType.simpleString()} -> {b.dataType.simpleString()} "
+                "is not a widening (additive evolution only)"
+            )
+        out.append(T.StructField(f.name, w, True))
+    names = {f.name for f in stored.fields}
+    out += [f for f in batch_fields if f.name not in names]
+    return T.StructType(out)
 
 
 def evolve_columns(target: DataFrame, batch_row_cols: list[tuple[str, object]]) -> DataFrame:
     """Additive column propagation: add any batch column the target lacks
-    (null-padded), never drop or retype existing ones."""
-    existing = set(target.columns)
+    (null-padded) and widen any existing column whose batch type grew;
+    never drop or narrow."""
+    existing = {f.name: f.dataType for f in target.schema.fields}
     for name, dtype in batch_row_cols:
         if name not in existing:
             target = target.withColumn(name, F.lit(None).cast(dtype))
+        elif dtype != existing[name]:
+            w = widen_type(existing[name], dtype)
+            if w is None:
+                raise ValueError(
+                    f"incompatible type change for column '{name}': "
+                    f"{existing[name].simpleString()} -> {dtype.simpleString()}"
+                )
+            if w != existing[name]:
+                target = target.withColumn(name, F.col(name).cast(w))
     return target
 
 
@@ -85,7 +152,10 @@ def merge_upsert(
         *[
             F.when(
                 has_source,
-                F.col(f"_s_{c}") if c in data_cols else F.lit(None).cast(target_types[c]),
+                # cast: a pre-widening producer may still send the narrow type
+                F.col(f"_s_{c}").cast(target_types[c])
+                if c in data_cols
+                else F.lit(None).cast(target_types[c]),
             )
             .otherwise(F.col(f"_t_{c}"))
             .alias(c)

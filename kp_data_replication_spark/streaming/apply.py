@@ -262,9 +262,12 @@ class CdcApplyEngine:
                             merged = merged.withColumn(
                                 fld.name, F.lit(None).cast(fld.dataType)
                             )
-                merged = merged.select(*[f.name for f in row_schema.fields]).withColumn(
-                    BUCKET_COL, bucket_expr(self.store.n_buckets)
-                )
+                # cast to the (possibly widened) union schema so every file
+                # written this epoch carries the manifest's column types
+                merged = merged.select(
+                    *[F.col(f.name).cast(f.dataType).alias(f.name)
+                      for f in row_schema.fields]
+                ).withColumn(BUCKET_COL, bucket_expr(self.store.n_buckets))
             else:
                 merged = None
 
@@ -353,7 +356,13 @@ class CdcApplyEngine:
     # ------------------------------------------------------------------ #
     def _union_row_schema(self, compacted: DataFrame) -> T.StructType:
         """Additive union of the stored schema and this batch's row schema
-        (S6 — target DDL follows source, docs/consideration.md:13-18)."""
+        (S6 — target DDL follows source, docs/consideration.md:13-18), with
+        TYPE WIDENING for columns whose source type grew (int -> long,
+        float -> double; merge.widen_fields). Widening is metadata-only:
+        the manifest schema takes the wider type and Spark's parquet reader
+        upcasts the untouched old files' pages on read — no rewrite."""
+        from ..operators.merge import widen_fields
+
         meta = {"op", "partition", "lsn", "ts_ms", BUCKET_COL,
                 "_n_fresh", "_bytes_fresh", "_pmin", "_pmax"}
         batch_fields = [
@@ -362,10 +371,7 @@ class CdcApplyEngine:
         stored = self.store.schema()
         if stored is None:
             return T.StructType(batch_fields)
-        names = {f.name for f in stored.fields}
-        return T.StructType(
-            list(stored.fields) + [f for f in batch_fields if f.name not in names]
-        )
+        return widen_fields(stored, batch_fields)
 
     def _write_metrics(
         self,
