@@ -73,6 +73,19 @@ def main(argv: list[str] | None = None) -> None:
     rw.add_argument("target")
     rw.add_argument("--min-files", type=int, default=2)
 
+    mo = sub.add_parser(
+        "monitor",
+        help="streaming windowed throughput series over a changelog "
+             "(event-time windows + watermark, append sink)",
+    )
+    mo.add_argument("changelog")
+    mo.add_argument("out_dir", help="parquet sink for the window series")
+    mo.add_argument("checkpoint")
+    mo.add_argument("--window", default="1 hour")
+    mo.add_argument("--watermark", default="2 hours")
+    mo.add_argument("--continuous", action="store_true",
+                    help="keep running (default: drain available input and stop)")
+
     lg = sub.add_parser("lag", help="per-partition replication lag vs a changelog head")
     lg.add_argument("changelog")
     lg.add_argument("target")
@@ -173,6 +186,25 @@ def main(argv: list[str] | None = None) -> None:
             min_shared_bands=args.min_shared_bands,
         )
         print(json.dumps(stats))
+    elif args.cmd == "monitor":
+        from .streaming.monitor import throughput_stream
+
+        stream = throughput_stream(
+            spark, args.changelog, CHANGELOG_SCHEMA_EVOLVED,
+            window=args.window, watermark=args.watermark,
+        )
+        writer = (
+            stream.writeStream.format("parquet")
+            .option("path", args.out_dir)
+            .option("checkpointLocation", args.checkpoint)
+            .outputMode("append")
+        )
+        if not args.continuous:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        q.awaitTermination()
+        n = spark.read.parquet(args.out_dir).count()
+        print(json.dumps({"status": "drained", "windows": n}))
     elif args.cmd == "lag":
         from pyspark.sql import functions as F
 
