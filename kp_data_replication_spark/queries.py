@@ -754,10 +754,55 @@ SQL_ANN_COSINE_TOPK = f"""
 
 
 def q_ann_cosine_topk_lsh(spark, sf_dir):
-    """Approximate variant (rows-only check: hyperplane LSH has no tractable
-    SQL twin; recall vs brute force is asserted in tests)."""
+    """Approximate variant. The hyperplanes are deterministic (plane p
+    component j = centered md5("p:j"), similarity.py:_plane_component), so
+    the whole bucket assignment + bucket-join + top-k IS SQL-expressible —
+    the oracle recomputes the identical signatures in DuckDB. Recall vs
+    brute force is additionally asserted in tests."""
     emb = _emb(spark, sf_dir)
     return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _lsh_plane_sql(p: int) -> str:
+    # identical to similarity._plane_component: conv(md5("p:j")[0:8],16,10)
+    # centered at 2^31; j is the 1-based vector index
+    return (
+        f"(('0x'||substring(md5('{p}:'||(j+1)::VARCHAR),1,8))::BIGINT::DOUBLE"
+        " - 2147483648.0)"
+    )
+
+
+def _lsh_dot_sql(p: int, v: str) -> str:
+    return (
+        f"list_sum(list_transform(range(len({v})), "
+        f"j -> {v}[j+1]::DOUBLE * {_lsh_plane_sql(p)}))"
+    )
+
+
+def _lsh_sig_sql(v: str, n_planes: int = 8) -> str:
+    terms = [
+        f"(CASE WHEN {_lsh_dot_sql(p, v)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+SQL_ANN_COSINE_TOPK_LSH = f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
+                      {_lsh_sig_sql('embedding')} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                 {_lsh_sig_sql('embedding')} AS bucket FROM embeddings
+          WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_COS_SQL.format(a="q.qvec", b="c.cvec")} AS cos
+      FROM c JOIN q USING (bucket)
+      WHERE c.neighbor_id != q.query_id)
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+"""
 
 
 def q_ann_cosine_topk_ivf(spark, sf_dir):
@@ -960,20 +1005,64 @@ SQL_PACK_CHUNKS = rf"""
 
 
 def q_pack_greedy(spark, sf_dir):
-    """Greedy no-split sequence packing (applyInPandas; rows-only check —
-    greedy reset-on-overflow has no SQL twin; parity-tested against a pure
-    Python reference in tests/test_training_data_ops.py)."""
+    """Greedy no-split sequence packing (applyInPandas). The per-shard
+    greedy reset-on-overflow fold IS SQL-expressible as a recursive CTE
+    stepping row-by-row within each shard (depth = max docs per shard), so
+    it carries an exact DuckDB oracle; additionally parity-tested against a
+    pure Python reference in tests/test_training_data_ops.py."""
     return pack_greedy(
         _docs(spark, sf_dir), budget=PACK_BUDGET, n_shards=PACK_SHARDS
     ).drop("doc_ids")
 
 
+SQL_PACK_GREEDY = rf"""
+    WITH RECURSIVE seq AS (
+      SELECT ((('0x'||substring(md5(doc_id::VARCHAR),1,8))::BIGINT % 1000000)
+               % {PACK_SHARDS})::INT AS shard,
+             doc_id::BIGINT AS doc,
+             len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tok,
+             row_number() OVER (
+               PARTITION BY ((('0x'||substring(md5(doc_id::VARCHAR),1,8))::BIGINT
+                              % 1000000) % {PACK_SHARDS})
+               ORDER BY doc_id::BIGINT) AS rn
+      FROM documents),
+    walk AS (
+      SELECT shard, rn, n_tok, n_tok AS acc, 0::BIGINT AS chunk
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.n_tok,
+             CASE WHEN w.acc + s.n_tok > {PACK_BUDGET}
+                  THEN s.n_tok ELSE w.acc + s.n_tok END,
+             CASE WHEN w.acc + s.n_tok > {PACK_BUDGET}
+                  THEN w.chunk + 1 ELSE w.chunk END
+      FROM walk w JOIN seq s ON s.shard = w.shard AND s.rn = w.rn + 1)
+    SELECT shard, shard * 1000000 + chunk AS pack_id,
+           count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+    FROM walk GROUP BY shard, chunk
+"""
+
+
 def q_text_rolling_fingerprint(spark, sf_dir):
-    """Karp-Rabin rolling hash (Arrow UDF; rows-only check — per-char
-    polynomial fold has no SQL twin)."""
+    """Karp-Rabin rolling hash (Arrow UDF). Exact DuckDB twin via a
+    list_reduce polynomial fold over code points — the Spark side folds
+    UTF-8 BYTES, which coincides on the all-ASCII documents corpus (the
+    driver's testdata; non-ASCII would need a byte-level fold DuckDB
+    doesn't expose)."""
     return _docs(spark, sf_dir).select(
         "doc_id", rolling_hash(F.col("text")).alias("rhash")
     )
+
+
+SQL_TEXT_ROLLING_FINGERPRINT = """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
+                       [ord(c)::HUGEINT for c in string_split(text, '')],
+                       (a, b) -> (a * 1000003 + b) % 2305843009213693951
+                     )::BIGINT
+           END AS rhash
+    FROM documents
+"""
 
 
 # --------------------------------------------------------------------- #
@@ -1005,7 +1094,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
-    "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, None),
+    "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, SQL_ANN_COSINE_TOPK_LSH),
     "ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, SQL_ANN_COSINE_TOPK_IVF),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "corpus_sample_stratified": (
@@ -1013,9 +1102,11 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
         SQL_CORPUS_SAMPLE_STRATIFIED,
     ),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
-    "pack_greedy": (q_pack_greedy, None),
+    "pack_greedy": (q_pack_greedy, SQL_PACK_GREEDY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "text_rolling_fingerprint": (q_text_rolling_fingerprint, None),
+    "text_rolling_fingerprint": (
+        q_text_rolling_fingerprint, SQL_TEXT_ROLLING_FINGERPRINT
+    ),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
 }
 
