@@ -161,3 +161,61 @@ def test_pack_greedy_is_arrow(spark, tmp_path):
     assert "FlatMapGroupsInPandas" in s or "FlatMapGroupsInArrow" in s
     assert "BatchEvalPython" not in s
     assert count_exchanges(out) == 1
+
+
+def test_table_changes_reads_only_changed_bucket_files(spark, tmp_path):
+    """Incremental read costs O(changed data), never O(table): the diff
+    plan's input files are exactly the changed buckets' files from the two
+    manifests — untouched buckets are pruned at the MANIFEST level, before
+    Spark ever lists a file. Also: no per-row Python, and the two
+    bucket-restricted sides add at most one exchange each."""
+    import os
+
+    from kp_data_replication_spark.operators.changefeed import (
+        changed_buckets,
+        table_changes,
+    )
+    from kp_data_replication_spark.sources.table_store import TableStore
+    from kp_data_replication_spark.streaming.apply import CdcApplyEngine, EngineConfig
+
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=200, versions_per_key=2, n_partitions=4, files=2,
+                      dup_every=0),
+    )
+    store = TableStore(str(tmp_path / "t"), n_buckets=16)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False))
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    half = len(files) // 2
+    engine.apply_batch(spark.read.parquet(*[f"{d}/{f}" for f in files[:half]]), 0)
+    # second epoch touches a SUBSET of keys -> a subset of buckets is dirty
+    second = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{d}/{f}" for f in files[half:]]
+    )
+    engine.apply_batch(second.filter(F.col("lsn") % 7 == 0), 1)
+
+    dirty = changed_buckets(store, 1, 2)
+    assert 0 < len(dirty) < store.n_buckets, "need partial-bucket change"
+
+    ch = table_changes(spark, store, 1, 2)
+    allowed = set()
+    for v in (1, 2):
+        m = store.manifest(v)
+        for b in dirty:
+            allowed |= {
+                os.path.join(store.root, p) for p in m["buckets"].get(str(b), [])
+            }
+    from urllib.parse import urlparse
+
+    read = {urlparse(f).path for f in ch.inputFiles()}
+    assert read <= allowed, f"diff read beyond changed buckets: {read - allowed}"
+    all_files = {
+        os.path.join(store.root, p)
+        for v in (1, 2)
+        for fl in store.manifest(v)["buckets"].values()
+        for p in fl
+    }
+    assert read < all_files, "diff read the whole table"
+    assert_no_row_python(ch)
+    assert count_exchanges(ch) <= 2  # one hash exchange per join side
