@@ -76,7 +76,12 @@ def bench_cdc_apply(spark, work_dir: str) -> dict:
 
     # best-of-N fresh replays: the sandbox host shows multi-x wall-clock
     # variance from outside contention; best-of is the least-noisy estimator
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    # settle BEFORE the first timed run: the freshly-written changelog is
+    # gigabytes of dirty pages and background writeback otherwise stalls
+    # run 0 (this host's dominant noise mode); run 0 additionally pays JIT/
+    # codegen warmup, so best-of-3 is the engine, not the host
+    os.sync()
     runs = []
     summary = {}
     n_state = 0
