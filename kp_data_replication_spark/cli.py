@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("target")
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--whitelist", default="^repos$")
+    r.add_argument("--dlq-dir", default=None,
+                   help="quarantine malformed envelopes here instead of "
+                        "failing the merge (errors.tolerance=all analogue)")
 
     s = sub.add_parser("stream", help="continuous tail with checkpoint resume")
     s.add_argument("changelog")
@@ -127,7 +130,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "replay":
         engine = CdcApplyEngine(
             TableStore(args.target, n_buckets=args.buckets),
-            EngineConfig(whitelist=args.whitelist),
+            EngineConfig(whitelist=args.whitelist, dlq_dir=args.dlq_dir),
         )
         print(json.dumps(engine.replay_batch(spark, args.changelog)))
     elif args.cmd == "stream":

@@ -25,6 +25,8 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -166,6 +168,12 @@ def changefeed_envelope(
         v_to = store.current_version()
     key_cols = key_cols or KEY_COLS
     ch = table_changes(spark, store, v_from, v_to, key_cols)
+    return _encode_envelope(ch, key_cols, n_partitions, source_topic)
+
+
+def _encode_envelope(
+    ch: DataFrame, key_cols: list[str], n_partitions: int, source_topic: str
+) -> DataFrame:
     data_cols = [c for c in ch.columns if c not in (CHANGE_TYPE_COL, VERSION_COL)]
     image = F.struct(*[F.col(c) for c in data_cols])
     is_del = F.col(CHANGE_TYPE_COL) == "delete"
@@ -186,3 +194,44 @@ def changefeed_envelope(
         ).alias("headers"),
         F.lit(source_topic).alias("source_topic"),
     )
+
+
+def cascade_catchup(
+    spark: SparkSession,
+    src: TableStore,
+    dst_engine,
+    n_partitions: int = 8,
+    source_topic: str = "repos",
+) -> dict:
+    """Incrementally replicate ``src``'s committed versions into a
+    downstream engine's table — the resumable A -> B catch-up loop.
+
+    The last source version this destination applied is tracked in the
+    destination's own writer-fencing map under ``cascade:<src root>``
+    (epoch = source version — the Delta txnAppId pattern doing double duty
+    as replication bookkeeping), so a crashed or restarted catch-up resumes
+    from exactly where it left off with no side-channel state; a re-applied
+    version batch is additionally deduped by the lsn=version watermark.
+    One call drains everything new: ``while`` the source commits, call
+    again — each call costs O(changed data since last call).
+
+    Retention contract (same as Delta CDF / Iceberg incremental reads):
+    the source's :meth:`~TableStore.vacuum` keep-window must cover the
+    destination's lag — a consumer further behind than the oldest retained
+    manifest raises FileNotFoundError and needs a full resync.
+    """
+    writer = f"cascade:{os.path.abspath(src.root)}"
+    last = max(dst_engine.store.writer_epoch(writer), 0)
+    applied = []
+    for v in src.versions():
+        if v <= last:
+            continue
+        env = changefeed_envelope(
+            spark, src, last, v,
+            n_partitions=n_partitions, source_topic=source_topic,
+        )
+        out = dst_engine.apply_batch(env, v, writer_id=writer)
+        if out.get("status") == "committed":
+            applied.append(v)
+        last = v
+    return {"applied_versions": applied, "at_version": last}

@@ -79,6 +79,14 @@ class EngineConfig:
     # key->partition affinity contract audit: "fail" (default — a violation
     # silently risks older images overwriting newer rows), "warn", or "off"
     affinity_check: str = "fail"
+    # dead-letter queue (Kafka Connect errors.tolerance=all + DLQ topic,
+    # which the reference's connector stack exposes): malformed envelopes —
+    # no key in either image, unknown op, null lsn — are quarantined to
+    # parquet under <dlq_dir>/epoch=N instead of poisoning the merge (a
+    # null key would otherwise form a mega-group in the compaction and a
+    # bogus row in the target). None (default) = trust the producer:
+    # no validation pass, zero extra jobs per epoch.
+    dlq_dir: str | None = None
 
 
 @dataclass
@@ -137,6 +145,30 @@ class CdcApplyEngine:
             "partition int, applied_lsn long",
         )
         fresh = filter_applied(events, lineage)
+
+        n_dlq = 0
+        if self.config.dlq_dir:
+            # the split runs AFTER the watermark dedup, so exactly-once
+            # covers the quarantine too: a re-delivered malformed row is
+            # dropped by its lsn, never re-captured
+            bad = _malformed_envelope_pred()
+            quarantined = fresh.filter(bad)
+            dlq_stats = (
+                quarantined.groupBy("partition")
+                .agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            n_dlq = sum(r["n"] for r in dlq_stats)
+            if n_dlq:
+                # non-transactional quarantine append (monitoring-grade, like
+                # metrics): rows are preserved byte-faithfully for repair +
+                # replay; the lineage watermark advances past their lsns, so
+                # repair means re-submitting them as NEW events (the Kafka
+                # Connect DLQ contract — skip, capture, move on)
+                quarantined.write.mode("overwrite").parquet(
+                    os.path.join(self.config.dlq_dir, f"epoch={epoch}")
+                )
+            fresh = fresh.filter(~bad)
 
         unpack = unpack_envelope_arrow if self.config.arrow_unpack else unpack_envelope
         # normalization runs AFTER compaction: only surviving rows pay the
@@ -217,6 +249,17 @@ class CdcApplyEngine:
                 m["n_applied"] += r["n_fresh"]
                 if has_bytes:
                     m["bytes_in"] += r["bytes_fresh"] or 0
+            if n_dlq:
+                # the watermark must clear quarantined lsns too, or a
+                # partition whose TAIL events were malformed re-captures
+                # them on every redelivery (they are handled — in the DLQ —
+                # not pending)
+                for r in dlq_stats:
+                    m = marks.setdefault(
+                        r["partition"],
+                        {"applied_lsn": -1, "n_applied": 0, "bytes_in": 0},
+                    )
+                    m["applied_lsn"] = max(m["applied_lsn"], r["max_lsn"])
             phases["compact"] = round(_time.time() - t0, 3)
             t0 = _time.time()
 
@@ -298,6 +341,7 @@ class CdcApplyEngine:
                 "version": version,
                 "keys_changed": n_changed,
                 "dirty_buckets": len(dirty),
+                "n_dlq": n_dlq,
             }
             if metrics_thread is not None:
                 metrics_thread.join()
@@ -560,6 +604,18 @@ class CdcApplyEngine:
         else:
             writer = writer.trigger(processingTime="5 seconds")
         return writer.start()
+
+
+def _malformed_envelope_pred() -> F.Column:
+    """An envelope the MERGE contract cannot apply: no key in either image
+    (unpack would coalesce to null and the compaction would build a null-key
+    mega-group), an op outside c|u|d, or a null lsn (unsequenceable — the
+    watermark dedup cannot place it)."""
+    key_null = (
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).isNull()
+        | F.coalesce(F.col("after.path"), F.col("before.path")).isNull()
+    )
+    return key_null | ~F.col("op").isin("c", "u", "d") | F.col("lsn").isNull()
 
 
 def final_state(spark: SparkSession, store: TableStore) -> DataFrame:

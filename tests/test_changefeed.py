@@ -166,6 +166,51 @@ def test_chained_replication_converges_and_is_idempotent(spark, stepped):
     assert _sha_state(spark, store_b) == _sha_state(spark, store_a)
 
 
+def test_cascade_catchup_is_resumable_and_exactly_once(spark, tmp_path):
+    """The catch-up loop tracks the last replicated source version in the
+    destination's writer-fencing map: a restarted catch-up (new engine
+    object, same table) resumes where it left off, re-runs are no-ops, and
+    interleaved source commits are drained call by call."""
+    from kp_data_replication_spark.operators.changefeed import cascade_catchup
+
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=80, versions_per_key=3, n_partitions=4, files=6,
+                      dup_every=0),
+    )
+    src = TableStore(str(tmp_path / "a"), n_buckets=8)
+    src_engine = CdcApplyEngine(src, FAST)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    def commit_src(lo, hi, epoch):
+        src_engine.apply_batch(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[f"{d}/{f}" for f in files[lo:hi]]
+            ),
+            epoch,
+        )
+
+    dst = TableStore(str(tmp_path / "b"), n_buckets=4)
+
+    commit_src(0, 2, 0)
+    commit_src(2, 4, 1)
+    out1 = cascade_catchup(spark, src, CdcApplyEngine(dst, FAST), n_partitions=4)
+    assert out1["applied_versions"] == [1, 2] and out1["at_version"] == 2
+
+    # re-run with a FRESH engine object (restart): nothing to do
+    out2 = cascade_catchup(spark, src, CdcApplyEngine(dst, FAST), n_partitions=4)
+    assert out2["applied_versions"] == [] and out2["at_version"] == 2
+
+    # more source commits, including a maintenance (physical-only) version
+    commit_src(4, 6, 2)
+    src.rebucket(spark, 16)
+    out3 = cascade_catchup(spark, src, CdcApplyEngine(dst, FAST), n_partitions=4)
+    assert out3["applied_versions"] == [3, 4] and out3["at_version"] == 4
+
+    assert _sha_state(spark, dst) == _sha_state(spark, src)
+
+
 def test_rewrite_buckets_compacts_files_preserves_state_and_emits_empty_changefeed(
     spark, tmp_path
 ):
