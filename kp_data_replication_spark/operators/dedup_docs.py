@@ -218,3 +218,39 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             ).alias("simhash")
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with an evaluation/probe set (train-test overlap is one of the
+    classic training-corpus failure modes).
+
+    Plan shape for 100 TB: the probe side (benchmark suites — thousands of
+    documents at most) shingles into a small set that is BROADCAST; the
+    corpus side streams through the join with no shuffle of document text,
+    and the per-doc aggregation is a hash aggregate on (doc, shingle) hits
+    only. Output: (id_col, n_hit_ngrams, n_probes) for CONTAMINATED docs —
+    anti-join the corpus against it for the clean set.
+    """
+    d = _word_shingles(docs, id_col, text_col, n)
+    p = (
+        _word_shingles(probes, probe_id_col, probe_text_col, n)
+        .withColumnRenamed("doc", "probe")
+    )
+    return (
+        d.join(F.broadcast(p), "shingle")
+        .groupBy("doc")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_ngrams"),
+            F.countDistinct("probe").alias("n_probes"),
+        )
+        .withColumnRenamed("doc", id_col)
+    )

@@ -734,6 +734,30 @@ _COS_SQL = (
 )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word 3-gram with the
+    probe set (docs 0-4 standing in for an eval benchmark). The corpus has
+    planted near-dupes, so contamination hits are guaranteed."""
+    from .operators.dedup_docs import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5)
+    )
+
+
+SQL_DECONTAMINATE = f"""
+    WITH {{shingles}},
+    probe AS (SELECT doc AS probe, shingle FROM sh WHERE doc < 5),
+    corpus AS (SELECT doc, shingle FROM sh WHERE doc >= 5)
+    SELECT c.doc AS doc_id,
+           count(DISTINCT c.shingle) AS n_hit_ngrams,
+           count(DISTINCT p.probe) AS n_probes
+    FROM corpus c JOIN probe p USING (shingle)
+    GROUP BY 1
+""".format(shingles=_SHINGLES_SQL)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -1092,6 +1116,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh_pairs, SQL_DEDUP_MINHASH_LSH_PAIRS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, SQL_ANN_COSINE_TOPK_LSH),

@@ -286,3 +286,120 @@ def test_frame_sample_plan(spark, docs):
     for r in frames:
         expected = max((n_bytes[r.doc_id] // 16 - 1) // 2 + 1, 1)
         assert r["count"] == expected
+
+
+# ------------------------------------------------------- real netpbm decode
+def test_netpbm_roundtrip_exact():
+    """encode -> decode is pixel-exact for both P5 (gray) and P6 (RGB)."""
+    import numpy as np
+
+    from kp_data_replication_spark.operators.multimodal import (
+        decode_netpbm_bytes,
+        encode_netpbm,
+    )
+
+    rgb = (np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3) * 7) % 256
+    h, w, c, px = decode_netpbm_bytes(encode_netpbm(rgb))
+    assert (h, w, c) == (4, 5, 3)
+    np.testing.assert_array_equal(px, rgb.reshape(-1).astype(np.float32) / 255.0)
+
+    gray = np.arange(6 * 3, dtype=np.uint8).reshape(6, 3)
+    h, w, c, px = decode_netpbm_bytes(encode_netpbm(gray))
+    assert (h, w, c) == (6, 3, 1)
+    np.testing.assert_array_equal(px, gray.reshape(-1).astype(np.float32) / 255.0)
+
+
+def test_netpbm_header_variants_and_malformed():
+    import numpy as np
+    import pytest
+
+    from kp_data_replication_spark.operators.multimodal import decode_netpbm_bytes
+
+    px = bytes(range(6))
+    # comments + arbitrary whitespace between header tokens are legal netpbm
+    data = b"P5\n# a comment\n 3\t2 # trailing\n255\n" + px
+    h, w, c, arr = decode_netpbm_bytes(data)
+    assert (h, w, c) == (2, 3, 1)
+    np.testing.assert_array_equal(
+        arr, np.frombuffer(px, dtype=np.uint8).astype(np.float32) / 255.0
+    )
+    with pytest.raises(ValueError, match="not a binary netpbm"):
+        decode_netpbm_bytes(b"JFIF....")
+    with pytest.raises(ValueError, match="truncated netpbm payload"):
+        decode_netpbm_bytes(b"P6\n4 4\n255\n" + b"\x00" * 5)
+    with pytest.raises(ValueError, match="unsupported maxval"):
+        decode_netpbm_bytes(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+
+def test_netpbm_spark_pipeline_decode_luma_resize(spark):
+    """REAL image path end-to-end in Spark: synthesize netpbm bytes ->
+    Arrow-batched decode -> Rec.601 luma -> mean-pool resize; one doc's
+    output equals the pure-numpy reference exactly (float32 math both
+    sides). Plan audit: decode is MapInPandas, never row-wise Python."""
+    import numpy as np
+
+    from kp_data_replication_spark.operators.multimodal import (
+        decode_netpbm,
+        synth_netpbm_table,
+        to_luma,
+    )
+    from kp_data_replication_spark.operators.multimodal import resize_tensor
+    from kp_data_replication_spark.plans.audit import plan_string
+
+    side = 16
+    media = synth_netpbm_table(spark, 24, side=side, rgb=True)
+    out = resize_tensor(to_luma(decode_netpbm(media)), factor=2)
+    s = plan_string(out)
+    assert "MapInPandas" in s and "BatchEvalPython" not in s
+
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 24
+    r7 = rows[7]
+    assert (r7["height"], r7["width"]) == (side // 2, side // 2)
+
+    # numpy reference for doc_id=7 (same generator formula)
+    base = (np.arange(side * side, dtype=np.int64).reshape(side, side) + 7) % 256
+    img = np.stack([base, (base + 85) % 256, (base + 170) % 256], axis=2)
+    f = img.astype(np.float32) / 255.0
+    luma = (f.reshape(-1, 3) @ np.array([0.299, 0.587, 0.114], dtype=np.float32))
+    luma = luma.reshape(side, side)
+    pooled = luma.reshape(side // 2, 2, side // 2, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(
+        np.asarray(r7["tensor"], dtype=np.float32),
+        pooled.reshape(-1),
+        rtol=1e-6,
+    )
+
+
+# --------------------------------------------------------- decontamination
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc embedding a probe phrase is flagged with the exact
+    shared-3-gram count; clean docs are absent from the output."""
+    from kp_data_replication_spark.operators.dedup_docs import decontaminate
+
+    probes = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "prefix words then the quick brown fox appears here"),
+            (11, "completely unrelated content about spark plans"),
+            (12, "jumps over the lazy dog is quoted verbatim too"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_hit_ngrams"], r["n_probes"])
+           for r in decontaminate(docs, probes).collect()}
+    # doc 10 shares "the quick brown" + "quick brown fox" (2 trigrams)
+    # doc 12 shares "jumps over the" + "over the lazy" + "the lazy dog"
+    assert got == {10: (2, 1), 12: (3, 1)}
+
+
+def test_decontaminate_probe_side_is_broadcast(spark):
+    from kp_data_replication_spark.operators.dedup_docs import decontaminate
+    from kp_data_replication_spark.plans.audit import assert_broadcast_join
+
+    probes = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c x")], "doc_id long, text string")
+    assert_broadcast_join(decontaminate(docs, probes))
