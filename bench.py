@@ -38,6 +38,7 @@ from kp_data_replication_spark.streaming.apply import (  # noqa: E402
 HEADLINE_QUERIES = [
     "cdc_state_lastwrite",
     "cdc_merge_upsert",
+    "cdc_table_changes",
     "cdc_dedup_anti",
     "cdc_offset_translation",
     "cdc_gap_stats",

@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> None:
                         "(--throughput analogue; overrides files cap)")
     s.add_argument("--continuous", action="store_true",
                    help="keep running (default: drain available input and stop)")
+    s.add_argument("--dlq-dir", default=None,
+                   help="quarantine malformed envelopes here "
+                        "(errors.tolerance=all analogue)")
 
     st = sub.add_parser("state", help="show target state summary (time travel with --version)")
     st.add_argument("target")
@@ -136,7 +139,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "stream":
         engine = CdcApplyEngine(
             TableStore(args.target, n_buckets=args.buckets),
-            EngineConfig(whitelist=args.whitelist),
+            EngineConfig(whitelist=args.whitelist, dlq_dir=args.dlq_dir),
         )
         q = engine.start_stream(
             spark, args.changelog, args.checkpoint, CHANGELOG_SCHEMA_EVOLVED,
