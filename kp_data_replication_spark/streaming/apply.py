@@ -533,6 +533,58 @@ class CdcApplyEngine:
         )
 
     # ------------------------------------------------------------------ #
+    def bootstrap_snapshot(
+        self,
+        snapshot: DataFrame,
+        watermarks: dict[int, int],
+        epoch: int = 0,
+        writer_id: str = "snapshot",
+    ) -> dict:
+        """Initial-snapshot load (Debezium snapshot mode -> streaming
+        handoff): bulk-load a consistent table snapshot as the first
+        committed version and initialize the lineage watermarks to the
+        snapshot's log position, so the subsequent tail applies ONLY events
+        past the snapshot point — no replay of history that is already in
+        the snapshot, no gap.
+
+        ``snapshot``: the row image at the snapshot point (key + data
+        columns, no envelope). ``watermarks``: {log partition -> last lsn
+        REFLECTED in the snapshot}; events with lsn <= watermark dedup away
+        exactly like re-deliveries. One distributed job: bucket + write;
+        the lineage rows are driver-side (one per partition).
+
+        Scale shape: this is the one deliberately table-sized write the
+        engine ever does (every later epoch is bounded by batch size); it
+        is a single scan -> bucket-hash shuffle -> partitioned write of the
+        snapshot, no join, no Python.
+        """
+        if epoch <= self.store.writer_epoch(writer_id):
+            return {"epoch": epoch, "status": "fenced"}
+        row_schema = T.StructType(
+            [f for f in snapshot.schema.fields if f.name != BUCKET_COL]
+        )
+        data = snapshot.withColumn(BUCKET_COL, bucket_expr(self.store.n_buckets))
+        all_buckets = list(range(self.store.n_buckets))
+        from datetime import datetime, timezone
+
+        now = datetime.now(tz=timezone.utc).replace(tzinfo=None)
+        lineage = [
+            {
+                "consumer_group": self.config.consumer_group,
+                "partition": int(p),
+                "applied_lsn": int(lsn),
+                "epoch": epoch,
+                "n_applied": 0,
+                "updated_ts": now,
+            }
+            for p, lsn in sorted(watermarks.items())
+        ]
+        version = self.store.commit(
+            data, all_buckets, lineage, epoch, row_schema, writer_id=writer_id
+        )
+        return {"epoch": epoch, "status": "committed", "version": version}
+
+    # ------------------------------------------------------------------ #
     def replay_batch(
         self,
         spark: SparkSession,

@@ -323,3 +323,58 @@ def test_rewrite_then_apply_then_vacuum_keeps_working(spark, stepped, tmp_path):
     # time travel to vacuumed versions now raises cleanly
     with pytest.raises(FileNotFoundError):
         store.read_state(spark, version=1)
+
+
+def test_snapshot_bootstrap_then_tail_skips_history(spark, tmp_path):
+    """Debezium snapshot mode -> streaming handoff: bulk-load a consistent
+    snapshot, initialize watermarks to the snapshot's log position, then
+    tail the FULL log — pre-snapshot events dedup away, post-snapshot
+    events apply, and the final state equals a from-scratch full replay."""
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=120, versions_per_key=3, n_partitions=4, files=6,
+                      dup_every=0),
+    )
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    half = len(files) // 2
+
+    # reference: full replay from scratch
+    ref = TableStore(str(tmp_path / "ref"), n_buckets=8)
+    CdcApplyEngine(ref, FAST).apply_batch(
+        spark.read.option("mergeSchema", "true").parquet(d), 0
+    )
+
+    # "snapshot source": the state + watermarks after the first half
+    snap_src = TableStore(str(tmp_path / "snap_src"), n_buckets=8)
+    CdcApplyEngine(snap_src, FAST).apply_batch(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[f"{d}/{f}" for f in files[:half]]
+        ),
+        0,
+    )
+    snapshot = snap_src.read_state(spark)
+    marks = {
+        r["partition"]: r["applied_lsn"] for r in snap_src.read_lineage_rows()
+    }
+
+    # bootstrap a fresh target from the snapshot, then tail the WHOLE log
+    tgt = TableStore(str(tmp_path / "tgt"), n_buckets=8)
+    engine = CdcApplyEngine(tgt, FAST)
+    out = engine.bootstrap_snapshot(snapshot, marks)
+    assert out["status"] == "committed" and tgt.current_version() == 1
+    assert _sha_state(spark, tgt) == _sha_state(spark, snap_src)
+
+    full = spark.read.option("mergeSchema", "true").parquet(d)
+    res = engine.apply_batch(full, 0)  # default writer, fresh sequence
+    assert res["status"] == "committed"
+    # history was deduped by the snapshot watermarks: the number of APPLIED
+    # events is the post-snapshot tail only, well below the full log
+    n_total_events = full.count()
+    n_applied = sum(r["n_applied"] or 0 for r in tgt.read_lineage_rows())
+    assert 0 < n_applied < n_total_events // 2 + 1
+
+    assert _sha_state(spark, tgt) == _sha_state(spark, ref)
+
+    # re-running the snapshot under its writer sequence is fenced
+    assert engine.bootstrap_snapshot(snapshot, marks)["status"] == "fenced"
