@@ -199,11 +199,21 @@ class CdcApplyEngine:
         compacted = compacted.withColumn(
             BUCKET_COL, bucket_expr(self.store.n_buckets)
         )
+        compacted = compacted.cache()
+        # normalization AFTER the cache point: the stats job below
+        # materializes the un-normalized cache (normalization cannot change
+        # the winner — it is chosen by lsn — nor the stats, which were
+        # folded from the raw batch upstream), so the Arrow NFC pass runs
+        # exactly once, inside the single merge-write job, overlapped with
+        # the write instead of serializing the stats materialization.
+        # (A "hybrid" JVM-CRLF + filtered-NFC variant was measured at the
+        # same speed on an ASCII corpus while splitting the bucket-
+        # clustered output into two files per bucket — not worth it.)
+        batch_source = compacted
         if self.config.normalize and "content" in compacted.columns:
-            compacted = compacted.withColumn(
+            batch_source = compacted.withColumn(
                 "content", normalize_content(F.col("content"))
             )
-        compacted = compacted.cache()
         try:
             # ONE job materializes the cache and yields, per (bucket,
             # partition): dirty buckets, changed-key count, AND the applied
@@ -285,7 +295,7 @@ class CdcApplyEngine:
 
             row_schema = self._union_row_schema(compacted)
             if dirty:
-                batch_side = compacted.drop(
+                batch_side = batch_source.drop(
                     BUCKET_COL, "_n_fresh", "_bytes_fresh", "_pmin", "_pmax"
                 )
                 if self.store._bucket_files(dirty):
