@@ -215,22 +215,53 @@ def cascade_catchup(
     One call drains everything new: ``while`` the source commits, call
     again — each call costs O(changed data since last call).
 
+    The cascade runs under its OWN consumer group (= the writer name): its
+    lsn-space is source-version numbers, which must never be compared
+    against the watermarks of a direct-ingest flow on the same table —
+    per-flow checkpoint lineage, exactly the reference's per-consumer-group
+    offset tracking (docs/consideration.md:37-48). This is what makes
+    bidirectional topologies work: each direction's cascade dedups against
+    its own watermark sequence only.
+
     Retention contract (same as Delta CDF / Iceberg incremental reads):
     the source's :meth:`~TableStore.vacuum` keep-window must cover the
     destination's lag — a consumer further behind than the oldest retained
     manifest raises FileNotFoundError and needs a full resync.
     """
+    from dataclasses import replace as _dc_replace
+
     writer = f"cascade:{os.path.abspath(src.root)}"
-    last = max(dst_engine.store.writer_epoch(writer), 0)
+    engine = type(dst_engine)(
+        dst_engine.store, _dc_replace(dst_engine.config, consumer_group=writer)
+    )
+    last = max(engine.store.writer_epoch(writer), 0)
     applied = []
     for v in src.versions():
         if v <= last:
+            continue
+        # free metadata short-circuit: identical bucket file lists means an
+        # identical state (lineage-only commit — e.g. the version a cascade
+        # in the OTHER direction wrote after an empty diff). This is the
+        # loop-prevention of the bidirectional topology: echo versions die
+        # here without a job, so A<->B cascades terminate instead of
+        # ping-ponging versions (the state-diff analogue of MM2's
+        # cluster-prefix loop guard, docs/consideration.md:29-35).
+        if not changed_buckets(src, last, v):
+            last = v
             continue
         env = changefeed_envelope(
             spark, src, last, v,
             n_partitions=n_partitions, source_topic=source_topic,
         )
-        out = dst_engine.apply_batch(env, v, writer_id=writer)
+        # a physical-only source change (rewrite/rebucket, or the source's
+        # own identical-content echo-rewrite from a reverse cascade) diffs
+        # to zero rows: skip, so the destination's version chain stops
+        # growing — together with the metadata guard above, a bidirectional
+        # echo dies within two hops
+        if env.isEmpty():
+            last = v
+            continue
+        out = engine.apply_batch(env, v, writer_id=writer)
         if out.get("status") == "committed":
             applied.append(v)
         last = v

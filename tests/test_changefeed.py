@@ -202,11 +202,13 @@ def test_cascade_catchup_is_resumable_and_exactly_once(spark, tmp_path):
     out2 = cascade_catchup(spark, src, CdcApplyEngine(dst, FAST), n_partitions=4)
     assert out2["applied_versions"] == [] and out2["at_version"] == 2
 
-    # more source commits, including a maintenance (physical-only) version
+    # more source commits, including a maintenance (physical-only) version:
+    # the data commit applies, the rebucket diffs to zero rows and is
+    # SKIPPED (no no-op version on the destination)
     commit_src(4, 6, 2)
     src.rebucket(spark, 16)
     out3 = cascade_catchup(spark, src, CdcApplyEngine(dst, FAST), n_partitions=4)
-    assert out3["applied_versions"] == [3, 4] and out3["at_version"] == 4
+    assert out3["applied_versions"] == [3] and out3["at_version"] == 4
 
     assert _sha_state(spark, dst) == _sha_state(spark, src)
 
@@ -378,3 +380,54 @@ def test_snapshot_bootstrap_then_tail_skips_history(spark, tmp_path):
 
     # re-running the snapshot under its writer sequence is fenced
     assert engine.bootstrap_snapshot(snapshot, marks)["status"] == "fenced"
+
+
+def test_bidirectional_cascade_converges_without_ping_pong(spark, tmp_path):
+    """State-based bidirectional sync: A and B ingest disjoint changelogs,
+    then cross-cascade via changefeed until both directions drain. Because
+    the changefeed is a STATE diff (not a log), rows replicated A->B come
+    back identical in B's feed and die in the null-safe compare — no topic
+    prefixes needed to prevent loops, convergence is self-stabilizing.
+    (Conflicting concurrent writes to the SAME key resolve last-cascade-
+    wins — the documented caveat; this test uses disjoint key spaces, the
+    normal bidirectional topology, docs/consideration.md:29-35.)"""
+    from kp_data_replication_spark.operators.changefeed import cascade_catchup
+
+    def mk_store(name, spec, n_buckets, langs):
+        d = str(tmp_path / f"cl_{name}")
+        write_changelog(spark, d, spec)
+        store = TableStore(str(tmp_path / name), n_buckets=n_buckets)
+        batch = spark.read.option("mergeSchema", "true").parquet(d).filter(
+            F.coalesce(F.col("after.lang"), F.col("before.lang")).isin(*langs)
+        )
+        CdcApplyEngine(store, FAST).apply_batch(batch, 0)
+        return store
+
+    # DISJOINT key spaces by construction (complementary lang partitions of
+    # the keyspace — lang is a pure function of the key): bidirectional
+    # sync of OVERLAPPING keys with conflicting images is the documented
+    # flip-flop caveat, the normal topology keeps each side authoritative
+    # for its own keys (docs/consideration.md:29-35)
+    a = mk_store("a", ChangelogSpec(n_keys=60, versions_per_key=2, n_partitions=2,
+                                    files=2, dup_every=0, n_repos=3), 8,
+                 langs=("py", "java", "go"))
+    b = mk_store("b", ChangelogSpec(n_keys=40, versions_per_key=2, n_partitions=2,
+                                    files=2, dup_every=0, n_repos=2,
+                                    hot_key_share=0.0, lsn_base=50_000), 4,
+                 langs=("md", "yaml"))
+
+    eng_a, eng_b = CdcApplyEngine(a, FAST), CdcApplyEngine(b, FAST)
+    versions_seen = []
+    for _ in range(4):  # alternate directions until both drain
+        r1 = cascade_catchup(spark, a, eng_b, n_partitions=2)
+        r2 = cascade_catchup(spark, b, eng_a, n_partitions=2)
+        versions_seen.append((r1["applied_versions"], r2["applied_versions"]))
+        if not r1["applied_versions"] and not r2["applied_versions"]:
+            break
+
+    assert _sha_state(spark, a) == _sha_state(spark, b)
+    # convergence: the final round applied nothing in either direction
+    assert versions_seen[-1] == ([], [])
+    # no ping-pong growth: version counts stay bounded (each side gained at
+    # most the cross-cascade commits, not an ever-growing echo chain)
+    assert a.current_version() <= 6 and b.current_version() <= 6
