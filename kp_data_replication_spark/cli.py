@@ -65,6 +65,15 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("target")
     st.add_argument("--version", type=int, default=None,
                     help="read AS OF this committed version (default: current)")
+    st.add_argument("--tag", default=None,
+                    help="read AS OF this named tag (overrides --version)")
+
+    tg = sub.add_parser("tag", help="pin/unpin a named version ref (vacuum retains tagged versions)")
+    tg.add_argument("target")
+    tg.add_argument("name")
+    tg.add_argument("--version", type=int, default=None,
+                    help="version to pin (default: current)")
+    tg.add_argument("--delete", action="store_true")
 
     ch = sub.add_parser("changes", help="row-level changefeed between two versions")
     ch.add_argument("target")
@@ -121,6 +130,15 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "vacuum":  # pure metadata/file op — no Spark session needed
         print(json.dumps(TableStore(args.target).vacuum(args.keep_versions)))
         return
+    if args.cmd == "tag":  # pure metadata op — no Spark session needed
+        store = TableStore(args.target)
+        if args.delete:
+            store.delete_tag(args.name)
+            print(json.dumps({"deleted": args.name, "tags": store.tags()}))
+        else:
+            v = store.create_tag(args.name, args.version)
+            print(json.dumps({"tag": args.name, "version": v}))
+        return
     spark = get_spark(app_name=f"kp-cdc-{args.cmd}", cpus=args.cpus)
 
     if args.cmd == "gen":
@@ -151,8 +169,12 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps({"status": "drained", "epoch": engine.store.current_epoch()}))
     elif args.cmd == "state":
         store = TableStore(args.target)
-        version = args.version if args.version is not None else store.current_version()
-        df = store.read_state(spark, version=args.version)
+        version = args.version
+        if args.tag is not None:
+            version = store.tag_version(args.tag)
+        if version is None:
+            version = store.current_version()
+        df = store.read_state(spark, version=version)
         print(json.dumps({
             "version": version,
             "epoch": store.current_epoch(),

@@ -309,6 +309,47 @@ class TableStore:
         os.replace(self.pointer_path + ".tmp", self.pointer_path)
         return version
 
+    # ---------- tags (named version refs) ----------
+    @property
+    def _tags_path(self) -> str:
+        return os.path.join(self.root, "_tags")
+
+    def tags(self) -> dict[str, int]:
+        """Named version refs (Iceberg tag analogue): {name -> version}."""
+        if not os.path.exists(self._tags_path):
+            return {}
+        with open(self._tags_path) as f:
+            return json.load(f)
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a committed version under a name. Tagged versions are
+        RETAINED by :meth:`vacuum` regardless of the keep window — the
+        retention pin for time-travel reads and slow changefeed consumers
+        (tag the baseline, vacuum freely, consumers diff from the tag)."""
+        if version is None:
+            version = self.current_version()
+        if version < 1 or version > self.current_version():
+            raise ValueError(f"cannot tag version {version}")
+        tags = self.tags()
+        tags[name] = version
+        with open(self._tags_path + ".tmp", "w") as f:
+            json.dump(tags, f)
+        os.replace(self._tags_path + ".tmp", self._tags_path)
+        return version
+
+    def delete_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        with open(self._tags_path + ".tmp", "w") as f:
+            json.dump(tags, f)
+        os.replace(self._tags_path + ".tmp", self._tags_path)
+
+    def tag_version(self, name: str) -> int:
+        try:
+            return self.tags()[name]
+        except KeyError:
+            raise ValueError(f"unknown tag {name!r} in {self.root}") from None
+
     # ---------- maintenance ----------
     def versions(self) -> list[int]:
         """Committed (pointer-reachable, unexpired) versions, ascending."""
@@ -486,7 +527,11 @@ class TableStore:
             int(f[1:-5]) for f in os.listdir(man_dir)
             if f.startswith("v") and f.endswith(".json")
         )
-        keep = [v for v in versions if current - keep_versions < v <= current]
+        tagged = set(self.tags().values())
+        keep = [
+            v for v in versions
+            if (current - keep_versions < v <= current) or v in tagged
+        ]
         live: set[str] = set()
         for v in keep:
             with open(os.path.join(man_dir, f"v{v}.json")) as f:

@@ -431,3 +431,44 @@ def test_bidirectional_cascade_converges_without_ping_pong(spark, tmp_path):
     # no ping-pong growth: version counts stay bounded (each side gained at
     # most the cross-cascade commits, not an ever-growing echo chain)
     assert a.current_version() <= 6 and b.current_version() <= 6
+
+
+def test_tags_pin_versions_through_vacuum(spark, tmp_path):
+    """Named tags (Iceberg tag analogue) are retention pins: vacuum keeps a
+    tagged version's files outside the keep window, so time travel AND a
+    changefeed from the tagged baseline still work after aggressive
+    expiry; deleting the tag releases it."""
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=60, versions_per_key=2, n_partitions=2, files=4,
+                      dup_every=0),
+    )
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    engine = CdcApplyEngine(store, FAST)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    for epoch, f in enumerate(files):
+        engine.apply_batch(
+            spark.read.option("mergeSchema", "true").parquet(f"{d}/{f}"), epoch
+        )
+    n_versions = store.current_version()
+    assert n_versions == len(files) >= 4
+
+    baseline_sha = _sha_state(spark, store, version=1)
+    assert store.create_tag("baseline", 1) == 1
+
+    store.vacuum(keep_versions=1)
+    # v1 survives via the tag; v2/v3 are expired
+    assert _sha_state(spark, store, version=1) == baseline_sha
+    with pytest.raises(FileNotFoundError):
+        store.read_state(spark, version=2)
+    # changefeed from the pinned baseline still plans and runs
+    assert table_changes(spark, store, store.tag_version("baseline")).count() > 0
+
+    store.delete_tag("baseline")
+    store.vacuum(keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        store.read_state(spark, version=1)
+    # live state untouched throughout
+    assert store.current_version() == n_versions
+    assert len(_sha_state(spark, store)) > 0
