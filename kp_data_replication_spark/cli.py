@@ -231,7 +231,16 @@ def main(argv: list[str] | None = None) -> None:
             writer = writer.trigger(availableNow=True)
         q = writer.start()
         q.awaitTermination()
-        n = spark.read.parquet(args.out_dir).count()
+        # zero finalized windows (event-time span shorter than the
+        # watermark) leaves only _spark_metadata in the sink — read with
+        # an AnalysisException guard instead of crashing on schema
+        # inference
+        from pyspark.errors import AnalysisException
+
+        try:
+            n = spark.read.parquet(args.out_dir).count()
+        except AnalysisException:
+            n = 0
         print(json.dumps({"status": "drained", "windows": n}))
     elif args.cmd == "lag":
         from pyspark.sql import functions as F

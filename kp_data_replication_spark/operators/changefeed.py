@@ -252,16 +252,21 @@ def cascade_catchup(
         env = changefeed_envelope(
             spark, src, last, v,
             n_partitions=n_partitions, source_topic=source_topic,
-        )
-        # a physical-only source change (rewrite/rebucket, or the source's
-        # own identical-content echo-rewrite from a reverse cascade) diffs
-        # to zero rows: skip, so the destination's version chain stops
-        # growing — together with the metadata guard above, a bidirectional
-        # echo dies within two hops
-        if env.isEmpty():
-            last = v
-            continue
-        out = engine.apply_batch(env, v, writer_id=writer)
+        ).persist()
+        try:
+            # a physical-only source change (rewrite/rebucket, or the
+            # source's own identical-content echo-rewrite from a reverse
+            # cascade) diffs to zero rows: skip, so the destination's
+            # version chain stops growing — together with the metadata
+            # guard above, a bidirectional echo dies within two hops.
+            # persist() so the probe's partial evaluation is reused by
+            # apply_batch instead of re-running the full-outer diff twice.
+            if env.isEmpty():
+                last = v
+                continue
+            out = engine.apply_batch(env, v, writer_id=writer)
+        finally:
+            env.unpersist()
         if out.get("status") == "committed":
             applied.append(v)
         last = v

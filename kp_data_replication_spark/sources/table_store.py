@@ -330,6 +330,14 @@ class TableStore:
             version = self.current_version()
         if version < 1 or version > self.current_version():
             raise ValueError(f"cannot tag version {version}")
+        try:
+            # a pin on a vacuumed version could never deliver time travel
+            # or changefeed reads — fail at tag time, not read time
+            self.manifest(version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"cannot tag version {version}: its manifest has been vacuumed"
+            ) from None
         tags = self.tags()
         tags[name] = version
         with open(self._tags_path + ".tmp", "w") as f:

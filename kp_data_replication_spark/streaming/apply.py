@@ -85,7 +85,9 @@ class EngineConfig:
     # parquet under <dlq_dir>/epoch=N instead of poisoning the merge (a
     # null key would otherwise form a mega-group in the compaction and a
     # bogus row in the target). None (default) = trust the producer:
-    # no validation pass, zero extra jobs per epoch.
+    # no validation pass, zero extra jobs per epoch — note that WITHOUT a
+    # DLQ, null-lsn envelopes are dropped by the watermark dedup (its
+    # `lsn > watermark` predicate is NULL for them), not merged.
     dlq_dir: str | None = None
 
 
@@ -144,15 +146,26 @@ class CdcApplyEngine:
             [(r["partition"], r["applied_lsn"]) for r in lineage_rows],
             "partition int, applied_lsn long",
         )
+        unseq = None
+        if self.config.dlq_dir:
+            # null-lsn envelopes are unsequenceable: the watermark dedup's
+            # `lsn > watermark` predicate is NULL for them, so they would be
+            # silently dropped before any post-dedup malformed split saw
+            # them. Quarantine them from the raw (whitelisted) batch instead
+            # — they need no lsn dedup (nothing can re-deliver a specific
+            # null position; epoch-replay re-capture overwrites the same
+            # idempotent epoch=N directory).
+            unseq = events.filter(F.col("lsn").isNull())
+            events = events.filter(F.col("lsn").isNotNull())
         fresh = filter_applied(events, lineage)
 
         n_dlq = 0
         if self.config.dlq_dir:
-            # the split runs AFTER the watermark dedup, so exactly-once
-            # covers the quarantine too: a re-delivered malformed row is
-            # dropped by its lsn, never re-captured
+            # the sequenceable split runs AFTER the watermark dedup, so
+            # exactly-once covers the quarantine too: a re-delivered
+            # malformed row is dropped by its lsn, never re-captured
             bad = _malformed_envelope_pred()
-            quarantined = fresh.filter(bad)
+            quarantined = fresh.filter(bad).unionByName(unseq)
             dlq_stats = (
                 quarantined.groupBy("partition")
                 .agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n"))
@@ -265,6 +278,10 @@ class CdcApplyEngine:
                 # them on every redelivery (they are handled — in the DLQ —
                 # not pending)
                 for r in dlq_stats:
+                    if r["max_lsn"] is None:
+                        # partition quarantined only null-lsn rows — nothing
+                        # to advance past
+                        continue
                     m = marks.setdefault(
                         r["partition"],
                         {"applied_lsn": -1, "n_applied": 0, "bytes_in": 0},
@@ -672,7 +689,10 @@ def _malformed_envelope_pred() -> F.Column:
     """An envelope the MERGE contract cannot apply: no key in either image
     (unpack would coalesce to null and the compaction would build a null-key
     mega-group), an op outside c|u|d, or a null lsn (unsequenceable — the
-    watermark dedup cannot place it)."""
+    watermark dedup cannot place it). In the engine the null-lsn class is
+    split from the RAW batch before the watermark dedup (which would
+    silently drop it); the clause here keeps the predicate complete for
+    standalone validation use."""
     key_null = (
         F.coalesce(F.col("after.repo"), F.col("before.repo")).isNull()
         | F.coalesce(F.col("after.path"), F.col("before.path")).isNull()

@@ -472,3 +472,11 @@ def test_tags_pin_versions_through_vacuum(spark, tmp_path):
     # live state untouched throughout
     assert store.current_version() == n_versions
     assert len(_sha_state(spark, store)) > 0
+
+    # re-tagging the now-vacuumed version is rejected at tag time: the pin
+    # could never deliver time travel / changefeed reads (its manifest is
+    # gone), so failing later with FileNotFoundError would be a trap
+    with pytest.raises(ValueError, match="vacuumed"):
+        store.create_tag("late", 1)
+    # tagging a live version still works
+    assert store.create_tag("head", n_versions) == n_versions

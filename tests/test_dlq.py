@@ -58,6 +58,45 @@ def test_malformed_envelopes_quarantine_valid_rows_apply(spark, tmp_path):
     assert out2["keys_changed"] == 0 and out2["n_dlq"] == 0
 
 
+def test_null_lsn_envelopes_quarantine_not_silently_dropped(spark, tmp_path):
+    """Null-lsn envelopes are unsequenceable: the watermark dedup's
+    `lsn > watermark` predicate is NULL for them, so they must be split
+    from the RAW batch (pre-dedup) or they vanish without reaching the DLQ
+    — the errors.tolerance=all contract says capture, not drop."""
+    dlq = str(tmp_path / "dlq")
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False, dlq_dir=dlq))
+
+    # a broken producer violates the schema's nullability contract too
+    nullable_lsn = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True if f.name == "lsn" else f.nullable)
+            for f in CHANGELOG_SCHEMA.fields
+        ]
+    )
+    rows = [
+        _ev(0, 0, "c", None, _img("a.py", "A")),            # valid
+        _ev(0, None, "c", None, _img("ghost.py", "G")),     # null lsn
+        _ev(1, None, "u", None, _img("ghost2.py", "G2")),   # null lsn, own partition
+        _ev(0, 1, "u", None, _img("a.py", "A2")),           # valid
+    ]
+    out = engine.apply_batch(spark.createDataFrame(rows, nullable_lsn), 0)
+    assert out["status"] == "committed"
+    assert out["n_dlq"] == 2
+
+    state = {r["path"]: r["content"] for r in store.read_state(spark).collect()}
+    assert state == {"a.py": "A2"}  # null-lsn rows never merged
+
+    q = spark.read.schema(CHANGELOG_SCHEMA).parquet(os.path.join(dlq, "epoch=0"))
+    got = sorted((r["partition"], r["path"]) for r in q.select(
+        "partition", "after.path").collect())
+    assert got == [(0, "ghost.py"), (1, "ghost2.py")]
+    # partition 1 carried ONLY a null-lsn row: its watermark must not be
+    # created/advanced (nothing sequenceable was applied there)
+    lineage = {r["partition"]: r["applied_lsn"] for r in store.read_lineage_rows()}
+    assert lineage.get(0) == 1 and 1 not in lineage
+
+
 def test_clean_batch_writes_no_dlq_files(spark, tmp_path):
     dlq = str(tmp_path / "dlq")
     store = TableStore(str(tmp_path / "t"), n_buckets=4)
