@@ -90,16 +90,51 @@ ROLLING_P = (1 << 61) - 1
 @F.pandas_udf(T.LongType())
 def rolling_hash(s: pd.Series) -> pd.Series:
     """Karp-Rabin polynomial rolling hash over bytes (vectorized Arrow UDF;
-    no builtin equivalent). Deterministic across runs/platforms."""
-    def _h(x):
-        if x is None:
-            return None
-        h = 0
-        for b in x.encode("utf-8"):
-            h = (h * ROLLING_B + b) % ROLLING_P
-        return h
+    no builtin equivalent). Deterministic across runs/platforms.
 
-    return s.map(_h)
+    Vectorized across the BATCH dimension: one numpy step per byte
+    position updates every document simultaneously, so the Python-level
+    loop count is max(len) per batch instead of sum(len) — at a 10k-row
+    Arrow batch that is a ~10^4x cut in interpreter iterations. The
+    modular multiply stays in uint64 by exploiting the Mersenne modulus
+    P = 2^61-1 (so 2^61 === 1 mod P): split h = h_hi*2^41 + h_lo with
+    h_hi < 2^20; then h*B = (h_hi*B >> 20) + ((h_hi*B & 0xFFFFF) << 41)
+    + h_lo*B (mod P), every term < 2^61 and their sum < 2^63."""
+    import numpy as np
+
+    n = len(s)
+    if n == 0:
+        return pd.Series([], dtype="object")
+    raw = [None if x is None else x.encode("utf-8") for x in s]
+    lens = np.array([0 if b is None else len(b) for b in raw], dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(raw):
+        if b:
+            buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+
+    P = np.uint64(ROLLING_P)
+    B = np.uint64(ROLLING_B)
+    LO41 = np.uint64((1 << 41) - 1)
+    LO20 = np.uint64((1 << 20) - 1)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(maxlen):
+        m = (h >> np.uint64(41)) * B  # h_hi*B < 2^40
+        t = (
+            (m >> np.uint64(20))
+            + ((m & LO20) << np.uint64(41))
+            + (h & LO41) * B
+            + buf[:, j]
+        )
+        t = (t >> np.uint64(61)) + (t & P)
+        t = np.where(t >= P, t - P, t)
+        h = np.where(j < lens, t, h)
+
+    # nullable Int64, NOT .mask(None) on int64 — that would coerce to
+    # float64 and round values above 2^53
+    out = pd.Series(h.astype(np.int64), dtype="Int64")
+    out[[b is None for b in raw]] = pd.NA
+    return out
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:

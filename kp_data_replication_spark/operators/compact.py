@@ -91,13 +91,50 @@ def last_write_wins_join(
     docs/consideration.md:52-58).
     """
     key_cols = key_cols or KEY_COLS
+    winners = lww_winners(df, key_cols, order_col, count_col, extra_aggs)
+    return lww_join_winners(df, winners, key_cols, order_col, broadcast=True)
+
+
+def lww_winners(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "lsn",
+    count_col: str | None = None,
+    extra_aggs: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """Phase 1 of the two-phase compaction: slim winner stubs — one row per
+    key with (key cols, max(order), per-key stats), never the wide payload.
+    The shuffle carries a few dozen bytes per key. Materializing this
+    separately (persist + a scalar probe) is what lets the engine CHOOSE
+    the phase-2 join strategy from the actual winner-set size instead of
+    trusting configuration (compact_strategy="auto")."""
+    key_cols = key_cols or KEY_COLS
     aggs = [F.max(order_col).alias(order_col)]
     if count_col:
         aggs.append(F.count(F.lit(1)).alias(count_col))
     for name, col in (extra_aggs or {}).items():
         aggs.append(col.alias(name))
-    winners = df.groupBy(*key_cols).agg(*aggs)
-    joined = df.join(F.broadcast(winners), on=[*key_cols, order_col], how="inner")
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def lww_join_winners(
+    df: DataFrame,
+    winners: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "lsn",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Phase 2: join the winner stubs back to the raw rows on (key, order).
+
+    ``broadcast=True`` hints the winners side explicitly (leaving it to AQE
+    would still plan and write the full-width rows-side shuffle before
+    converting); ``broadcast=False`` is the degrade path for batches whose
+    winner set exceeds the driver's broadcast budget — a plain shuffle join
+    moving the same bytes a direct wide aggregate would, with no driver
+    OOM risk."""
+    key_cols = key_cols or KEY_COLS
+    side = F.broadcast(winners) if broadcast else winners
+    joined = df.join(side, on=[*key_cols, order_col], how="inner")
     return joined.dropDuplicates(key_cols)
 
 

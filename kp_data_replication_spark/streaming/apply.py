@@ -43,7 +43,12 @@ from ..functions.envelope import (
     unpack_envelope,
     unpack_envelope_arrow,
 )
-from ..operators.compact import last_write_wins, last_write_wins_join
+from ..operators.compact import (
+    last_write_wins,
+    last_write_wins_join,
+    lww_join_winners,
+    lww_winners,
+)
 from ..operators.dedup_cdc import filter_applied
 from ..operators.filters import DEFAULT_BLACKLIST, select_topics
 from ..schema import DEFAULT_GROUP
@@ -67,11 +72,13 @@ class EngineConfig:
     metrics: bool = True
     # explicit parallelism for the wide stages; None -> session default
     shuffle_partitions: int | None = None
-    # compaction plan: "twophase" shuffles only slim (key, lsn, stats)
-    # winners then broadcast-joins them back — right for wide rows with a
-    # micro-batch-bounded key set; "direct" is the single wide hash
-    # aggregate — right for slim rows or batches with huge key counts
-    compact_strategy: str = "twophase"
+    # compaction plan: "auto" (default) materializes the slim phase-1
+    # winner stubs, probes their actual count/key-bytes, and picks
+    # broadcast vs shuffle for the join-back against broadcast_threshold —
+    # a misconfigured giant batch degrades to a shuffle join instead of
+    # OOMing the driver. "twophase" always broadcasts the winners;
+    # "direct" is the single wide hash aggregate — right for slim rows
+    compact_strategy: str = "auto"
     # autoBroadcastJoinThreshold while applying a batch: the winner set of
     # a typical micro-batch is tens of MB — worth broadcasting well past
     # Spark's 10MB default. Set None to leave the session value untouched.
@@ -203,7 +210,39 @@ class CdcApplyEngine:
         has_bytes = "content" in rows.columns
         if has_bytes:
             extra["_bytes_fresh"] = F.sum(F.length("content"))
-        if self.config.compact_strategy == "twophase":
+        winners_cached = None
+        compact_path = self.config.compact_strategy
+        if self.config.compact_strategy == "auto":
+            # materialize the slim phase-1 winners and probe their REAL
+            # size; the probe's aggregation scan is work phase 2 needed
+            # anyway (the winners side of the join) — it is paid once, into
+            # the cache — so auto costs one extra pass over cached slim
+            # stubs, not an extra raw-batch scan
+            winners_cached = lww_winners(
+                rows, count_col="_n_fresh", extra_aggs=extra
+            ).persist()
+            probe = winners_cached.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.octet_length(F.concat_ws("", F.col("repo"), F.col("path")))
+                ).alias("key_bytes"),
+            ).first()
+            n_win = probe["n"] or 0
+            # broadcast-side estimate: raw key bytes + per-row JVM/agg-col
+            # overhead, times 4 for the broadcast hash relation's expansion
+            est = 4 * (
+                (probe["key_bytes"] or 0)
+                + n_win * (16 * len(winners_cached.columns) + 48)
+            )
+            budget = _parse_size_bytes(self.config.broadcast_threshold) or (
+                256 << 20
+            )
+            use_broadcast = est <= budget
+            compact_path = "broadcast" if use_broadcast else "shuffle"
+            compacted = lww_join_winners(
+                rows, winners_cached, broadcast=use_broadcast
+            )
+        elif self.config.compact_strategy == "twophase":
             compacted = last_write_wins_join(
                 rows, count_col="_n_fresh", extra_aggs=extra
             )
@@ -369,6 +408,7 @@ class CdcApplyEngine:
                 "keys_changed": n_changed,
                 "dirty_buckets": len(dirty),
                 "n_dlq": n_dlq,
+                "compact_path": compact_path,
             }
             if metrics_thread is not None:
                 metrics_thread.join()
@@ -384,6 +424,8 @@ class CdcApplyEngine:
             return summary
         finally:
             compacted.unpersist()
+            if winners_cached is not None:
+                winners_cached.unpersist()
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -683,6 +725,22 @@ class CdcApplyEngine:
         else:
             writer = writer.trigger(processingTime="5 seconds")
         return writer.start()
+
+
+def _parse_size_bytes(s: str | int | None) -> int | None:
+    """Parse a Spark-style size string ("256m", "10485760", "1g") to bytes."""
+    if s is None:
+        return None
+    if isinstance(s, int):
+        return s
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    suffix = s[-1] if s and s[-1] in mult else ""
+    try:
+        n = float(s[: -1] if suffix else s)
+    except ValueError:
+        return None
+    return int(n * (mult[suffix] if suffix else 1))
 
 
 def _malformed_envelope_pred() -> F.Column:
