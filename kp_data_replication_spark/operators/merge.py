@@ -107,11 +107,16 @@ def evolve_columns(target: DataFrame, batch_row_cols: list[tuple[str, object]]) 
     return target
 
 
+LWW_TS_COL = "_lww_ts"
+LWW_SRC_COL = "_lww_src"
+
+
 def merge_upsert(
     target: DataFrame,
     batch: DataFrame,
     key_cols: list[str] | None = None,
     op_col: str = "op",
+    lww: bool = False,
 ) -> DataFrame:
     """Apply one compacted batch (unique keys, newest change each) to target.
 
@@ -119,6 +124,24 @@ def merge_upsert(
     Returns the new target state with the union schema. The join keys carry
     the same hash partitioning the compaction aggregate produced, so Catalyst
     shuffles only the target side.
+
+    ``lww``: CRDT-style last-write-wins conflict resolution for
+    bidirectional topologies (the reference's active/active accounts
+    scenario, docs/consideration.md:29-35, where concurrent writes to the
+    SAME key would otherwise flip-flop per cascade round). Rows carry a
+    total-order conflict stamp (``_lww_ts``, ``_lww_src``) — origin event
+    time + origin cluster id, stamped at first ingest and carried through
+    every cascade as ordinary data columns. A matched source row wins ONLY
+    when its stamp is lexicographically >= the target row's (>= so a
+    re-delivered identical winner stays idempotent); both replicas compare
+    the same two stamps, so they pick the same winner and the state diff
+    of the losing application is empty — convergence instead of ping-pong.
+    Stampless rows (pre-LWW data) compare as -infinity and lose to any
+    stamped write. Delete-vs-concurrent-update also resolves by stamp at
+    merge time; losing tombstones are dropped, not persisted — sufficient
+    for the changefeed cascade (versions replay monotonically), while a
+    log that re-delivers arbitrarily old inserts after a newer delete
+    would need persisted tombstones (documented boundary).
     """
     key_cols = key_cols or KEY_COLS
     data_cols = [c for c in batch.columns if c not in (*key_cols, op_col, "partition", "lsn", "ts_ms")]
@@ -128,7 +151,11 @@ def merge_upsert(
     target = evolve_columns(target, [(c, batch_types[c]) for c in data_cols])
     target_cols = [c for c in target.columns if c not in key_cols]
 
-    t = target.select(*key_cols, *[F.col(c).alias(f"_t_{c}") for c in target_cols])
+    t = target.select(
+        *key_cols,
+        F.lit(True).alias("_t_present"),
+        *[F.col(c).alias(f"_t_{c}") for c in target_cols],
+    )
     s = batch.select(
         *key_cols,
         F.col(op_col).alias("_s_op"),
@@ -137,21 +164,45 @@ def merge_upsert(
 
     joined = t.join(s, key_cols, "full_outer")
     has_source = F.col("_s_op").isNotNull()
-    matched_delete = has_source & (F.col("_s_op") == "d")
+    target_present = F.col("_t_present").isNotNull()
 
-    # WHEN MATCHED AND op='d' THEN DELETE; a delete for an absent key is a no-op
+    if lww and LWW_TS_COL in data_cols:
+        s_ts = F.coalesce(F.col(f"_s_{LWW_TS_COL}"), F.lit(-1))
+        t_ts = (
+            F.coalesce(F.col(f"_t_{LWW_TS_COL}"), F.lit(-1))
+            if LWW_TS_COL in target_cols
+            else F.lit(-1)
+        )
+        s_src = F.coalesce(F.col(f"_s_{LWW_SRC_COL}"), F.lit(""))
+        t_src = (
+            F.coalesce(F.col(f"_t_{LWW_SRC_COL}"), F.lit(""))
+            if LWW_SRC_COL in target_cols
+            else F.lit("")
+        )
+        s_wins = (s_ts > t_ts) | ((s_ts == t_ts) & (s_src >= t_src))
+    else:
+        s_wins = F.lit(True)
+
+    # WHEN MATCHED AND op='d' (and, under lww, the tombstone's stamp wins)
+    # THEN DELETE; a delete for an absent key is a no-op (dropped either way)
+    matched_delete = (
+        has_source & (F.col("_s_op") == "d") & (~target_present | s_wins)
+    )
     kept = joined.filter(~matched_delete)
 
     # Debezium after-images are FULL row images: an update overwrites every
     # data column with the source image (a column missing from a
     # pre-evolution image becomes null — full-image semantics), an untouched
-    # row keeps its target values, an insert takes the source image.
+    # row keeps its target values, an insert takes the source image. Under
+    # lww a matched source that LOSES the stamp comparison leaves the
+    # target row byte-identical (so the cascade's state diff is empty).
+    take_source = has_source & (~target_present | s_wins)
     target_types = {f.name: f.dataType for f in target.schema.fields}
     return kept.select(
         *key_cols,
         *[
             F.when(
-                has_source,
+                take_source,
                 # cast: a pre-widening producer may still send the narrow type
                 F.col(f"_s_{c}").cast(target_types[c])
                 if c in data_cols

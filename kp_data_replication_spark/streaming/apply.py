@@ -52,7 +52,7 @@ from ..operators.compact import (
 from ..operators.dedup_cdc import filter_applied
 from ..operators.filters import DEFAULT_BLACKLIST, select_topics
 from ..schema import DEFAULT_GROUP
-from ..operators.merge import merge_upsert
+from ..operators.merge import LWW_SRC_COL, LWW_TS_COL, merge_upsert
 from ..sources.table_store import BUCKET_COL, TableStore, bucket_expr
 
 
@@ -86,6 +86,17 @@ class EngineConfig:
     # key->partition affinity contract audit: "fail" (default — a violation
     # silently risks older images overwriting newer rows), "warn", or "off"
     affinity_check: str = "fail"
+    # conflict resolution at MERGE time: "source-wins" (default — CDC
+    # semantics: the incoming batch is the newer truth) or "lww" —
+    # CRDT-style last-write-wins by total-order conflict stamp
+    # (_lww_ts=origin event time, _lww_src=origin cluster id), the
+    # active/active extension for bidirectional topologies where
+    # CONCURRENT writes to the same key would otherwise flip-flop per
+    # cascade round (docs/consideration.md:29-35). Stamps are stamped at
+    # first ingest (from ts_ms + cluster_id) and carried through every
+    # cascade as ordinary data columns.
+    conflict_policy: str = "source-wins"
+    cluster_id: str = ""
     # dead-letter queue (Kafka Connect errors.tolerance=all + DLQ topic,
     # which the reference's connector stack exposes): malformed envelopes —
     # no key in either image, unknown op, null lsn — are quarantined to
@@ -195,6 +206,24 @@ class CdcApplyEngine:
         # Arrow round-trip (strictly fewer rows, identical result — the
         # winner per key is chosen by lsn, not content)
         rows = unpack(fresh, normalize=False)
+        if self.config.conflict_policy == "lww":
+            # stamp (or carry) the total-order conflict stamp: a cascaded
+            # image already holds its ORIGIN stamp as data columns (the
+            # changefeed replays them); a direct-ingest event is stamped
+            # here with its own event time + this cluster's id. Tombstones
+            # (null after image -> null carried stamp) stamp from event time.
+            ts_stamp = F.unix_millis(F.col("ts_ms"))
+            if LWW_TS_COL in rows.columns:
+                rows = rows.withColumn(
+                    LWW_TS_COL, F.coalesce(F.col(LWW_TS_COL), ts_stamp)
+                ).withColumn(
+                    LWW_SRC_COL,
+                    F.coalesce(F.col(LWW_SRC_COL), F.lit(self.config.cluster_id)),
+                )
+            else:
+                rows = rows.withColumn(LWW_TS_COL, ts_stamp).withColumn(
+                    LWW_SRC_COL, F.lit(self.config.cluster_id)
+                )
 
         # fold the per-key byte total into the compaction aggregate: the
         # metrics pass then never re-reads the (wide) content column — its
@@ -356,7 +385,11 @@ class CdcApplyEngine:
                 )
                 if self.store._bucket_files(dirty):
                     target_dirty = self.store.read_state(spark, buckets=dirty)
-                    merged = merge_upsert(target_dirty, batch_side)
+                    merged = merge_upsert(
+                        target_dirty,
+                        batch_side,
+                        lww=self.config.conflict_policy == "lww",
+                    )
                 else:
                     # every dirty bucket is empty on the target (bootstrap /
                     # first touch): MERGE degenerates to INSERT-where-not-
