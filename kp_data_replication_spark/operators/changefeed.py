@@ -224,9 +224,13 @@ def cascade_catchup(
     its own watermark sequence only.
 
     Retention contract (same as Delta CDF / Iceberg incremental reads):
-    the source's :meth:`~TableStore.vacuum` keep-window must cover the
-    destination's lag — a consumer further behind than the oldest retained
-    manifest raises FileNotFoundError and needs a full resync.
+    the destination's position is REGISTERED on the source
+    (:meth:`~TableStore.record_consumer`), and the source's
+    :meth:`~TableStore.vacuum` derives its keep-floor from the slowest
+    registered flow — a lagging consumer auto-pins the versions it still
+    needs. Only an UNREGISTERED consumer (or one whose registration was
+    explicitly removed) can fall behind the retained window and need a
+    full resync.
     """
     from dataclasses import replace as _dc_replace
 
@@ -235,6 +239,13 @@ def cascade_catchup(
         dst_engine.store, _dc_replace(dst_engine.config, consumer_group=writer)
     )
     last = max(engine.store.writer_epoch(writer), 0)
+    # register this flow's position on the SOURCE so its vacuum keep-floor
+    # covers our lag (retention auto-pin — docs/consideration.md:37-48's
+    # checkpoint contract; without it a slow consumer silently needs a
+    # full resync, the reference's core failure mode)
+    group = f"cascade:{os.path.abspath(engine.store.root)}"
+    if last > 0:
+        src.record_consumer(group, last)
     applied = []
     for v in src.versions():
         if v <= last:
@@ -270,4 +281,8 @@ def cascade_catchup(
         if out.get("status") == "committed":
             applied.append(v)
         last = v
+    if last > 0:
+        # advance the retention pin to where this flow now stands: vacuum
+        # may expire everything before it, nothing it still needs
+        src.record_consumer(group, last)
     return {"applied_versions": applied, "at_version": last}

@@ -345,6 +345,41 @@ class TableStore:
         os.replace(self._tags_path + ".tmp", self._tags_path)
         return version
 
+    # ---------- consumer registry (changefeed retention auto-pin) ----------
+    @property
+    def _consumers_path(self) -> str:
+        return os.path.join(self.root, "_consumers")
+
+    def consumers(self) -> dict[str, int]:
+        """Registered changefeed consumers: {group -> last version APPLIED
+        downstream}. The reference's checkpoint-offset contract
+        (docs/consideration.md:37-48) translated to versions: a consumer at
+        version L needs L's manifest (and files) retained to diff L -> head
+        incrementally; losing it forces a full resync."""
+        if not os.path.exists(self._consumers_path):
+            return {}
+        with open(self._consumers_path) as f:
+            return json.load(f)
+
+    def record_consumer(self, group: str, version: int) -> None:
+        """Advance (monotone) a consumer group's last-applied version.
+        :meth:`vacuum` derives its keep-floor from the SLOWEST registered
+        group, so a lagging cascade consumer auto-pins the versions it
+        still needs — no manual tagging, no silent full resync."""
+        cons = self.consumers()
+        cons[group] = max(int(version), cons.get(group, 0))
+        with open(self._consumers_path + ".tmp", "w") as f:
+            json.dump(cons, f)
+        os.replace(self._consumers_path + ".tmp", self._consumers_path)
+
+    def remove_consumer(self, group: str) -> None:
+        """Deregister a retired flow so it stops pinning retention."""
+        cons = self.consumers()
+        cons.pop(group, None)
+        with open(self._consumers_path + ".tmp", "w") as f:
+            json.dump(cons, f)
+        os.replace(self._consumers_path + ".tmp", self._consumers_path)
+
     def delete_tag(self, name: str) -> None:
         tags = self.tags()
         tags.pop(name, None)
@@ -536,9 +571,17 @@ class TableStore:
             if f.startswith("v") and f.endswith(".json")
         )
         tagged = set(self.tags().values())
+        # auto-pin: the slowest registered changefeed consumer's floor — it
+        # needs ITS version and everything after to diff incrementally to
+        # head (Delta CDF / Iceberg incremental-read retention, made
+        # automatic: the operator no longer has to know to tag)
+        cons = self.consumers()
+        floor = min(cons.values()) if cons else None
         keep = [
             v for v in versions
-            if (current - keep_versions < v <= current) or v in tagged
+            if (current - keep_versions < v <= current)
+            or v in tagged
+            or (floor is not None and v >= floor)
         ]
         live: set[str] = set()
         for v in keep:
