@@ -842,6 +842,22 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
                            n_cells=16, n_probe=6)
 
 
+def q_ann_cosine_topk_ivf_trained(spark, sf_dir):
+    """IVF with k-means-TRAINED centroids (spherical Lloyd, distributed —
+    operators/similarity.py:train_ivf_centroids): the data-adaptive
+    quantizer for clustered corpora where a deterministic sample collapses
+    (recall uplift asserted in tests/test_training_data_ops.py). No SQL
+    oracle — iterative float means are not exactly reproducible in DuckDB;
+    the driver records the rows-only check, and the exact-oracle IVF twin
+    (`ann_cosine_topk_ivf`) pins the probe plan's correctness."""
+    from .operators.similarity import cosine_topk_ivf, train_ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(emb, n_cells=16, n_iters=2)
+    return cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                           n_cells=16, n_probe=6, centroids=cents)
+
+
 SQL_ANN_COSINE_TOPK_IVF = f"""
     WITH cents AS (
       SELECT vec_id AS cell, embedding AS cv FROM embeddings
@@ -1121,6 +1137,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, SQL_ANN_COSINE_TOPK_LSH),
     "ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, SQL_ANN_COSINE_TOPK_IVF),
+    "ann_cosine_topk_ivf_trained": (q_ann_cosine_topk_ivf_trained, None),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "corpus_sample_stratified": (
         q_corpus_sample_stratified,
