@@ -201,6 +201,7 @@ class TableStore:
         row_schema: T.StructType,
         clustered: bool = False,
         writer_id: str = "default",
+        write_salt: int = 1,
     ) -> int:
         """Atomically publish a new version: dirty-bucket data + lineage.
 
@@ -216,6 +217,17 @@ class TableStore:
         shuffle of the merged output — is skipped. Only file layout depends
         on this hint, never row placement: partitionBy routes every row to
         its bucket directory regardless.
+
+        ``write_salt`` (>1, non-clustered path only): split each bucket's
+        write across ``write_salt`` tasks by salting the repartition with a
+        key-hash slice — the straggler fix for a HOT BUCKET, where the
+        default one-task-per-bucket layout would serialize a bucket holding
+        a disproportionate share of the batch's keys. Purely a task/file
+        layout change (the manifest lists multiple files per bucket;
+        ``rewrite_buckets`` re-compacts later): row placement is still
+        decided by partitionBy. The clustered path needs no salt — rows
+        are key-hash partitioned there, so a hot bucket already spans
+        n_shuffle/n_buckets tasks.
         """
         if epoch <= self.writer_epoch(writer_id):
             return self.current_version()  # fenced: this writer already committed it
@@ -237,11 +249,26 @@ class TableStore:
             # AQE may have coalesced reduce partitions, but coalescing only
             # merges whole partitions, so each bucket still lands in exactly
             # one task.
-            to_write = (
-                merged_dirty
-                if clustered
-                else merged_dirty.repartition(len(dirty_buckets), F.col(BUCKET_COL))
-            )
+            if clustered:
+                to_write = merged_dirty
+            elif write_salt > 1:
+                # the salt hash MUST be independent of the bucket hash: a
+                # bare hash(keys) % salt is fully determined by
+                # hash(keys) % n_buckets whenever salt divides n_buckets
+                # (correlated moduli -> one slice per bucket, no split) —
+                # seed it with a literal to decorrelate
+                to_write = merged_dirty.repartition(
+                    len(dirty_buckets) * write_salt,
+                    F.col(BUCKET_COL),
+                    F.pmod(
+                        F.hash(F.lit("_write_salt"), *[F.col(c) for c in KEY_COLS]),
+                        F.lit(write_salt),
+                    ),
+                )
+            else:
+                to_write = merged_dirty.repartition(
+                    len(dirty_buckets), F.col(BUCKET_COL)
+                )
             (
                 to_write.write.mode("overwrite")
                 .partitionBy(BUCKET_COL)

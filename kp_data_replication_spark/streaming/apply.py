@@ -86,6 +86,14 @@ class EngineConfig:
     # key->partition affinity contract audit: "fail" (default — a violation
     # silently risks older images overwriting newer rows), "warn", or "off"
     affinity_check: str = "fail"
+    # hot-BUCKET write salting (reference skew discussion,
+    # docs/mm2-provisioning.md:116-124): on the non-clustered write path
+    # (one reduce task per dirty bucket) a bucket holding more than this
+    # many changed keys gets its write split across key-hash salt slices —
+    # no straggler task, identical rows. Hot KEYS need no mitigation:
+    # compaction collapses them map-side (partial aggregation) and the
+    # phase-2 join keys include lsn, which spreads a hot key's events.
+    write_salt_target_keys: int = 2_000_000
     # conflict resolution at MERGE time: "source-wins" (default — CDC
     # semantics: the incoming batch is the newer truth) or "lww" —
     # CRDT-style last-write-wins by total-order conflict stamp
@@ -428,9 +436,25 @@ class CdcApplyEngine:
             except Exception:  # noqa: BLE001
                 n_shuffle = 0
             clustered = n_shuffle > 0 and n_shuffle % self.store.n_buckets == 0
+            # hot-bucket probe (free — from the stats already collected):
+            # on the one-task-per-bucket write path, salt a bucket whose
+            # changed-key count would make its write task a straggler
+            write_salt = 1
+            if merged is not None and not clustered:
+                per_bucket: dict[int, int] = {}
+                for r in stats:
+                    per_bucket[r[BUCKET_COL]] = (
+                        per_bucket.get(r[BUCKET_COL], 0) + r["n_keys"]
+                    )
+                hottest = max(per_bucket.values(), default=0)
+                if hottest > self.config.write_salt_target_keys:
+                    write_salt = min(
+                        16, -(-hottest // self.config.write_salt_target_keys)
+                    )
             version = self.store.commit(
                 merged, dirty, new_lineage, epoch, row_schema,
                 clustered=clustered, writer_id=writer_id,
+                write_salt=write_salt,
             )
             phases["merge_commit"] = round(_time.time() - t0, 3)
             t0 = _time.time()
@@ -442,6 +466,7 @@ class CdcApplyEngine:
                 "dirty_buckets": len(dirty),
                 "n_dlq": n_dlq,
                 "compact_path": compact_path,
+                "write_salt": write_salt,
             }
             if metrics_thread is not None:
                 metrics_thread.join()
