@@ -121,6 +121,7 @@ def table_changes(
     v_from: int,
     v_to: int | None = None,
     key_cols: list[str] | None = None,
+    use_change_files: bool = False,
 ) -> DataFrame:
     """Changefeed between two committed versions of a :class:`TableStore`.
 
@@ -128,16 +129,76 @@ def table_changes(
     insert); ``v_to`` defaults to the current version. Only buckets whose
     manifest file lists differ are read (see :func:`changed_buckets`).
     Raises if either manifest has been vacuumed away.
+
+    ``use_change_files``: when EVERY version in (v_from, v_to] carries a
+    persisted change file (EngineConfig.changefeed_files — the Delta CDF
+    analogue), read those instead of diffing states: O(batch) per version,
+    no join over table data. Semantics are RELAXED vs the exact diff: the
+    newest change per key wins across the range, but a key whose net
+    change is nil (inserted then deleted; updated back to its old image;
+    an upsert writing the identical row) may emit a spurious final change
+    the state diff would suppress — idempotent for a terminal
+    state-converging consumer like the dedup index, which is who opts in.
+    ``cascade_catchup`` must NOT opt in: its bidirectional echo damping
+    relies on exact-diff emptiness, and a relaxed feed would keep an A<->B
+    echo alive indefinitely. Falls back to the exact diff when any version
+    lacks a change file (older commits, rewrites, LWW writers).
     """
     if v_to is None:
         v_to = store.current_version()
     if v_to < v_from:
         raise ValueError(f"v_to={v_to} < v_from={v_from}")
+    if use_change_files and v_from > 0:
+        fast = _changes_from_files(spark, store, v_from, v_to, key_cols)
+        if fast is not None:
+            return fast
     dirty = changed_buckets(store, v_from, v_to)
     old = store.read_state(spark, buckets=dirty, version=v_from)
     new = store.read_state(spark, buckets=dirty, version=v_to)
     return diff_states(old, new, key_cols).withColumn(
         VERSION_COL, F.lit(v_to).cast("long")
+    )
+
+
+def _changes_from_files(
+    spark: SparkSession,
+    store: TableStore,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str] | None,
+) -> DataFrame | None:
+    """Assemble the (relaxed) changefeed from persisted per-version change
+    files; None when any version in range lacks one. Multi-version ranges
+    collapse to the newest change per key (max_by over version)."""
+    key_cols = key_cols or KEY_COLS
+    rels = []
+    for v in range(v_from + 1, v_to + 1):
+        m = store.manifest(v)
+        if m is None or "changes" not in m:
+            return None
+        rels.append((v, m["changes"]))
+    parts = []
+    for v, rel in rels:
+        df = spark.read.parquet(os.path.join(store.root, rel))
+        parts.append(df.withColumn("_v", F.lit(v).cast("long")))
+    u = parts[0]
+    for p in parts[1:]:
+        # additive schema drift across versions: null-pad older files
+        u = u.unionByName(p, allowMissingColumns=True)
+    payload = [c for c in u.columns if c not in key_cols]
+    newest = (
+        u.groupBy(*key_cols)
+        .agg(F.max_by(F.struct(*payload), F.col("_v")).alias("_n"))
+        .select(*key_cols, *[F.col(f"_n.{c}").alias(c) for c in payload])
+    )
+    return newest.select(
+        *key_cols,
+        *[c for c in newest.columns if c not in (*key_cols, "op", "_v")],
+        F.when(F.col("op") == "d", F.lit("delete"))
+        .when(F.col("op") == "c", F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias(CHANGE_TYPE_COL),
+        F.lit(v_to).cast("long").alias(VERSION_COL),
     )
 
 

@@ -149,6 +149,31 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    df: DataFrame,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document LSH band buckets: (doc, band, bucket) — bucket = md5 of
+    the band's concatenated minhash values. The shared signature kernel of
+    :func:`minhash_lsh_pairs` and the incremental changefeed-maintained
+    index (operators/dedup_incremental.py): both MUST hash identically or
+    incremental pairs would diverge from full recompute."""
+    sig = minhash_signatures(df, n, id_col, text_col)
+    rows_per_band = len(MINHASH_PARAMS) // bands
+    return (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.md5(F.concat_ws("-", F.array_sort(F.collect_list(
+                F.concat_ws(":", F.col("i").cast("string"), F.col("minhash").cast("string"))
+            )))).alias("bucket")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -162,17 +187,7 @@ def minhash_lsh_pairs(
     on (band, bucket) — only colliding docs meet. Output (doc1, doc2,
     n_shared_bands).
     """
-    sig = minhash_signatures(df, n, id_col, text_col)
-    rows_per_band = len(MINHASH_PARAMS) // bands
-    banded = (
-        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.md5(F.concat_ws("-", F.array_sort(F.collect_list(
-                F.concat_ws(":", F.col("i").cast("string"), F.col("minhash").cast("string"))
-            )))).alias("bucket")
-        )
-    )
+    banded = band_buckets(df, n, bands, id_col, text_col)
     x = banded.select(F.col("doc").alias("doc1"), "band", "bucket")
     y = banded.select(F.col("doc").alias("doc2"), "band", "bucket")
     return (

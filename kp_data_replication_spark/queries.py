@@ -709,6 +709,109 @@ SQL_DEDUP_MINHASH_LSH_PAIRS = f"""
 """
 
 
+def q_dedup_incremental_lsh_pairs(spark, sf_dir):
+    """Incremental changefeed-maintained LSH index == full recompute
+    (operators/dedup_incremental.py — the flagship composition: CDC engine
+    feeds the dedup index). Replays the documents table through the CDC
+    engine as a 3-epoch insert/update/delete fixture, advancing the
+    persisted band index after EVERY epoch (O(changed docs) each), then
+    reads candidate pairs from the INDEX alone. The DuckDB oracle computes
+    LSH pairs over the FINAL corpus state directly — hash equality proves
+    incremental maintenance converges to full recompute.
+
+    Fixture (deterministic in both engines):
+      epoch 0  insert docs with doc_id % 3 != 2
+      epoch 1  insert the rest; every doc with doc_id % 7 == 0 gets
+               text || ' v2' (new docs arrive with it, old docs update)
+      epoch 2  delete docs with doc_id % 11 == 0
+    """
+    import tempfile
+
+    from .operators.dedup_incremental import IncrementalDedupIndex
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def env(sel, op_col, text_expr, lsn_base, is_delete=False):
+        img = F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang").alias("lang"),
+            text_expr.alias("content"),
+        )
+        is_del = F.lit(is_delete)
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            op_col.alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    v2 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    b0 = env(docs.filter(F.col("doc_id") % 3 != 2), F.lit("c"), F.col("text"), 0)
+    b1 = env(
+        docs.filter((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 7 == 0)),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("c")).otherwise(F.lit("u")),
+        v2, 1_000_000,
+    )
+    b2 = env(docs.filter(F.col("doc_id") % 11 == 0), F.lit("d"), F.col("text"),
+             2_000_000, is_delete=True)
+
+    src = TableStore(tempfile.mkdtemp(prefix="dedup_inc_src_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalDedupIndex(
+        tempfile.mkdtemp(prefix="dedup_inc_idx_"), n_buckets=4
+    )
+    for epoch, batch in enumerate((b0, b1, b2)):
+        engine.apply_batch(batch, epoch)
+        index.update(spark, src)
+
+    p1 = F.col("path1").cast("long")
+    p2 = F.col("path2").cast("long")
+    return index.all_pairs(spark).select(
+        # the index orders pairs by STRING key; re-canonicalize numerically
+        F.least(p1, p2).alias("doc1"),
+        F.greatest(p1, p2).alias("doc2"),
+        "n_shared_bands",
+    )
+
+
+SQL_DEDUP_INCREMENTAL_LSH_PAIRS = f"""
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 != 0),
+    words AS (
+      SELECT doc_id AS doc, string_split_regex(trim(text), '\\s+') AS w
+      FROM final),
+    sh AS (
+      SELECT DISTINCT doc, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      FROM words),
+    hs AS (SELECT doc, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+    params(i, a, b) AS (VALUES {_PARAMS_SQL}),
+    sig AS (
+      SELECT doc, i, min((a * h + b) % {MINHASH_PRIME}) AS minhash
+      FROM hs CROSS JOIN params GROUP BY 1, 2),
+    banded AS (
+      SELECT doc, i // 4 AS band,
+             md5(string_agg(i || ':' || minhash, '-' ORDER BY i || ':' || minhash)) AS bucket
+      FROM sig GROUP BY doc, i // 4)
+    SELECT x.doc AS doc1, y.doc AS doc2, count(*) AS n_shared_bands
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc < y.doc
+    GROUP BY 1, 2
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -1131,6 +1234,10 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD_PAIRS),
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh_pairs, SQL_DEDUP_MINHASH_LSH_PAIRS),
+    "dedup_incremental_lsh_pairs": (
+        q_dedup_incremental_lsh_pairs,
+        SQL_DEDUP_INCREMENTAL_LSH_PAIRS,
+    ),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),

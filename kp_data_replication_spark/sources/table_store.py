@@ -202,6 +202,7 @@ class TableStore:
         clustered: bool = False,
         writer_id: str = "default",
         write_salt: int = 1,
+        changes: DataFrame | None = None,
     ) -> int:
         """Atomically publish a new version: dirty-bucket data + lineage.
 
@@ -217,6 +218,16 @@ class TableStore:
         shuffle of the merged output — is skipped. Only file layout depends
         on this hint, never row placement: partitionBy routes every row to
         its bucket directory regardless.
+
+        ``changes`` (optional): the version's row-level change set (key
+        cols + op + post-image data cols), persisted as
+        ``changes/v{n}.parquet`` and referenced from the manifest — the
+        Delta CDF ``_change_data`` analogue. An incremental reader
+        (:func:`~..operators.changefeed.table_changes` with
+        ``use_change_files=True``) then costs O(batch) with NO state diff
+        join. Written before the manifest, so the same crash-idempotency
+        argument applies; versions without change files (older commits,
+        rewrites) simply fall back to the state diff.
 
         ``write_salt`` (>1, non-clustered path only): split each bucket's
         write across ``write_salt`` tasks by salting the repartition with a
@@ -287,6 +298,13 @@ class TableStore:
                 written[b] = files
             buckets_map.update(written)
 
+        changes_rel = None
+        if changes is not None and dirty_buckets:
+            changes_rel = f"changes/v{version}.parquet"
+            changes_dir = os.path.join(self.root, changes_rel)
+            shutil.rmtree(changes_dir, ignore_errors=True)
+            changes.write.mode("overwrite").parquet(changes_dir)
+
         lineage_rel = f"lineage/v{version}.parquet"
         lineage_dir = os.path.join(self.root, lineage_rel)
         shutil.rmtree(lineage_dir, ignore_errors=True)
@@ -325,6 +343,8 @@ class TableStore:
             "buckets": buckets_map,
             "lineage": lineage_rel,
         }
+        if changes_rel is not None:
+            manifest["changes"] = changes_rel
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
@@ -499,6 +519,10 @@ class TableStore:
                 if f.endswith(".parquet")
             )
         manifest = {**m, "version": version, "buckets": buckets_map}
+        # a rewrite is a LOGICAL no-op: it must not inherit the previous
+        # version's change-file pointer (a fast-path changefeed reader
+        # would re-emit that version's changes for this one)
+        manifest.pop("changes", None)
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
@@ -565,6 +589,7 @@ class TableStore:
             "n_buckets": new_n_buckets,
             "buckets": buckets_map,
         }
+        manifest.pop("changes", None)  # logical no-op: see rewrite_buckets
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
@@ -618,9 +643,11 @@ class TableStore:
                 live.update(files)
             if m.get("lineage"):
                 live.add(m["lineage"])
+            if m.get("changes"):
+                live.add(m["changes"])
 
         removed_files = 0
-        for sub in ("data", "lineage"):
+        for sub in ("data", "lineage", "changes"):
             base = os.path.join(self.root, sub)
             if not os.path.isdir(base):
                 continue

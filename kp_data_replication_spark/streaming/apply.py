@@ -94,6 +94,13 @@ class EngineConfig:
     # compaction collapses them map-side (partial aggregation) and the
     # phase-2 join keys include lsn, which spreads a hot key's events.
     write_salt_target_keys: int = 2_000_000
+    # persist each version's row-level change set (Delta CDF
+    # `_change_data` analogue, opt-in like delta.enableChangeDataFeed):
+    # incremental readers (dedup index, cascades) then cost O(batch) per
+    # version with NO state-diff join. One extra batch-sized write per
+    # epoch; ignored under conflict_policy="lww" (a losing LWW write is
+    # not a change, only the state diff knows).
+    changefeed_files: bool = False
     # conflict resolution at MERGE time: "source-wins" (default — CDC
     # semantics: the incoming batch is the newer truth) or "lww" —
     # CRDT-style last-write-wins by total-order conflict stamp
@@ -451,10 +458,17 @@ class CdcApplyEngine:
                     write_salt = min(
                         16, -(-hottest // self.config.write_salt_target_keys)
                     )
+            changes_df = None
+            if (
+                self.config.changefeed_files
+                and merged is not None
+                and self.config.conflict_policy == "source-wins"
+            ):
+                changes_df = batch_side.drop("partition", "lsn", "ts_ms")
             version = self.store.commit(
                 merged, dirty, new_lineage, epoch, row_schema,
                 clustered=clustered, writer_id=writer_id,
-                write_salt=write_salt,
+                write_salt=write_salt, changes=changes_df,
             )
             phases["merge_commit"] = round(_time.time() - t0, 3)
             t0 = _time.time()

@@ -433,6 +433,85 @@ def test_bidirectional_cascade_converges_without_ping_pong(spark, tmp_path):
     assert a.current_version() <= 6 and b.current_version() <= 6
 
 
+def test_change_files_fast_path_matches_diff_and_falls_back(spark, tmp_path):
+    """Persisted per-version change files (Delta CDF analogue,
+    EngineConfig.changefeed_files): the O(batch) reader matches the exact
+    state diff on real changes, collapses multi-version ranges to the
+    newest change per key, falls back to the diff when a range version
+    lacks files, and vacuum GCs expired change files."""
+    from kp_data_replication_spark.operators.changefeed import (
+        CHANGE_TYPE_COL,
+        table_changes,
+    )
+
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=60, versions_per_key=2, n_partitions=2, files=4,
+                      dup_every=0),
+    )
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    engine = CdcApplyEngine(
+        store, EngineConfig(metrics=False, changefeed_files=True)
+    )
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    for epoch, f in enumerate(files):
+        engine.apply_batch(
+            spark.read.option("mergeSchema", "true").parquet(f"{d}/{f}"), epoch
+        )
+    head = store.current_version()
+    assert head == len(files) and all(
+        "changes" in store.manifest(v) for v in store.versions()
+    )
+
+    def canon(df):
+        return sorted(
+            (r["repo"], r["path"], r[CHANGE_TYPE_COL],
+             r["content"] if r[CHANGE_TYPE_COL] != "delete" else None)
+            for r in df.collect()
+        )
+
+    # single-version range: fast path == exact diff (every emitted row is a
+    # real change here — distinct content per version in the generator)
+    fast = table_changes(spark, store, head - 1, head, use_change_files=True)
+    exact = table_changes(spark, store, head - 1, head)
+    assert canon(fast) == canon(exact)
+
+    # multi-version range: newest change per key wins; the fast set may
+    # carry benign extras (net-nil keys), but must AGREE with the diff on
+    # every key the diff reports, and cover all of them
+    fast_all = {(r["repo"], r["path"]): (r[CHANGE_TYPE_COL], r["content"])
+                for r in table_changes(spark, store, 1, head,
+                                       use_change_files=True).collect()}
+    exact_all = {(r["repo"], r["path"]): (r[CHANGE_TYPE_COL], r["content"])
+                 for r in table_changes(spark, store, 1, head).collect()}
+    for k, v in exact_all.items():
+        if v[0] == "delete":
+            # the diff carries the PRE-image for deletes; the change file
+            # has no pre-image (null) — agreement is on the delete itself
+            assert fast_all[k][0] == "delete", k
+        else:
+            assert fast_all[k][1] == v[1], k  # same final image
+    assert set(exact_all) <= set(fast_all)
+
+    # a version without change files in range -> silent exact-diff fallback
+    v_rw = store.rewrite_buckets(spark, min_files=0)["version"]
+    if v_rw > head:  # a rewrite actually happened
+        assert "changes" not in store.manifest(v_rw)
+        fb = table_changes(spark, store, head - 1, v_rw, use_change_files=True)
+        assert canon(fb) == canon(
+            table_changes(spark, store, head - 1, v_rw)
+        )
+
+    # vacuum GCs change files of expired versions, keeps live ones
+    import glob
+
+    n_before = len(glob.glob(str(tmp_path / "t" / "changes" / "*")))
+    store.vacuum(keep_versions=1)
+    n_after = len(glob.glob(str(tmp_path / "t" / "changes" / "*")))
+    assert n_after < n_before
+
+
 def test_vacuum_auto_pins_slow_consumer_then_releases(spark, tmp_path):
     """Retention auto-pin (round-2 VERDICT item 3): a registered cascade
     consumer's lag derives vacuum's keep-floor, so aggressive vacuum + a
