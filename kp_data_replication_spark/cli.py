@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--dlq-dir", default=None,
                    help="quarantine malformed envelopes here "
                         "(errors.tolerance=all analogue)")
+    s.add_argument("--config-file", default=None,
+                   help="hot-reloadable JSON config: re-read before every "
+                        "micro-batch (the `oc apply` config-roll analogue); "
+                        "whitelist/DLQ/compaction overrides apply to the "
+                        "next epoch without stopping the stream")
 
     st = sub.add_parser("state", help="show target state summary (time travel with --version)")
     st.add_argument("target")
@@ -157,7 +162,8 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "stream":
         engine = CdcApplyEngine(
             TableStore(args.target, n_buckets=args.buckets),
-            EngineConfig(whitelist=args.whitelist, dlq_dir=args.dlq_dir),
+            EngineConfig(whitelist=args.whitelist, dlq_dir=args.dlq_dir,
+                         config_file=args.config_file),
         )
         q = engine.start_stream(
             spark, args.changelog, args.checkpoint, CHANGELOG_SCHEMA_EVOLVED,

@@ -94,6 +94,15 @@ class EngineConfig:
     # compaction collapses them map-side (partial aggregation) and the
     # phase-2 join keys include lsn, which spreads a hot key's events.
     write_salt_target_keys: int = 2_000_000
+    # config hot-reload (docs/index.md:112-114 — `oc apply` rolls MM2
+    # config without stopping replication): when set, the engine re-reads
+    # this JSON file at the START of every epoch and applies overrides for
+    # RELOADABLE fields (see RELOADABLE_FIELDS) to that epoch — a running
+    # stream picks up whitelist/throttle/DLQ changes on its next
+    # micro-batch, no restart. Identity-bearing fields (consumer_group,
+    # conflict_policy, cluster_id) are refused with a warning: changing
+    # them mid-stream would corrupt lineage/stamp semantics.
+    config_file: str | None = None
     # persist each version's row-level change set (Delta CDF
     # `_change_data` analogue, opt-in like delta.enableChangeDataFeed):
     # incremental readers (dedup index, cascades) then cost O(batch) per
@@ -124,10 +133,51 @@ class EngineConfig:
     dlq_dir: str | None = None
 
 
+# fields a hot-reload may change per epoch; identity-bearing fields
+# (consumer_group, conflict_policy, cluster_id, config_file itself) are
+# deliberately absent — changing them mid-stream corrupts lineage/stamps
+RELOADABLE_FIELDS = {
+    "whitelist", "blacklist", "arrow_unpack", "normalize", "metrics",
+    "shuffle_partitions", "compact_strategy", "broadcast_threshold",
+    "affinity_check", "write_salt_target_keys", "changefeed_files",
+    "dlq_dir",
+}
+
+
 @dataclass
 class CdcApplyEngine:
     store: TableStore
     config: EngineConfig = field(default_factory=EngineConfig)
+
+    # ------------------------------------------------------------------ #
+    def _effective_config(self) -> EngineConfig:
+        """This epoch's config: the static config plus RELOADABLE overrides
+        from ``config_file`` (the `oc apply` hot-roll analogue,
+        docs/index.md:112-114). A missing/unreadable file falls back to the
+        static config (a half-written file must not stall replication);
+        non-reloadable or unknown keys are warned about and ignored."""
+        path = self.config.config_file
+        if not path:
+            return self.config
+        import json
+        from dataclasses import replace
+
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+        except (OSError, ValueError):
+            return self.config
+        overrides = {k: v for k, v in raw.items() if k in RELOADABLE_FIELDS}
+        rejected = set(raw) - set(overrides)
+        if rejected:
+            import warnings
+
+            warnings.warn(
+                f"hot-reload ignored non-reloadable/unknown keys: "
+                f"{sorted(rejected)}",
+                stacklevel=2,
+            )
+        return replace(self.config, **overrides) if overrides else self.config
 
     # ------------------------------------------------------------------ #
     def apply_batch(
@@ -150,21 +200,23 @@ class CdcApplyEngine:
         if epoch <= self.store.writer_epoch(writer_id):
             # fenced: this writer already committed this epoch (re-delivery)
             return {"epoch": epoch, "status": "fenced"}
-        if self.config.shuffle_partitions:
+        # hot-reload point: reloadable overrides apply to THIS epoch
+        config = self._effective_config()
+        if config.shuffle_partitions:
             spark.conf.set(
-                "spark.sql.shuffle.partitions", str(self.config.shuffle_partitions)
+                "spark.sql.shuffle.partitions", str(config.shuffle_partitions)
             )
-        if self.config.broadcast_threshold:
+        if config.broadcast_threshold:
             spark.conf.set(
                 "spark.sql.autoBroadcastJoinThreshold",
-                self.config.broadcast_threshold,
+                config.broadcast_threshold,
             )
 
-        events = select_topics(batch, self.config.whitelist, self.config.blacklist)
+        events = select_topics(batch, config.whitelist, config.blacklist)
         # lineage is one row per (consumer_group, log partition): read/
         # advance/write it driver-side (pyarrow) — no Spark jobs on the
         # epoch's serial path. Only THIS flow's group gates the dedup.
-        group = self.config.consumer_group
+        group = config.consumer_group
         all_lineage_rows = self.store.read_lineage_rows()
         lineage_rows = [
             r for r in all_lineage_rows
@@ -180,7 +232,7 @@ class CdcApplyEngine:
             "partition int, applied_lsn long",
         )
         unseq = None
-        if self.config.dlq_dir:
+        if config.dlq_dir:
             # null-lsn envelopes are unsequenceable: the watermark dedup's
             # `lsn > watermark` predicate is NULL for them, so they would be
             # silently dropped before any post-dedup malformed split saw
@@ -193,7 +245,7 @@ class CdcApplyEngine:
         fresh = filter_applied(events, lineage)
 
         n_dlq = 0
-        if self.config.dlq_dir:
+        if config.dlq_dir:
             # the sequenceable split runs AFTER the watermark dedup, so
             # exactly-once covers the quarantine too: a re-delivered
             # malformed row is dropped by its lsn, never re-captured
@@ -212,16 +264,16 @@ class CdcApplyEngine:
                 # repair means re-submitting them as NEW events (the Kafka
                 # Connect DLQ contract — skip, capture, move on)
                 quarantined.write.mode("overwrite").parquet(
-                    os.path.join(self.config.dlq_dir, f"epoch={epoch}")
+                    os.path.join(config.dlq_dir, f"epoch={epoch}")
                 )
             fresh = fresh.filter(~bad)
 
-        unpack = unpack_envelope_arrow if self.config.arrow_unpack else unpack_envelope
+        unpack = unpack_envelope_arrow if config.arrow_unpack else unpack_envelope
         # normalization runs AFTER compaction: only surviving rows pay the
         # Arrow round-trip (strictly fewer rows, identical result — the
         # winner per key is chosen by lsn, not content)
         rows = unpack(fresh, normalize=False)
-        if self.config.conflict_policy == "lww":
+        if config.conflict_policy == "lww":
             # stamp (or carry) the total-order conflict stamp: a cascaded
             # image already holds its ORIGIN stamp as data columns (the
             # changefeed replays them); a direct-ingest event is stamped
@@ -233,11 +285,11 @@ class CdcApplyEngine:
                     LWW_TS_COL, F.coalesce(F.col(LWW_TS_COL), ts_stamp)
                 ).withColumn(
                     LWW_SRC_COL,
-                    F.coalesce(F.col(LWW_SRC_COL), F.lit(self.config.cluster_id)),
+                    F.coalesce(F.col(LWW_SRC_COL), F.lit(config.cluster_id)),
                 )
             else:
                 rows = rows.withColumn(LWW_TS_COL, ts_stamp).withColumn(
-                    LWW_SRC_COL, F.lit(self.config.cluster_id)
+                    LWW_SRC_COL, F.lit(config.cluster_id)
                 )
 
         # fold the per-key byte total into the compaction aggregate: the
@@ -255,8 +307,8 @@ class CdcApplyEngine:
         if has_bytes:
             extra["_bytes_fresh"] = F.sum(F.length("content"))
         winners_cached = None
-        compact_path = self.config.compact_strategy
-        if self.config.compact_strategy == "auto":
+        compact_path = config.compact_strategy
+        if config.compact_strategy == "auto":
             # materialize the slim phase-1 winners and probe their REAL
             # size; the probe's aggregation scan is work phase 2 needed
             # anyway (the winners side of the join) — it is paid once, into
@@ -278,7 +330,7 @@ class CdcApplyEngine:
                 (probe["key_bytes"] or 0)
                 + n_win * (16 * len(winners_cached.columns) + 48)
             )
-            budget = _parse_size_bytes(self.config.broadcast_threshold) or (
+            budget = _parse_size_bytes(config.broadcast_threshold) or (
                 256 << 20
             )
             use_broadcast = est <= budget
@@ -286,7 +338,7 @@ class CdcApplyEngine:
             compacted = lww_join_winners(
                 rows, winners_cached, broadcast=use_broadcast
             )
-        elif self.config.compact_strategy == "twophase":
+        elif config.compact_strategy == "twophase":
             compacted = last_write_wins_join(
                 rows, count_col="_n_fresh", extra_aggs=extra
             )
@@ -306,7 +358,7 @@ class CdcApplyEngine:
         # same speed on an ASCII corpus while splitting the bucket-
         # clustered output into two files per bucket — not worth it.)
         batch_source = compacted
-        if self.config.normalize and "content" in compacted.columns:
+        if config.normalize and "content" in compacted.columns:
             batch_source = compacted.withColumn(
                 "content", normalize_content(F.col("content"))
             )
@@ -338,9 +390,9 @@ class CdcApplyEngine:
                     "applied watermarks would under-advance and re-delivered "
                     "older images could overwrite newer target rows."
                 )
-                if self.config.affinity_check == "fail":
+                if config.affinity_check == "fail":
                     raise ValueError(msg)
-                if self.config.affinity_check == "warn":
+                if config.affinity_check == "warn":
                     import warnings
 
                     warnings.warn(msg, stacklevel=2)
@@ -379,7 +431,7 @@ class CdcApplyEngine:
             # merge instead of extending the epoch's serial tail
             metrics_thread = None
             metrics_err: list[BaseException] = []
-            if self.config.metrics:
+            if config.metrics:
                 import threading
 
                 def _metrics_job():
@@ -403,7 +455,7 @@ class CdcApplyEngine:
                     merged = merge_upsert(
                         target_dirty,
                         batch_side,
-                        lww=self.config.conflict_policy == "lww",
+                        lww=config.conflict_policy == "lww",
                     )
                 else:
                     # every dirty bucket is empty on the target (bootstrap /
@@ -454,15 +506,15 @@ class CdcApplyEngine:
                         per_bucket.get(r[BUCKET_COL], 0) + r["n_keys"]
                     )
                 hottest = max(per_bucket.values(), default=0)
-                if hottest > self.config.write_salt_target_keys:
+                if hottest > config.write_salt_target_keys:
                     write_salt = min(
-                        16, -(-hottest // self.config.write_salt_target_keys)
+                        16, -(-hottest // config.write_salt_target_keys)
                     )
             changes_df = None
             if (
-                self.config.changefeed_files
+                config.changefeed_files
                 and merged is not None
-                and self.config.conflict_policy == "source-wins"
+                and config.conflict_policy == "source-wins"
             ):
                 changes_df = batch_side.drop("partition", "lsn", "ts_ms")
             version = self.store.commit(
