@@ -176,6 +176,21 @@ class TableStore:
         rows: list[dict] = []
         for f in files:
             rows.extend(pq.read_table(f).to_pylist())
+        if len(rows) > 200_000:
+            # driver-side lineage is the right call at the reference's
+            # scale (one row per (group, log partition) — thousands); a
+            # topology pushing past ~10^5 rows should move lineage
+            # advancement onto executors before the driver becomes the
+            # per-epoch bottleneck. Warn once per read, don't fail.
+            import warnings
+
+            warnings.warn(
+                f"lineage table has {len(rows)} rows; driver-side handling "
+                "adds O(rows) serial time per epoch — consider fewer "
+                "(group x partition) combinations or a distributed lineage "
+                "path at this scale",
+                stacklevel=2,
+            )
         return rows
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
