@@ -128,6 +128,54 @@ def main() -> None:
         formatted(ch),
     ))
 
+    # change-file fast path: a store whose engine persists change sets
+    sdir2 = tempfile.mkdtemp(prefix="plans_store_cdf_")
+    store2 = TableStore(os.path.join(sdir2, "t"), n_buckets=8)
+    engine2 = CdcApplyEngine(
+        store2, EngineConfig(metrics=False, changefeed_files=True)
+    )
+    engine2.apply_batch(spark.read.parquet(*[f"{d}/{x}" for x in files[:half]]), 0)
+    engine2.apply_batch(
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[f"{d}/{x}" for x in files[half:]])
+        .filter(F.col("lsn") % 5 == 0),
+        1,
+    )
+    ch_fast = table_changes(spark, store2, 1, 2, use_change_files=True)
+    sections.append((
+        "Changefeed: persisted change-file fast path (Delta CDF analogue)",
+        "With EngineConfig.changefeed_files the commit persists each "
+        "version's compacted change set; the incremental read then scans "
+        "ONLY changes/ files — the state-diff full-outer join is GONE "
+        "(no Join node below), the single exchange is the cross-version "
+        "newest-change-per-key aggregate. This is the O(batch) feed the "
+        "incremental dedup index consumes (operators/dedup_incremental.py).",
+        formatted(ch_fast),
+    ))
+
+    # incremental dedup index: per-epoch candidate-pair probe
+    from kp_data_replication_spark.operators.dedup_incremental import (
+        IncrementalDedupIndex,
+    )
+
+    idx = IncrementalDedupIndex(os.path.join(sdir2, "idx"), n_buckets=8)
+    idx.update(spark, store2)
+    changed = idx._changed_bands(
+        ch_fast.filter(F.col("_change_type") != "delete")
+        .select("repo", "path", "content"),
+        "content",
+    )
+    pairs = idx.pairs_for(spark, changed)
+    sections.append((
+        "Incremental dedup index: per-epoch candidate pairs",
+        "The changed documents' band buckets (left, batch-sized) equi-join "
+        "the PERSISTED index (right) on (band, bucket) — candidates only, "
+        "no corpus self-join, no re-shingling of unchanged documents; the "
+        "shingle/minhash work upstream touches exclusively the changed "
+        "rows.",
+        formatted(pairs),
+    ))
+
     with open(out_md, "w") as f:
         f.write(
             "# PLANS — executed physical plans of the hot path\n\n"
