@@ -113,6 +113,19 @@ def main(argv: list[str] | None = None) -> None:
     lg.add_argument("--group", default=None,
                     help="consumer group whose lineage to compare (default: all)")
 
+    di = sub.add_parser(
+        "dedup-index",
+        help="advance the incremental MinHash/LSH dedup index from a source "
+             "table's changefeed (O(changed docs) per call)",
+    )
+    di.add_argument("source", help="source TableStore root (the CDC target)")
+    di.add_argument("index", help="index TableStore root (created on first run)")
+    di.add_argument("--buckets", type=int, default=32)
+    di.add_argument("--text-col", default="content")
+    di.add_argument("--pairs-out", default=None,
+                    help="also write this advance's NEW candidate pairs "
+                         "(changed docs vs the index) to this parquet dir")
+
     vc = sub.add_parser("vacuum", help="expire old versions + remove crash orphans")
     vc.add_argument("target")
     vc.add_argument("--keep-versions", type=int, default=2)
@@ -220,6 +233,20 @@ def main(argv: list[str] | None = None) -> None:
             min_shared_bands=args.min_shared_bands,
         )
         print(json.dumps(stats))
+    elif args.cmd == "dedup-index":
+        from .operators.dedup_incremental import IncrementalDedupIndex
+
+        index = IncrementalDedupIndex(args.index, n_buckets=args.buckets)
+        out = index.update(
+            spark, TableStore(args.source), text_col=args.text_col,
+            emit_pairs=args.pairs_out is not None,
+        )
+        pairs = out.pop("pairs", None)
+        if pairs is not None:
+            pairs.write.mode("overwrite").parquet(args.pairs_out)
+            out["pairs_out"] = args.pairs_out
+            out["n_new_pairs"] = spark.read.parquet(args.pairs_out).count()
+        print(json.dumps(out))
     elif args.cmd == "monitor":
         from .streaming.monitor import throughput_stream
 

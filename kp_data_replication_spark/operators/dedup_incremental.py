@@ -149,13 +149,16 @@ class IncrementalDedupIndex:
             )
         ).cache()
         try:
-            # dirty INDEX buckets = buckets the changed keys hash into
+            # ONE job yields both the dirty INDEX buckets (buckets the
+            # changed keys hash into) and the changed-row count
             n_b = self.store.n_buckets
-            dirty = sorted(
-                r["b"]
-                for r in batch.select(bucket_expr(n_b).alias("b")).distinct().collect()
+            stats = (
+                batch.groupBy(bucket_expr(n_b).alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
             )
-            n_changed = batch.count()
+            dirty = sorted(r["b"] for r in stats)
+            n_changed = sum(r["n"] for r in stats)
             if self.store._bucket_files(dirty):
                 target = self.store.read_state(spark, buckets=dirty)
                 merged = merge_upsert(target, batch)

@@ -303,6 +303,21 @@ class CdcApplyEngine:
             "_pmin": F.min("partition"),
             "_pmax": F.max("partition"),
         }
+        order_col = "lsn"
+        if config.conflict_policy == "lww":
+            # under LWW the batch's representative per key must be the
+            # STAMP-max, not the lsn-max — a same-batch pair where the
+            # later-lsn write carries the older stamp would otherwise ship
+            # the wrong image to the merge (order dependence; the CRDT
+            # commutativity test exercises exactly this). lsn remains the
+            # within-stamp tiebreak, and the TRUE per-key max lsn is folded
+            # separately so the applied watermark still advances exactly.
+            rows = rows.withColumn(
+                "_lww_order",
+                F.struct(F.col(LWW_TS_COL), F.col(LWW_SRC_COL), F.col("lsn")),
+            )
+            order_col = "_lww_order"
+            extra["_max_lsn"] = F.max("lsn")
         has_bytes = "content" in rows.columns
         if has_bytes:
             extra["_bytes_fresh"] = F.sum(F.length("content"))
@@ -315,7 +330,8 @@ class CdcApplyEngine:
             # the cache — so auto costs one extra pass over cached slim
             # stubs, not an extra raw-batch scan
             winners_cached = lww_winners(
-                rows, count_col="_n_fresh", extra_aggs=extra
+                rows, order_col=order_col, count_col="_n_fresh",
+                extra_aggs=extra,
             ).persist()
             probe = winners_cached.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -336,14 +352,19 @@ class CdcApplyEngine:
             use_broadcast = est <= budget
             compact_path = "broadcast" if use_broadcast else "shuffle"
             compacted = lww_join_winners(
-                rows, winners_cached, broadcast=use_broadcast
+                rows, winners_cached, order_col=order_col,
+                broadcast=use_broadcast,
             )
         elif config.compact_strategy == "twophase":
             compacted = last_write_wins_join(
-                rows, count_col="_n_fresh", extra_aggs=extra
+                rows, order_col=order_col, count_col="_n_fresh",
+                extra_aggs=extra,
             )
         else:
-            compacted = last_write_wins(rows, count_col="_n_fresh", extra_aggs=extra)
+            compacted = last_write_wins(
+                rows, order_col=order_col, count_col="_n_fresh",
+                extra_aggs=extra,
+            )
         compacted = compacted.withColumn(
             BUCKET_COL, bucket_expr(self.store.n_buckets)
         )
@@ -369,7 +390,11 @@ class CdcApplyEngine:
             # (the per-partition max lsn necessarily survives compaction)
             stat_aggs = [
                 F.count(F.lit(1)).alias("n_keys"),
-                F.max("lsn").alias("max_lsn"),
+                # under LWW ordering the winner's own lsn may not be the
+                # key's max — the folded _max_lsn keeps the watermark exact
+                F.max(
+                    F.col("_max_lsn") if order_col != "lsn" else F.col("lsn")
+                ).alias("max_lsn"),
                 F.sum("_n_fresh").alias("n_fresh"),
                 F.sum(
                     F.when(F.col("_pmax") > F.col("_pmin"), 1).otherwise(0)
@@ -448,7 +473,8 @@ class CdcApplyEngine:
             row_schema = self._union_row_schema(compacted)
             if dirty:
                 batch_side = batch_source.drop(
-                    BUCKET_COL, "_n_fresh", "_bytes_fresh", "_pmin", "_pmax"
+                    BUCKET_COL, "_n_fresh", "_bytes_fresh", "_pmin", "_pmax",
+                    "_lww_order", "_max_lsn",
                 )
                 if self.store._bucket_files(dirty):
                     target_dirty = self.store.read_state(spark, buckets=dirty)
@@ -601,7 +627,8 @@ class CdcApplyEngine:
         from ..operators.merge import widen_fields
 
         meta = {"op", "partition", "lsn", "ts_ms", BUCKET_COL,
-                "_n_fresh", "_bytes_fresh", "_pmin", "_pmax"}
+                "_n_fresh", "_bytes_fresh", "_pmin", "_pmax",
+                "_lww_order", "_max_lsn"}
         batch_fields = [
             f for f in compacted.schema.fields if f.name not in meta
         ]

@@ -125,6 +125,82 @@ def test_equal_timestamp_tie_breaks_by_cluster_id(spark, tmp_path):
         assert state == {"k.py": "tie-B"}
 
 
+def test_lww_apply_order_independence(spark, tmp_path):
+    """The CRDT register property behind bidirectional convergence: the
+    SAME set of stamped writes applied in DIFFERENT orders (each replica's
+    own log order, own lsn space) yields identical final state — winner
+    per key = the max (ts, src) stamp, regardless of delivery order."""
+    from pyspark.sql import types as T
+
+    img_t = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        # stamps ride in the image — these are cascade-delivered writes
+        # whose ORIGIN stamp must survive re-application anywhere
+        T.StructField("_lww_ts", T.LongType()),
+        T.StructField("_lww_src", T.StringType()),
+    ])
+    schema = T.StructType([
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("before", img_t),
+        T.StructField("after", img_t),
+        T.StructField("ts_ms", T.TimestampType()),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("source_topic", T.StringType()),
+    ])
+
+    def w(path, content, ts, src):
+        return Row(repo="org/r", path=path, commit="c0", lang="py",
+                   content=content, _lww_ts=ts, _lww_src=src)
+
+    # 6 writes, 3 keys, interleaved stamps from two origins
+    writes = [
+        w("k1.py", "k1-old", 100, "a"),
+        w("k1.py", "k1-new", 200, "b"),
+        w("k2.py", "k2-b", 150, "b"),
+        w("k2.py", "k2-a", 150, "a"),   # tie -> src 'b' must win
+        w("k3.py", "k3-only", 50, "a"),
+        w("k3.py", "k3-late", 51, "a"),
+    ]
+
+    def env(write, lsn):
+        return Row(partition=0, lsn=lsn, op="u", before=None, after=write,
+                   ts_ms=None, headers=None, source_topic="repos")
+
+    def apply_order(name, order):
+        store = TableStore(str(tmp_path / name), n_buckets=4)
+        engine = CdcApplyEngine(
+            store, EngineConfig(metrics=False, conflict_policy="lww",
+                                cluster_id=name)
+        )
+        # two batches, local lsn space of THIS replica's log
+        half = len(order) // 2
+        for epoch, chunk in enumerate((order[:half], order[half:])):
+            batch = [env(writes[i], lsn) for lsn, i in enumerate(
+                chunk, start=epoch * 100)]
+            engine.apply_batch(spark.createDataFrame(batch, schema), epoch)
+        return {
+            r["path"]: (r["content"], r["_lww_ts"], r["_lww_src"])
+            for r in store.read_state(spark).collect()
+        }
+
+    s1 = apply_order("x", [0, 1, 2, 3, 4, 5])
+    s2 = apply_order("y", [5, 3, 1, 4, 2, 0])
+    s3 = apply_order("z", [2, 0, 5, 1, 3, 4])
+    # the in-batch hazard: same key twice in ONE batch with the LATER lsn
+    # carrying the OLDER stamp — compaction must pick the stamp winner
+    s4 = apply_order("w", [1, 0, 3, 2, 5, 4])
+    assert s1 == s2 == s3 == s4
+    assert s1["k1.py"] == ("k1-new", 200, "b")
+    assert s1["k2.py"] == ("k2-b", 150, "b")   # tie broken by src
+    assert s1["k3.py"] == ("k3-late", 51, "a")
+
+
 def test_lww_losing_direct_write_leaves_newer_row(spark, tmp_path):
     """Single-replica sanity: under lww, a DIRECT ingest whose stamp is
     older than the stored row's loses at merge time (out-of-order backfill
