@@ -23,16 +23,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def cosine_expr(a, b) -> F.Column:
-    """Cosine similarity of two array<float/double> columns, JVM-side."""
-    dot = F.aggregate(
+def dot_expr(a, b) -> F.Column:
+    """Dot product of two array<float/double> columns, JVM-side."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    n1 = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    n2 = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return dot / (n1 * n2)
+
+
+def norm_expr(a) -> F.Column:
+    """L2 norm of an array<float/double> column, JVM-side."""
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_expr(a, b) -> F.Column:
+    """Cosine similarity of two array<float/double> columns, JVM-side.
+
+    For PAIRWISE scoring after a join, hoist each side's norm into its own
+    projection (``norm_expr``) and divide the dot by the product — this
+    inline form re-aggregates both norms per PAIR (k x redundant against a
+    k-candidate side); the hoisted form is bitwise identical
+    (same sqrt(sum) computation, same division order)."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
 def cosine_topk_bruteforce(
@@ -49,15 +66,23 @@ def cosine_topk_bruteforce(
     (query_id, neighbor_id, cos_sim, rank).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm_expr(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine_expr(F.col("_qvec"), F.col("_cvec")))
+        .withColumn(
+            "cos",
+            dot_expr(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -109,17 +134,23 @@ def cosine_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        norm_expr(F.col(vec_col)).alias("_cn"),
         lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
         lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine_expr(F.col("_qvec"), F.col("_cvec")))
+        .withColumn(
+            "cos",
+            dot_expr(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -172,28 +203,45 @@ def train_ivf_centroids(
     cents = [[float(x) for x in r["_v"]] for r in init_rows]
 
     cent_schema = "cell int, _centroid array<double>"
+    # hoisted row norms, computed once for every Lloyd iteration
+    dfn = df.select("_id", "_v", norm_expr(F.col("_v")).alias("_vn"))
     for _ in range(max(0, n_iters)):
-        cdf = spark.createDataFrame(list(enumerate(cents)), cent_schema)
+        cdf = spark.createDataFrame(list(enumerate(cents)), cent_schema).select(
+            "cell", "_centroid", norm_expr(F.col("_centroid")).alias("_cenn")
+        )
         assigned = (
-            df.crossJoin(F.broadcast(cdf))
-            .withColumn("_sim", cosine_expr(F.col("_v"), F.col("_centroid")))
+            dfn.crossJoin(F.broadcast(cdf))
+            .withColumn(
+                "_sim",
+                dot_expr(F.col("_v"), F.col("_centroid"))
+                / (F.col("_vn") * F.col("_cenn")),
+            )
             .groupBy("_id", "_v")
             .agg(F.max_by("cell", F.struct(F.col("_sim"), F.col("cell"))).alias("cell"))
         )
         # spherical mean: average the L2-normalized members per cell
-        # (posexplode -> (cell, pos) avg; rows shuffled = sample x dim)
-        norm = F.sqrt(
-            F.aggregate(
-                F.col("_v"),
-                F.lit(0.0),
-                lambda a, x: a + x.cast("double") * x.cast("double"),
-            )
-        )
+        # (posexplode -> (cell, pos) avg; rows shuffled = sample x dim).
+        # The norm is HOISTED into its own projection — referencing the
+        # aggregate inside the transform lambda would re-evaluate it per
+        # element (O(dim^2) per vector)
         upd = (
             assigned.select(
                 "cell",
+                "_v",
+                F.sqrt(
+                    F.aggregate(
+                        F.col("_v"),
+                        F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x.cast("double"),
+                    )
+                ).alias("_norm"),
+            )
+            .select(
+                "cell",
                 F.posexplode(
-                    F.transform(F.col("_v"), lambda x: x.cast("double") / norm)
+                    F.transform(
+                        F.col("_v"), lambda x: x.cast("double") / F.col("_norm")
+                    )
                 ).alias("pos", "val"),
             )
             .groupBy("cell", "pos")
@@ -252,11 +300,23 @@ def cosine_topk_ivf(
                 F.col(vec_col).alias("_centroid"),
             )
         )
+    # hoisted norms: one norm per row/centroid instead of re-aggregating
+    # inside every pair's cosine (bitwise-identical scores)
+    cents = cents.select(
+        "cell", "_centroid", norm_expr(F.col("_centroid")).alias("_cenn")
+    )
     # corpus -> nearest cell (one broadcast join, argmax via max_by)
     c_assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("_sim", cosine_expr(F.col(vec_col), F.col("_centroid")))
-        .groupBy(id_col, vec_col)
+        corpus.select(
+            F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("_cn")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_sim",
+            dot_expr(F.col(vec_col), F.col("_centroid"))
+            / (F.col("_cn") * F.col("_cenn")),
+        )
+        .groupBy(id_col, vec_col, "_cn")
         # deterministic argmax: ties on cosine break toward the larger cell
         # id (struct comparison is lexicographic) — keeps the result — and
         # the SQL oracle — stable under any plan/partitioning change
@@ -264,23 +324,36 @@ def cosine_topk_ivf(
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cvec"),
+            "_cn",
             "cell",
         )
     )
     # query -> its n_probe nearest cells (multi-probe)
     wq = W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell"))
     q_probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            norm_expr(F.col(vec_col)).alias("_qn"),
+        )
         .crossJoin(F.broadcast(cents))
-        .withColumn("_sim", cosine_expr(F.col("_qvec"), F.col("_centroid")))
+        .withColumn(
+            "_sim",
+            dot_expr(F.col("_qvec"), F.col("_centroid"))
+            / (F.col("_qn") * F.col("_cenn")),
+        )
         .withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "_qvec", "cell")
+        .select("query_id", "_qvec", "_qn", "cell")
     )
     scored = (
         c_assigned.join(F.broadcast(q_probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine_expr(F.col("_qvec"), F.col("_cvec")))
+        .withColumn(
+            "cos",
+            dot_expr(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -303,12 +376,21 @@ def embedding_neardup_pairs(
     coarse quantizer) bounds the pair blowup; cosine filters inside buckets.
     Output: (id1, id2, cos_sim).
     """
-    a = df.select(F.col(bucket_col).alias("_b"), F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
-    b = df.select(F.col(bucket_col).alias("_b"), F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+    a = df.select(
+        F.col(bucket_col).alias("_b"), F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("_v1"), norm_expr(F.col(vec_col)).alias("_n1"),
+    )
+    b = df.select(
+        F.col(bucket_col).alias("_b"), F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("_v2"), norm_expr(F.col(vec_col)).alias("_n2"),
+    )
     return (
         a.join(b, "_b")
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cos", cosine_expr(F.col("_v1"), F.col("_v2")))
+        .withColumn(
+            "cos",
+            dot_expr(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", F.round("cos", 4).alias("cos_sim"))
     )
