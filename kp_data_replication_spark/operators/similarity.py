@@ -99,16 +99,39 @@ def _plane_component(p: int, j) -> F.Column:
     return h - F.lit(2147483648.0)  # center around 0
 
 
-def lsh_signature(vec_col, n_planes: int = 8) -> F.Column:
-    """Random-hyperplane sign bits packed into an int — the LSH bucket id."""
+def _plane_vector(p: int, dim: int) -> list[float]:
+    """Driver-side twin of :func:`_plane_component`: the same centered md5
+    values, precomputed — planes are DATA-INDEPENDENT, so there is no
+    reason to recompute ~n_planes x dim md5s per vector at runtime."""
+    import hashlib
+
+    return [
+        float(int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:8], 16))
+        - 2147483648.0
+        for j in range(1, dim + 1)
+    ]
+
+
+def lsh_signature(vec_col, n_planes: int = 8, dim: int | None = None) -> F.Column:
+    """Random-hyperplane sign bits packed into an int — the LSH bucket id.
+
+    ``dim`` (the fixed embedding width — the normal case): plane
+    components are inlined as literal arrays, zero runtime hashing,
+    bit-identical values. Must equal every vector's actual length (a
+    longer vector would null-pad the zip and zero its sign bit). Without
+    ``dim`` the components are computed per element (any-width fallback,
+    and the form the DuckDB oracle mirrors)."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
+        if dim is not None:
+            plane = F.array(*[F.lit(v) for v in _plane_vector(p, dim)])
+        else:
+            plane = F.transform(
+                F.sequence(F.lit(1), F.size(vec_col)),
+                lambda j: _plane_component(p, j),
+            )
         dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.transform(F.sequence(F.lit(1), F.size(vec_col)), lambda j: _plane_component(p, j)),
-                lambda x, pl: x.cast("double") * pl,
-            ),
+            F.zip_with(vec_col, plane, lambda x, pl: x.cast("double") * pl),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -131,17 +154,21 @@ def cosine_topk_lsh(
     bigger buckets = higher recall). Output schema matches the brute-force
     variant for drop-in comparison.
     """
+    # fixed-width embedding columns: inline the plane literals (one tiny
+    # first() probe; None on an empty corpus keeps the dynamic fallback)
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first is not None else None
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         norm_expr(F.col(vec_col)).alias("_cn"),
-        lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
+        lsh_signature(F.col(vec_col), n_planes, dim=dim).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         norm_expr(F.col(vec_col)).alias("_qn"),
-        lsh_signature(F.col(vec_col), n_planes).alias("bucket"),
+        lsh_signature(F.col(vec_col), n_planes, dim=dim).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
