@@ -230,8 +230,10 @@ def train_ivf_centroids(
     cents = [[float(x) for x in r["_v"]] for r in init_rows]
 
     cent_schema = "cell int, _centroid array<double>"
-    # hoisted row norms, computed once for every Lloyd iteration
-    dfn = df.select("_id", "_v", norm_expr(F.col("_v")).alias("_vn"))
+    # hoisted row norms, persisted: every Lloyd iteration's assignment AND
+    # update job reuses the materialized (id, vec, norm) sample instead of
+    # re-reading + re-norming the corpus
+    dfn = df.select("_id", "_v", norm_expr(F.col("_v")).alias("_vn")).persist()
     for _ in range(max(0, n_iters)):
         cdf = spark.createDataFrame(list(enumerate(cents)), cent_schema).select(
             "cell", "_centroid", norm_expr(F.col("_centroid")).alias("_cenn")
@@ -282,6 +284,7 @@ def train_ivf_centroids(
         for c, comps in by_cell.items():
             new_cents[c] = [comps[p] for p in sorted(comps)]
         cents = [new_cents[c] for c in range(n_cells)]
+    dfn.unpersist()
     return spark.createDataFrame(list(enumerate(cents)), cent_schema)
 
 
