@@ -113,6 +113,16 @@ def main(argv: list[str] | None = None) -> None:
     lg.add_argument("--group", default=None,
                     help="consumer group whose lineage to compare (default: all)")
 
+    dr = sub.add_parser(
+        "dlq-replay",
+        help="re-submit (repaired) quarantined envelopes as new events: "
+             "re-sequenced past the applied watermarks, re-routed by key",
+    )
+    dr.add_argument("dlq_dir", help="repaired quarantine parquet dir")
+    dr.add_argument("target")
+    dr.add_argument("--new-dlq-dir", default=None,
+                    help="re-quarantine still-malformed rows here")
+
     di = sub.add_parser(
         "dedup-index",
         help="advance the incremental MinHash/LSH dedup index from a source "
@@ -233,6 +243,11 @@ def main(argv: list[str] | None = None) -> None:
             min_shared_bands=args.min_shared_bands,
         )
         print(json.dumps(stats))
+    elif args.cmd == "dlq-replay":
+        engine = CdcApplyEngine(TableStore(args.target), EngineConfig())
+        print(json.dumps(engine.replay_dlq(
+            spark, args.dlq_dir, new_dlq_dir=args.new_dlq_dir
+        )))
     elif args.cmd == "dedup-index":
         from .operators.dedup_incremental import IncrementalDedupIndex
 

@@ -805,6 +805,86 @@ class CdcApplyEngine:
         return {"epoch": epoch, "status": "committed", "version": version}
 
     # ------------------------------------------------------------------ #
+    def replay_dlq(
+        self,
+        spark: SparkSession,
+        dlq_dir: str,
+        writer_id: str = "dlq-replay",
+        new_dlq_dir: str | None = None,
+    ) -> dict:
+        """Re-submit (repaired) quarantined envelopes as NEW events — the
+        second half of the errors.tolerance=all contract (capture, repair,
+        move on): the operator fixes the parquet under ``dlq_dir`` (or a
+        copy), then this re-sequences every row PAST the current applied
+        watermarks and routes it by its (possibly repaired) key, so the
+        normal exactly-once apply path accepts it.
+
+        Re-sequencing is mandatory: the quarantined lsns were deliberately
+        cleared by the watermark at capture time (else every redelivery
+        would re-capture them), so replaying them verbatim would dedup to
+        nothing. Re-routing (partition = key-hash mod the known partition
+        count) is also mandatory: a repair may have CHANGED the key, and
+        the original partition would then violate the key->partition
+        affinity contract.
+
+        Rows still malformed after "repair" quarantine again into
+        ``new_dlq_dir`` (pass one to keep the loop going); with no
+        ``new_dlq_dir`` they fail the batch (affinity/validation), which is
+        the right default for a repair step that claims to be done.
+
+        Re-submission is AT-LEAST-ONCE by design (each run takes fresh
+        lsns, like re-producing repaired records to Kafka); replaying the
+        same repair twice converges to the same state (full-image upserts
+        are value-idempotent), it is not fenced.
+        """
+        from pyspark.sql import Window as W
+
+        df = spark.read.option("mergeSchema", "true").parquet(dlq_dir)
+        group = self.config.consumer_group
+        lineage = [
+            r for r in self.store.read_lineage_rows()
+            if (r.get("consumer_group") or DEFAULT_GROUP) == group
+        ]
+        parts = sorted({int(r["partition"]) for r in lineage})
+        n_parts = (max(parts) + 1) if parts else 1
+        wm_map = F.create_map(
+            *[x for r in lineage for x in (
+                F.lit(int(r["partition"])), F.lit(int(r["applied_lsn"]))
+            )]
+        ) if lineage else F.create_map()
+        routed = df.withColumn(
+            "partition",
+            F.pmod(
+                F.hash(
+                    F.coalesce(F.col("after.repo"), F.col("before.repo")),
+                    F.coalesce(F.col("after.path"), F.col("before.path")),
+                ),
+                F.lit(n_parts),
+            ).cast("int"),
+        )
+        # deterministic fresh sequence per (new) partition, past the
+        # watermark: original lsn (nulls last) then key as the order
+        order = W.partitionBy("partition").orderBy(
+            F.col("lsn").asc_nulls_last(),
+            F.coalesce(F.col("after.repo"), F.col("before.repo")),
+            F.coalesce(F.col("after.path"), F.col("before.path")),
+        )
+        resequenced = routed.withColumn(
+            "lsn",
+            F.coalesce(wm_map[F.col("partition")], F.lit(-1))
+            + F.row_number().over(order),
+        )
+        from dataclasses import replace as _dc_replace
+
+        engine = type(self)(
+            self.store, _dc_replace(self.config, dlq_dir=new_dlq_dir)
+        )
+        return engine.apply_batch(
+            resequenced, self.store.writer_epoch(writer_id) + 1,
+            writer_id=writer_id,
+        )
+
+    # ------------------------------------------------------------------ #
     def replay_batch(
         self,
         spark: SparkSession,
