@@ -106,6 +106,15 @@ def main(argv: list[str] | None = None) -> None:
     mo.add_argument("--continuous", action="store_true",
                     help="keep running (default: drain available input and stop)")
 
+    mt = sub.add_parser(
+        "metrics",
+        help="per-partition replication metrics from the target's metrics "
+             "table (record/duplicate/byte counts, replication latency — "
+             "the MM2 JMX dashboard analogue)",
+    )
+    mt.add_argument("target")
+    mt.add_argument("--last-epochs", type=int, default=5)
+
     lg = sub.add_parser("lag", help="per-partition replication lag vs a changelog head")
     lg.add_argument("changelog")
     lg.add_argument("target")
@@ -290,6 +299,41 @@ def main(argv: list[str] | None = None) -> None:
         except AnalysisException:
             n = 0
         print(json.dumps({"status": "drained", "windows": n}))
+    elif args.cmd == "metrics":
+        import os as _os
+
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
+
+        mdir = _os.path.join(args.target, "metrics")
+        try:
+            m = spark.read.parquet(mdir)
+        except AnalysisException:
+            print(json.dumps({"epochs": 0, "partitions": []}))
+            spark.stop()
+            return
+        recent = m.filter(
+            F.col("epoch")
+            > (m.agg(F.max("epoch")).first()[0] or 0) - args.last_epochs
+        )
+        rows = (
+            recent.groupBy("partition")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("n_applied").alias("n_applied"),
+                F.sum("n_duplicates").alias("n_duplicates"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.max("applied_lsn_before").alias("last_applied_lsn_before"),
+                # ts3 - ts2: apply wall clock vs newest producer event time
+                F.max(
+                    F.unix_micros("apply_ts") - F.unix_micros("max_ts")
+                ).alias("replication_latency_us"),
+            )
+            .orderBy("partition")
+            .collect()
+        )
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "lag":
         from pyspark.sql import functions as F
 
