@@ -120,6 +120,10 @@ class IncrementalDedupIndex:
         docs). Returns a summary; with ``emit_pairs`` also the NEW candidate
         pairs this advance introduced (changed docs vs the updated index) as
         ``pairs`` — the per-epoch stream a downstream dedup job consumes.
+        The pairs DataFrame is lazy: consuming it re-derives the changed
+        docs' bands once more (the cache backing this update is released
+        when it returns) — still O(batch), just a second shingle pass over
+        the changed rows only.
         """
         writer = f"dedup-index:{os.path.abspath(src.root)}"
         last = max(self.store.writer_epoch(writer), 0)
