@@ -145,6 +145,31 @@ def test_update_to_empty_text_replaces_stale_bands(spark, tmp_path):
     assert not index.all_pairs(spark).collect()
 
 
+def test_index_merge_touches_only_dirty_index_buckets(spark, tmp_path):
+    """O(batch) on the INDEX side too: an epoch's merge rewrites only the
+    index buckets the changed keys hash into — the untouched buckets'
+    files carry forward by manifest reference, byte-identical."""
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    # 16 buckets so a single-doc epoch leaves most of the index untouched
+    index = IncrementalDedupIndex(str(tmp_path / "idx"), n_buckets=16)
+    engine.apply_batch(spark.createDataFrame(
+        [_env(d, "c", BASE[d], d) for d in BASE], CHANGELOG_SCHEMA), 0)
+    index.update(spark, src)
+    m1 = index.store.current_manifest()
+
+    engine.apply_batch(spark.createDataFrame(
+        [_env(0, "u", BASE[0] + " changed", 100)], CHANGELOG_SCHEMA), 1)
+    out = index.update(spark, src)
+    assert out["dirty_index_buckets"] == 1
+    m2 = index.store.current_manifest()
+    changed_buckets = [
+        b for b in m2["buckets"] if m2["buckets"][b] != m1["buckets"].get(b, [])
+    ]
+    assert len(changed_buckets) == 1  # every other bucket carried forward
+    _assert_parity(spark, src, index)
+
+
 def test_index_registers_as_retention_consumer(spark, tmp_path):
     """The index's position pins source vacuum: a lagging index survives
     aggressive vacuum and catches up incrementally."""
