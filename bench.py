@@ -54,6 +54,7 @@ LLM_QUERIES = [
     "pack_chunks",
     "pack_greedy",
     "text_stats",
+    "text_repetition",
     "text_rolling_fingerprint",
     "multimodal_meta",
 ]

@@ -137,6 +137,70 @@ def rolling_hash(s: pd.Series) -> pd.Series:
     return out
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher/C4 repetition
+    filters the length/stopword/punct trio doesn't cover): documents that
+    loop the same lines or phrases are boilerplate/spam, not prose.
+
+    Output per document: ``n_lines``, ``dup_line_ratio`` (1 - distinct
+    lines / lines), ``top_bigram_share`` (occurrences of the most frequent
+    word bigram / total bigrams; 0 for docs with < 2 words).
+
+    Scale shape: line metrics are pure array expressions (codegen, no
+    shuffle); the bigram share is one explode + two hash aggregates whose
+    explode factor is words-1 — the same bounded shape as the shingle
+    family, map-side partial throughout.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(lines).alias("n_lines"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines))
+            / F.greatest(F.size(lines), F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_line_ratio"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+    )
+    bigrams = base.select(
+        "doc",
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    shares = (
+        bigrams.groupBy("doc", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc")
+        .agg(
+            F.round(F.max("n") / F.sum("n").cast("double"), 4).alias(
+                "top_bigram_share"
+            )
+        )
+    )
+    return (
+        base.select("doc", "n_lines", "dup_line_ratio")
+        .join(shares, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_lines",
+            "dup_line_ratio",
+            F.coalesce(F.col("top_bigram_share"), F.lit(0.0)).alias(
+                "top_bigram_share"
+            ),
+        )
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table.
 

@@ -1011,6 +1011,44 @@ SQL_DEDUP_EMBEDDING_COSINE = f"""
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Intra-document repetition metrics (Gopher/C4 repetition filters:
+    duplicate-line ratio + top word-bigram share) — boilerplate/spam
+    detection the length/stopword/punct quality trio doesn't cover."""
+    from .functions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_TEXT_REPETITION = r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             string_split_regex(trim(text), '\s+') AS w
+      FROM documents),
+    line_stats AS (
+      SELECT doc_id,
+             len(lines) AS n_lines,
+             round(1.0 - len(list_distinct(lines))::DOUBLE
+                   / greatest(len(lines), 1), 4) AS dup_line_ratio,
+             w
+      FROM base),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(len(w) - 1, 0)),
+                                   i -> w[i+1] || ' ' || w[i+2])) AS bg
+      FROM line_stats),
+    counts AS (
+      SELECT doc_id, bg, count(*) AS n FROM bigrams GROUP BY 1, 2),
+    shares AS (
+      SELECT doc_id, round(max(n)::DOUBLE / sum(n), 4) AS top_bigram_share
+      FROM counts GROUP BY doc_id)
+    SELECT l.doc_id, l.n_lines, l.dup_line_ratio,
+           coalesce(s.top_bigram_share, 0.0) AS top_bigram_share
+    FROM line_stats l LEFT JOIN shares s USING (doc_id)
+"""
+
+
 def q_text_stats(spark, sf_dir):
     return analyze_documents(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens_ws", "n_tokens_re", "stopword_ratio",
@@ -1253,6 +1291,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pack_greedy": (q_pack_greedy, SQL_PACK_GREEDY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_rolling_fingerprint": (
         q_text_rolling_fingerprint, SQL_TEXT_ROLLING_FINGERPRINT
     ),

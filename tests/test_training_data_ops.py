@@ -241,6 +241,34 @@ def test_trained_ivf_centroids_beat_sampled_on_adversarial_corpus(spark):
         assert bscores[(r.query_id, r.neighbor_id)] == r.cos_sim
 
 
+def test_repetition_stats_flags_boilerplate(spark):
+    """Gopher/C4 repetition filters: looping lines and repeated phrases
+    score high; normal prose scores low; degenerate docs don't crash."""
+    from kp_data_replication_spark.functions.text import repetition_stats
+
+    rows = [
+        (0, "buy now\nbuy now\nbuy now\nbuy now"),            # looped lines
+        (1, "click here click here click here click here"),    # looped bigram
+        (2, "a perfectly ordinary sentence with no repeats"),   # prose
+        (3, "single"),                                          # < 2 words
+        (4, ""),                                                # empty
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[0]["dup_line_ratio"] == 0.75   # 4 lines, 1 distinct
+    assert got[0]["n_lines"] == 4
+    # "click here" dominates: 4 of 7 bigrams
+    assert got[1]["top_bigram_share"] == round(4 / 7, 4)
+    assert got[2]["dup_line_ratio"] == 0.0
+    assert got[2]["top_bigram_share"] < 0.2
+    assert got[3]["top_bigram_share"] == 0.0  # no bigrams
+    assert got[4]["dup_line_ratio"] == 0.0 and got[4]["top_bigram_share"] == 0.0
+
+
 def test_decode_to_tensor_and_resize(spark, docs):
     """Tensor-column plumbing: deterministic stub decode into array<float>,
     then a REAL vectorized mean-pool resize whose values are verifiable in
