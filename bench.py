@@ -5,9 +5,16 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ...,
    "cdc": {...apply throughput detail...}}
 
+Noise discipline (this host shows characterized 2-3x wall-clock noise
+episodes): the CDC apply is best-of-BENCH_REPEATS fresh replays, and every
+query is timed over BENCH_QUERY_REPEATS interleaved passes with the
+per-query minimum reported ("queries") and all samples recorded
+("query_samples") so a drift can be attributed to host state, not code.
+
 Env:
   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    (default 32)
+  BENCH_REPEATS / BENCH_QUERY_REPEATS (default 3 each)
   BENCH_CDC_KEYS / BENCH_CDC_VERSIONS / BENCH_CDC_PARTITIONS to resize the
   synthetic changelog (defaults sized for ~60-90 s total runtime).
 
@@ -274,28 +281,29 @@ def main() -> None:
     try:
         cdc = bench_cdc_apply(spark, work_dir)
 
-        qtimes: dict[str, float] = {}
         registry = all_queries()
-        for name in HEADLINE_QUERIES:
-            fn, _ = registry[name]
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            qtimes[name] = round(time.time() - t0, 3)
-            log(f"query {name}: {n} rows in {qtimes[name]}s")
-
-        # LLM-training-data suite (skippable: BENCH_LLM=0)
-        llm_times: dict[str, float] = {}
-        if os.environ.get("BENCH_LLM", "1") != "0":
-            for name in LLM_QUERIES:
+        # Per-query best-of-N over INTERLEAVED passes (round-3 verdict: a
+        # single-shot query leg on this host — characterized 2-3x wall-clock
+        # noise episodes — cannot support perf claims either way). Interleaving
+        # beats back-to-back repeats because a noise episode then inflates one
+        # PASS, not one QUERY: the per-query minimum across passes recovers.
+        repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "3"))
+        llm_on = os.environ.get("BENCH_LLM", "1") != "0"
+        names = HEADLINE_QUERIES + (LLM_QUERIES if llm_on else [])
+        samples: dict[str, list[float]] = {n: [] for n in names}
+        os.sync()
+        for p in range(repeats):
+            for name in names:
                 fn, _ = registry[name]
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()
-                llm_times[name] = round(time.time() - t0, 3)
-                log(f"llm query {name}: {n} rows in {llm_times[name]}s")
-            dedup_inc = bench_incremental_dedup(spark, sf_dir, work_dir)
-        else:
-            dedup_inc = None
+                samples[name].append(round(time.time() - t0, 3))
+                log(f"query {name}[pass {p}]: {n} rows in {samples[name][-1]}s")
+        qtimes = {n: min(samples[n]) for n in HEADLINE_QUERIES}
+        llm_times = {n: min(samples[n]) for n in LLM_QUERIES} if llm_on else {}
+        dedup_inc = (
+            bench_incremental_dedup(spark, sf_dir, work_dir) if llm_on else None
+        )
 
         total = round(cdc["apply_sec"] + sum(qtimes.values()), 3)
         out = {
@@ -303,6 +311,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": {"cdc_apply": cdc["apply_sec"], **qtimes, **llm_times},
+            "query_samples": samples,
+            "query_repeats": repeats,
             "sf": sf,
             "cpus": cpus,
             "cdc": cdc,

@@ -78,15 +78,30 @@ def unpack_envelope(df: DataFrame, normalize: bool = True) -> DataFrame:
     """Native envelope unpack: meta cols + key cols + after image columns.
 
     For deletes (``op='d'``, after is null) the key columns come from the
-    before image so the MERGE delete branch can match its target row.
-    Output: partition, lsn, op, ts_ms, repo, path, <other row cols...>.
+    before image so the MERGE delete branch can match its target row — and
+    so do the LWW conflict-stamp columns: a cascaded tombstone's origin
+    stamp rides in its before image (the exact-diff changefeed emits the
+    deleted row's last persisted stamp there), and re-stamping it with
+    cascade wall-clock time would fabricate a stamp that out-ranks genuine
+    concurrent writes at remote replicas only (divergence + delete/insert
+    echo — the round-3 advisory). Output: partition, lsn, op, ts_ms,
+    repo, path, <other row cols...>.
     """
+    from ..schema import LWW_SRC_COL, LWW_TS_COL
+
     cols = row_cols(df)
+    stamp_cols = {LWW_TS_COL, LWW_SRC_COL}
+
+    def _field(c: str) -> F.Column:
+        if c in stamp_cols:
+            return F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+        return F.col(f"after.{c}").alias(c)
+
     out = df.select(
         *META_COLS,
         F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
         F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
-        *[F.col(f"after.{c}").alias(c) for c in cols if c not in ("repo", "path")],
+        *[_field(c) for c in cols if c not in ("repo", "path")],
     )
     if normalize and "content" in cols:
         out = out.withColumn("content", normalize_content(F.col("content")))
@@ -126,7 +141,15 @@ def unpack_envelope_arrow(df: DataFrame, normalize: bool = True) -> DataFrame:
                 for a, b in zip(after, before)
             ]
             for c in extra:
-                out[c] = [field(a, c) for a in after]
+                if c in ("_lww_ts", "_lww_src"):
+                    # tombstone stamps ride in the before image (see the
+                    # native twin's docstring)
+                    out[c] = [
+                        field(a, c) if field(a, c) is not None else field(b, c)
+                        for a, b in zip(after, before)
+                    ]
+                else:
+                    out[c] = [field(a, c) for a in after]
             if normalize and "content" in out:
                 out["content"] = out["content"].map(
                     lambda x: None

@@ -153,8 +153,13 @@ def table_changes(
         if fast is not None:
             return fast
     dirty = changed_buckets(store, v_from, v_to)
-    old = store.read_state(spark, buckets=dirty, version=v_from)
-    new = store.read_state(spark, buckets=dirty, version=v_to)
+    # include_deleted: a persisted LWW tombstone is a state transition like
+    # any other — the diff must see it so its stamp travels downstream (a
+    # row becoming a tombstone surfaces as an update whose post-image is
+    # the tombstone; _encode_envelope re-encodes that as op='d' with the
+    # stamp in the before image). Tables without the column are unaffected.
+    old = store.read_state(spark, buckets=dirty, version=v_from, include_deleted=True)
+    new = store.read_state(spark, buckets=dirty, version=v_to, include_deleted=True)
     return diff_states(old, new, key_cols).withColumn(
         VERSION_COL, F.lit(v_to).cast("long")
     )
@@ -235,9 +240,17 @@ def changefeed_envelope(
 def _encode_envelope(
     ch: DataFrame, key_cols: list[str], n_partitions: int, source_topic: str
 ) -> DataFrame:
+    from ..schema import LWW_DELETED_COL
+
     data_cols = [c for c in ch.columns if c not in (CHANGE_TYPE_COL, VERSION_COL)]
     image = F.struct(*[F.col(c) for c in data_cols])
     is_del = F.col(CHANGE_TYPE_COL) == "delete"
+    if LWW_DELETED_COL in ch.columns:
+        # a row whose post-image is a persisted tombstone cascades as a
+        # DELETE whose before image carries the tombstone (nulls + the
+        # delete's own origin stamp) — never a fabricated cascade-time
+        # stamp; the downstream unpack coalesces the stamps from before
+        is_del = is_del | F.coalesce(F.col(LWW_DELETED_COL), F.lit(False))
     return ch.select(
         F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_partitions))
         .cast("int")
@@ -319,6 +332,12 @@ def cascade_catchup(
         # ping-ponging versions (the state-diff analogue of MM2's
         # cluster-prefix loop guard, docs/consideration.md:29-35).
         if not changed_buckets(src, last, v):
+            last = v
+            continue
+        # a tombstone-purge commit is replica-local maintenance: each side
+        # GCs on its own schedule, and re-emitting a purge as deletes would
+        # re-create tombstones on a replica that already purged (ping-pong)
+        if (src.manifest(v) or {}).get("changefeed_skip"):
             last = v
             continue
         env = changefeed_envelope(

@@ -107,8 +107,7 @@ def evolve_columns(target: DataFrame, batch_row_cols: list[tuple[str, object]]) 
     return target
 
 
-LWW_TS_COL = "_lww_ts"
-LWW_SRC_COL = "_lww_src"
+from ..schema import LWW_DELETED_COL, LWW_SRC_COL, LWW_TS_COL  # noqa: E402,F401 (re-export)
 
 
 def merge_upsert(
@@ -137,11 +136,21 @@ def merge_upsert(
     the same two stamps, so they pick the same winner and the state diff
     of the losing application is empty — convergence instead of ping-pong.
     Stampless rows (pre-LWW data) compare as -infinity and lose to any
-    stamped write. Delete-vs-concurrent-update also resolves by stamp at
-    merge time; losing tombstones are dropped, not persisted — sufficient
-    for the changefeed cascade (versions replay monotonically), while a
-    log that re-delivers arbitrarily old inserts after a newer delete
-    would need persisted tombstones (documented boundary).
+    stamped write.
+
+    Tombstones are PERSISTED under lww: a winning delete leaves a row with
+    data columns null, ``_lww_deleted=true``, and the DELETE'S OWN stamp —
+    so (a) a re-delivered arbitrarily old insert after a newer delete
+    loses deterministically even outside monotone-changefeed delivery, and
+    (b) a cascaded delete carries its origin stamp to every replica
+    (delete-vs-concurrent-update resolves identically everywhere — the
+    round-3 divergence/echo hazard, closed). The tombstone image IS the
+    source image of an ``op='d'`` row (after-image null, stamps coalesced
+    from the before image by the envelope unpack), so no special delete
+    branch is needed: the stamp comparison decides, and the winner's full
+    image — row or tombstone — is written. Normal reads exclude
+    ``_lww_deleted`` rows (TableStore.read_state); expired tombstones are
+    GC'd by :meth:`TableStore.purge_tombstones`.
     """
     key_cols = key_cols or KEY_COLS
     data_cols = [c for c in batch.columns if c not in (*key_cols, op_col, "partition", "lsn", "ts_ms")]
@@ -183,12 +192,21 @@ def merge_upsert(
     else:
         s_wins = F.lit(True)
 
-    # WHEN MATCHED AND op='d' (and, under lww, the tombstone's stamp wins)
-    # THEN DELETE; a delete for an absent key is a no-op (dropped either way)
-    matched_delete = (
-        has_source & (F.col("_s_op") == "d") & (~target_present | s_wins)
-    )
-    kept = joined.filter(~matched_delete)
+    persist_tombstones = lww and LWW_DELETED_COL in data_cols
+    if persist_tombstones:
+        # a winning delete WRITES its tombstone image (nulls + stamp +
+        # _lww_deleted=true) instead of dropping the row — the stamp
+        # comparison below is the whole delete branch; this also persists
+        # a tombstone for a never-seen key (the delete may out-race the
+        # insert through a cascade)
+        kept = joined
+    else:
+        # WHEN MATCHED AND op='d' THEN DELETE; a delete for an absent key
+        # is a no-op (dropped either way)
+        matched_delete = (
+            has_source & (F.col("_s_op") == "d") & (~target_present | s_wins)
+        )
+        kept = joined.filter(~matched_delete)
 
     # Debezium after-images are FULL row images: an update overwrites every
     # data column with the source image (a column missing from a

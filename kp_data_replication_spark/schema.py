@@ -26,6 +26,17 @@ from pyspark.sql import types as T
 # (repo, path)).
 KEY_COLS = ["repo", "path"]
 
+# LWW conflict-stamp columns (active/active topologies,
+# docs/consideration.md:29-35): origin event time + origin cluster id form
+# the total order; LWW_DELETED_COL marks a PERSISTED tombstone — a deleted
+# key keeps a row carrying the delete's own stamp, so a concurrent or
+# re-delivered older write loses deterministically on every replica (the
+# round-3 "losing tombstones not persisted" boundary, closed). Normal reads
+# exclude tombstone rows; merge/changefeed reads include them.
+LWW_TS_COL = "_lww_ts"
+LWW_SRC_COL = "_lww_src"
+LWW_DELETED_COL = "_lww_deleted"
+
 ROW_FIELDS = [
     T.StructField("repo", T.StringType(), False),
     T.StructField("path", T.StringType(), False),

@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schema import KEY_COLS, LINEAGE_SCHEMA
+from ..schema import KEY_COLS, LINEAGE_SCHEMA, LWW_DELETED_COL, LWW_TS_COL
 
 BUCKET_COL = "_bucket"
 
@@ -138,6 +138,7 @@ class TableStore:
         spark: SparkSession,
         buckets: list[int] | None = None,
         version: int | None = None,
+        include_deleted: bool = False,
     ) -> DataFrame:
         """Table state (optionally restricted to some buckets), always
         through the manifest schema so old files are null-padded for columns
@@ -147,6 +148,14 @@ class TableStore:
         version (Iceberg snapshot read). None = current. Data files are
         immutable and manifests are retained until :meth:`vacuum`, so any
         unexpired version reads consistently while writers keep committing.
+
+        ``include_deleted``: LWW tables persist tombstone rows (nulls +
+        the delete's conflict stamp, ``_lww_deleted=true``) so concurrent/
+        re-delivered older writes lose deterministically. Normal reads hide
+        them (a deleted key is deleted); the MERGE, the changefeed diff,
+        and physical rewrites read with ``include_deleted=True`` so stamps
+        survive. No-op for tables without the column — the filter is a
+        pushed-down parquet predicate, not an extra pass.
         """
         m = self.current_manifest() if version is None else self.manifest(version)
         schema = None if m is None else T.StructType.fromJson(m["schema"])
@@ -155,7 +164,12 @@ class TableStore:
             return spark.createDataFrame([], schema or T.StructType(
                 [T.StructField(c, T.StringType()) for c in KEY_COLS]
             ))
-        return spark.read.schema(schema).parquet(*files)
+        df = spark.read.schema(schema).parquet(*files)
+        if not include_deleted and LWW_DELETED_COL in schema.names:
+            df = df.filter(
+                ~F.coalesce(F.col(LWW_DELETED_COL), F.lit(False))
+            )
+        return df
 
     def read_lineage_rows(self) -> list[dict]:
         """Lineage as plain Python rows, read driver-side via pyarrow.
@@ -409,8 +423,26 @@ class TableStore:
 
     # ---------- consumer registry (changefeed retention auto-pin) ----------
     @property
-    def _consumers_path(self) -> str:
+    def _consumers_dir(self) -> str:
+        return os.path.join(self.root, "_consumers.d")
+
+    @property
+    def _consumers_path(self) -> str:  # legacy single-file registry
         return os.path.join(self.root, "_consumers")
+
+    @staticmethod
+    def _consumer_fname(group: str) -> str:
+        """Filesystem-safe per-group file name. Groups embed absolute paths
+        ("cascade:/a/b"), so percent-encode; very long names fall back to a
+        digest (the group name itself is stored INSIDE the file)."""
+        from urllib.parse import quote
+
+        q = quote(group, safe="")
+        if len(q) > 200:
+            import hashlib
+
+            q = hashlib.sha256(group.encode()).hexdigest()
+        return q + ".json"
 
     def consumers(self) -> dict[str, int]:
         """Registered changefeed consumers: {group -> last version APPLIED
@@ -418,29 +450,63 @@ class TableStore:
         (docs/consideration.md:37-48) translated to versions: a consumer at
         version L needs L's manifest (and files) retained to diff L -> head
         incrementally; losing it forces a full resync."""
-        if not os.path.exists(self._consumers_path):
-            return {}
-        with open(self._consumers_path) as f:
-            return json.load(f)
+        out: dict[str, int] = {}
+        if os.path.exists(self._consumers_path):  # legacy stores
+            with open(self._consumers_path) as f:
+                out.update(json.load(f))
+        if os.path.isdir(self._consumers_dir):
+            for fn in os.listdir(self._consumers_dir):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(self._consumers_dir, fn)) as f:
+                        rec = json.load(f)
+                except (OSError, ValueError):
+                    continue  # half-written tmp or concurrent remove
+                g = rec["group"]
+                out[g] = max(int(rec["version"]), out.get(g, 0))
+        return out
 
     def record_consumer(self, group: str, version: int) -> None:
         """Advance (monotone) a consumer group's last-applied version.
         :meth:`vacuum` derives its keep-floor from the SLOWEST registered
         group, so a lagging cascade consumer auto-pins the versions it
-        still needs — no manual tagging, no silent full resync."""
-        cons = self.consumers()
-        cons[group] = max(int(version), cons.get(group, 0))
-        with open(self._consumers_path + ".tmp", "w") as f:
-            json.dump(cons, f)
-        os.replace(self._consumers_path + ".tmp", self._consumers_path)
+        still needs — no manual tagging, no silent full resync.
+
+        One file per group under ``_consumers.d/``, each its own atomic
+        ``os.replace``: two independent consumer processes (a cascade and a
+        dedup index — the intended multi-consumer use) registering
+        concurrently can never lose each other's entry, which a
+        read-modify-write of one shared file could (and a dropped entry
+        means vacuum may delete versions that consumer still needs — the
+        silent full-resync failure the auto-pin exists to prevent)."""
+        os.makedirs(self._consumers_dir, exist_ok=True)
+        path = os.path.join(self._consumers_dir, self._consumer_fname(group))
+        prev = 0
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prev = int(json.load(f)["version"])
+            except (OSError, ValueError, KeyError):
+                prev = 0
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"group": group, "version": max(int(version), prev)}, f)
+        os.replace(tmp, path)
 
     def remove_consumer(self, group: str) -> None:
         """Deregister a retired flow so it stops pinning retention."""
-        cons = self.consumers()
-        cons.pop(group, None)
-        with open(self._consumers_path + ".tmp", "w") as f:
-            json.dump(cons, f)
-        os.replace(self._consumers_path + ".tmp", self._consumers_path)
+        try:
+            os.remove(os.path.join(self._consumers_dir, self._consumer_fname(group)))
+        except FileNotFoundError:
+            pass
+        if os.path.exists(self._consumers_path):  # legacy migration path
+            with open(self._consumers_path) as f:
+                cons = json.load(f)
+            cons.pop(group, None)
+            with open(self._consumers_path + ".tmp", "w") as f:
+                json.dump(cons, f)
+            os.replace(self._consumers_path + ".tmp", self._consumers_path)
 
     def delete_tag(self, name: str) -> None:
         tags = self.tags()
@@ -516,9 +582,12 @@ class TableStore:
         epoch_rel = f"data/v{version}"
         epoch_dir = os.path.join(self.root, epoch_rel)
         shutil.rmtree(epoch_dir, ignore_errors=True)
-        df = self.read_state(spark, buckets=sel).withColumn(
-            BUCKET_COL, bucket_expr(m["n_buckets"])
-        )
+        # include_deleted: a physical rewrite must carry LWW tombstones
+        # forward — dropping them would silently re-open the resurrection
+        # window the stamps exist to close
+        df = self.read_state(
+            spark, buckets=sel, include_deleted=True
+        ).withColumn(BUCKET_COL, bucket_expr(m["n_buckets"]))
         (
             df.repartition(len(sel), F.col(BUCKET_COL))
             .write.mode("overwrite")
@@ -577,7 +646,7 @@ class TableStore:
         epoch_rel = f"data/v{version}"
         epoch_dir = os.path.join(self.root, epoch_rel)
         shutil.rmtree(epoch_dir, ignore_errors=True)
-        df = self.read_state(spark).withColumn(
+        df = self.read_state(spark, include_deleted=True).withColumn(
             BUCKET_COL, bucket_expr(new_n_buckets)
         )
         (
@@ -613,6 +682,94 @@ class TableStore:
             json.dump({"version": version}, f)
         os.replace(self.pointer_path + ".tmp", self.pointer_path)
         return {"version": version, "n_buckets": new_n_buckets}
+
+    def purge_tombstones(
+        self,
+        spark: SparkSession,
+        older_than_ms: int,
+        now_ms: int | None = None,
+    ) -> dict:
+        """GC expired LWW tombstones (Delta `delete retention` analogue).
+
+        A persisted tombstone only needs to outlive the window in which a
+        concurrent or re-delivered older write for its key could still
+        arrive; past that it is dead weight. This pass rewrites every
+        bucket containing a tombstone whose ``_lww_ts`` is older than
+        ``now_ms - older_than_ms``, dropping those rows, and commits a new
+        version flagged ``changefeed_skip`` — cascades treat it like a
+        physical rewrite (each replica purges on its own schedule; a purge
+        must NOT cascade as deletes, or a replica that already purged
+        would re-create tombstones and the pair would ping-pong).
+
+        Scale shape: one manifest-pruned probe (tombstone rows are slim —
+        key + stamp — and the ``_lww_deleted``/``_lww_ts`` predicates push
+        to parquet), then one rewrite of only the affected buckets.
+        """
+        import time as _time
+
+        m = self.current_manifest()
+        if m is None or LWW_DELETED_COL not in T.StructType.fromJson(
+            m["schema"]
+        ).names:
+            return {"purged": 0, "version": self.current_version()}
+        now_ms = int(_time.time() * 1000) if now_ms is None else now_ms
+        cutoff = now_ms - older_than_ms
+        expired_pred = F.coalesce(F.col(LWW_DELETED_COL), F.lit(False)) & (
+            F.coalesce(F.col(LWW_TS_COL), F.lit(0)) < F.lit(cutoff)
+        )
+        # probe: which buckets hold expired tombstones, and how many —
+        # driver-bounded (<= n_buckets rows)
+        probe = (
+            self.read_state(spark, include_deleted=True)
+            .filter(expired_pred)
+            .groupBy(bucket_expr(m["n_buckets"]).alias(BUCKET_COL))
+            .count()
+            .collect()
+        )
+        if not probe:
+            return {"purged": 0, "version": self.current_version()}
+        sel = sorted(int(r[BUCKET_COL]) for r in probe)
+        n_purged = sum(r["count"] for r in probe)
+        version = self.current_version() + 1
+        epoch_rel = f"data/v{version}"
+        epoch_dir = os.path.join(self.root, epoch_rel)
+        shutil.rmtree(epoch_dir, ignore_errors=True)
+        df = (
+            self.read_state(spark, buckets=sel, include_deleted=True)
+            .filter(~expired_pred)
+            .withColumn(BUCKET_COL, bucket_expr(m["n_buckets"]))
+        )
+        (
+            df.repartition(len(sel), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(epoch_dir)
+        )
+        buckets_map = dict(m["buckets"])
+        for b in sel:
+            d = os.path.join(epoch_dir, f"{BUCKET_COL}={b}")
+            buckets_map[str(b)] = sorted(
+                f"{epoch_rel}/{BUCKET_COL}={b}/{f}"
+                for f in (os.listdir(d) if os.path.isdir(d) else [])
+                if f.endswith(".parquet")
+            )
+        manifest = {
+            **m,
+            "version": version,
+            "buckets": buckets_map,
+            # replicas purge independently; this version must never be
+            # re-emitted as a batch of deletes by a cascade
+            "changefeed_skip": True,
+        }
+        manifest.pop("changes", None)
+        mpath = os.path.join(self.root, "manifests", f"v{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        with open(self.pointer_path + ".tmp", "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(self.pointer_path + ".tmp", self.pointer_path)
+        return {"purged": n_purged, "version": version, "buckets": sel}
 
     def vacuum(self, keep_versions: int = 2) -> dict:
         """Garbage-collect unreachable files (Iceberg expire_snapshots +

@@ -52,7 +52,12 @@ from ..operators.compact import (
 from ..operators.dedup_cdc import filter_applied
 from ..operators.filters import DEFAULT_BLACKLIST, select_topics
 from ..schema import DEFAULT_GROUP
-from ..operators.merge import LWW_SRC_COL, LWW_TS_COL, merge_upsert
+from ..operators.merge import (
+    LWW_DELETED_COL,
+    LWW_SRC_COL,
+    LWW_TS_COL,
+    merge_upsert,
+)
 from ..sources.table_store import BUCKET_COL, TableStore, bucket_expr
 
 
@@ -129,7 +134,12 @@ class EngineConfig:
     # bogus row in the target). None (default) = trust the producer:
     # no validation pass, zero extra jobs per epoch — note that WITHOUT a
     # DLQ, null-lsn envelopes are dropped by the watermark dedup (its
-    # `lsn > watermark` predicate is NULL for them), not merged.
+    # `lsn > watermark` predicate is NULL for them), not merged. Null-lsn
+    # CAPTURE is at-least-once: a producer-level redelivery re-quarantines
+    # the same unsequenceable rows under a new epoch directory (same-epoch
+    # replays overwrite idempotently); replay_dlq collapses the duplicates
+    # by payload, so DLQ growth is bounded by redelivery rate, state by
+    # neither.
     dlq_dir: str | None = None
 
 
@@ -291,6 +301,15 @@ class CdcApplyEngine:
                 rows = rows.withColumn(LWW_TS_COL, ts_stamp).withColumn(
                     LWW_SRC_COL, F.lit(config.cluster_id)
                 )
+            # persisted-tombstone marker: a delete's image (nulls + its own
+            # stamp) is written as a row, not dropped — see merge_upsert.
+            # Cascaded tombstone images may already carry the marker.
+            deleted = F.col("op") == "d"
+            if LWW_DELETED_COL in rows.columns:
+                deleted = deleted | F.coalesce(
+                    F.col(LWW_DELETED_COL), F.lit(False)
+                )
+            rows = rows.withColumn(LWW_DELETED_COL, deleted)
 
         # fold the per-key byte total into the compaction aggregate: the
         # metrics pass then never re-reads the (wide) content column — its
@@ -477,7 +496,11 @@ class CdcApplyEngine:
                     "_lww_order", "_max_lsn",
                 )
                 if self.store._bucket_files(dirty):
-                    target_dirty = self.store.read_state(spark, buckets=dirty)
+                    # include_deleted: persisted LWW tombstones must join so
+                    # their stamps fence re-delivered older writes
+                    target_dirty = self.store.read_state(
+                        spark, buckets=dirty, include_deleted=True
+                    )
                     merged = merge_upsert(
                         target_dirty,
                         batch_side,
@@ -487,10 +510,16 @@ class CdcApplyEngine:
                     # every dirty bucket is empty on the target (bootstrap /
                     # first touch): MERGE degenerates to INSERT-where-not-
                     # tombstone — skip the join stage entirely; null-pad any
-                    # stored column this pre-evolution batch lacks
-                    merged = batch_side.filter(F.col("op") != "d").drop(
-                        "op", "partition", "lsn", "ts_ms"
-                    )
+                    # stored column this pre-evolution batch lacks. Under lww
+                    # the tombstone IMAGE persists (nulls + stamp + marker).
+                    if config.conflict_policy == "lww":
+                        merged = batch_side.drop(
+                            "op", "partition", "lsn", "ts_ms"
+                        )
+                    else:
+                        merged = batch_side.filter(F.col("op") != "d").drop(
+                            "op", "partition", "lsn", "ts_ms"
+                        )
                     present = set(merged.columns)
                     for fld in row_schema.fields:
                         if fld.name not in present:
@@ -829,8 +858,10 @@ class CdcApplyEngine:
 
         Rows still malformed after "repair" quarantine again into
         ``new_dlq_dir`` (pass one to keep the loop going); with no
-        ``new_dlq_dir`` they fail the batch (affinity/validation), which is
-        the right default for a repair step that claims to be done.
+        ``new_dlq_dir`` an explicit validation pass fails the batch before
+        any state is touched — the right default for a repair step that
+        claims to be done (a keyless row would otherwise slip past the
+        affinity check and merge as a (null,null)-keyed bogus row).
 
         Re-submission is AT-LEAST-ONCE by design (each run takes fresh
         lsns, like re-producing repaired records to Kafka); replaying the
@@ -840,6 +871,17 @@ class CdcApplyEngine:
         from pyspark.sql import Window as W
 
         df = spark.read.option("mergeSchema", "true").parquet(dlq_dir)
+        # capture is at-least-once for NULL-LSN rows: they are split from
+        # the raw batch BEFORE the watermark dedup (nothing can sequence
+        # them), so a producer-level redelivery in a later epoch quarantines
+        # the same rows under a new epoch=M directory. Replay is where the
+        # duplicates collapse: identical payloads are one event. (headers
+        # excluded — map columns aren't groupable; two captures of the same
+        # event carry identical headers anyway.)
+        df = df.dropDuplicates(
+            [c for c in ("partition", "lsn", "op", "before", "after",
+                         "ts_ms", "source_topic") if c in df.columns]
+        )
         group = self.config.consumer_group
         lineage = [
             r for r in self.store.read_lineage_rows()
@@ -874,6 +916,21 @@ class CdcApplyEngine:
             F.coalesce(wm_map[F.col("partition")], F.lit(-1))
             + F.row_number().over(order),
         )
+        if new_dlq_dir is None:
+            # the "repair is done" contract must be ENFORCED, not assumed: a
+            # still-keyless row would otherwise route to pmod(hash(null,null))
+            # — a single partition, so the affinity check passes — and INSERT
+            # a (null,null)-keyed bogus row through the full-outer merge (the
+            # exact poisoning the DLQ exists to prevent). Fail the batch
+            # before any state is touched. (lsn was just re-assigned, so only
+            # the key/op clauses can fire here.)
+            n_bad = resequenced.filter(_malformed_envelope_pred()).count()
+            if n_bad:
+                raise ValueError(
+                    f"replay_dlq: {n_bad} row(s) in {dlq_dir} are still "
+                    "malformed after repair; fix them or pass new_dlq_dir "
+                    "to re-quarantine instead"
+                )
         from dataclasses import replace as _dc_replace
 
         engine = type(self)(

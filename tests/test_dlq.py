@@ -167,3 +167,67 @@ def test_default_config_skips_validation(spark, tmp_path):
         _batch(spark, [_ev(0, 0, "c", None, _img("a.py", "A"))]), 0
     )
     assert "n_dlq" in out and out["n_dlq"] == 0
+
+
+def test_replay_without_new_dlq_raises_on_still_malformed(spark, tmp_path):
+    """new_dlq_dir=None is the 'repair is done' contract — it must be
+    ENFORCED: a still-keyless row would otherwise route to the single
+    pmod(hash(null,null)) partition, pass the affinity check, and INSERT a
+    (null,null)-keyed bogus row through the full-outer merge. The batch
+    must fail before any state is touched."""
+    import pytest
+
+    dlq = str(tmp_path / "dlq")
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False, dlq_dir=dlq))
+    out = engine.apply_batch(_batch(spark, [
+        _ev(0, 0, "c", None, _img("a.py", "A")),
+        _ev(0, 1, "c", None, None),          # keyless -> DLQ
+    ]), 0)
+    assert out["n_dlq"] == 1
+    v_before = store.current_version()
+
+    with pytest.raises(ValueError, match="still.*malformed"):
+        engine.replay_dlq(spark, os.path.join(dlq, "epoch=0"))
+
+    # no state was touched, and no (null,null) row exists
+    assert store.current_version() == v_before
+    state = store.read_state(spark)
+    assert state.count() == 1
+    assert state.filter("repo IS NULL OR path IS NULL").count() == 0
+
+
+def test_replay_collapses_cross_epoch_duplicate_captures(spark, tmp_path):
+    """Null-lsn capture is at-least-once: a producer-level redelivery
+    re-quarantines the same unsequenceable rows under a new epoch
+    directory. Replay must collapse payload-identical captures to ONE
+    event — observable in the lineage's applied-event count."""
+    dlq = str(tmp_path / "dlq")
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False, dlq_dir=dlq))
+
+    nullable_lsn = T.StructType([
+        T.StructField(f.name, f.dataType, True if f.name == "lsn" else f.nullable)
+        for f in CHANGELOG_SCHEMA.fields
+    ])
+    ghost = _ev(0, None, "c", None, _img("ghost.py", "G"))
+    # epoch 0: valid row + unsequenceable row; epoch 1: the producer
+    # re-delivers the SAME unsequenceable row
+    engine.apply_batch(spark.createDataFrame(
+        [_ev(0, 0, "c", None, _img("a.py", "A")), ghost], nullable_lsn), 0)
+    engine.apply_batch(spark.createDataFrame([ghost], nullable_lsn), 1)
+    assert os.path.isdir(os.path.join(dlq, "epoch=0"))
+    assert os.path.isdir(os.path.join(dlq, "epoch=1"))
+    # both captures are in the DLQ (at-least-once, bounded by redeliveries)
+    assert spark.read.option("mergeSchema", "true").parquet(dlq).count() == 2
+
+    out = engine.replay_dlq(spark, dlq)
+    assert out["status"] == "committed"
+    state = {r["path"]: r["content"] for r in store.read_state(spark).collect()}
+    assert state == {"a.py": "A", "ghost.py": "G"}
+
+    # exactly ONE ghost event was applied: initial a.py (1) + ghost (1)
+    n_applied = sum(
+        r["n_applied"] or 0 for r in store.read_lineage_rows()
+    )
+    assert n_applied == 2

@@ -227,3 +227,139 @@ def test_lww_losing_direct_write_leaves_newer_row(spark, tmp_path):
         CHANGELOG_SCHEMA), 1)
     state2 = {r["path"]: r["content"] for r in store2.read_state(spark).collect()}
     assert state2 == {"f.py": "stale-backfill"}
+
+
+def test_bidirectional_delete_vs_concurrent_update_delete_newer(spark, tmp_path):
+    """The round-3 advisory scenario: a delete CONCURRENT with an update on
+    the other replica. The delete's ORIGIN stamp must travel through the
+    cascade (never a fabricated cascade-time stamp) and its tombstone must
+    persist, so both replicas compare the same two stamps and converge —
+    here the delete is newer, so the key dies everywhere."""
+    a, eng_a = _mk(tmp_path, "a", "a")
+    b, eng_b = _mk(tmp_path, "b", "b")
+    img = _img("org/shared", "k.py", "v0")
+
+    # seed the same row on both sides via a cascade round
+    eng_a.apply_batch(spark.createDataFrame(
+        [_ev(0, 0, "c", img, _ts("2026-01-01 00:00:00"))], CHANGELOG_SCHEMA), 0)
+    _drain(spark, a, eng_a, b, eng_b)
+    assert {r["path"] for r in b.read_state(spark).collect()} == {"k.py"}
+
+    # CONCURRENT: A deletes at 00:02, B updates at 00:01 (update older)
+    eng_a.apply_batch(spark.createDataFrame(
+        [_ev(0, 1, "d", img, _ts("2026-01-01 00:02:00"))], CHANGELOG_SCHEMA), 1)
+    eng_b.apply_batch(spark.createDataFrame(
+        [_ev(0, 1, "u", _img("org/shared", "k.py", "B-concurrent"),
+             _ts("2026-01-01 00:01:00"))], CHANGELOG_SCHEMA), 1)
+
+    history = _drain(spark, a, eng_a, b, eng_b)
+    assert history[-1] == ([], [])  # no delete/insert echo ping-pong
+
+    del_ts = int(_ts("2026-01-01 00:02:00").timestamp() * 1000)
+    for store in (a, b):
+        # visible state: the key is deleted on BOTH replicas
+        assert store.read_state(spark).filter("path = 'k.py'").count() == 0
+        # the tombstone persists with the DELETE'S OWN origin stamp
+        raw = store.read_state(spark, include_deleted=True).filter(
+            "path = 'k.py'").collect()
+        assert len(raw) == 1
+        r = raw[0]
+        assert r["_lww_deleted"] is True
+        assert (r["_lww_ts"], r["_lww_src"]) == (del_ts, "a")
+
+
+def test_bidirectional_delete_vs_concurrent_update_update_newer(spark, tmp_path):
+    """Mirror case: the concurrent update is NEWER than the delete — the
+    update must win everywhere, resurrecting the row at the deleting
+    replica with the update's origin stamp."""
+    a, eng_a = _mk(tmp_path, "a", "a")
+    b, eng_b = _mk(tmp_path, "b", "b")
+    img = _img("org/shared", "k.py", "v0")
+
+    eng_a.apply_batch(spark.createDataFrame(
+        [_ev(0, 0, "c", img, _ts("2026-01-01 00:00:00"))], CHANGELOG_SCHEMA), 0)
+    _drain(spark, a, eng_a, b, eng_b)
+
+    # CONCURRENT: A deletes at 00:01, B updates at 00:02 (update newer)
+    eng_a.apply_batch(spark.createDataFrame(
+        [_ev(0, 1, "d", img, _ts("2026-01-01 00:01:00"))], CHANGELOG_SCHEMA), 1)
+    eng_b.apply_batch(spark.createDataFrame(
+        [_ev(0, 1, "u", _img("org/shared", "k.py", "B-wins"),
+             _ts("2026-01-01 00:02:00"))], CHANGELOG_SCHEMA), 1)
+
+    history = _drain(spark, a, eng_a, b, eng_b)
+    assert history[-1] == ([], [])
+    assert _sha_state(spark, a) == _sha_state(spark, b)
+
+    upd_ts = int(_ts("2026-01-01 00:02:00").timestamp() * 1000)
+    for store in (a, b):
+        rows = {r["path"]: r for r in store.read_state(spark).collect()}
+        assert rows["k.py"]["content"] == "B-wins"
+        assert (rows["k.py"]["_lww_ts"], rows["k.py"]["_lww_src"]) == (upd_ts, "b")
+
+
+def test_old_insert_redelivered_after_newer_delete_stays_deleted(spark, tmp_path):
+    """The round-3 documented boundary, now a mechanism: a log re-delivering
+    an arbitrarily old insert AFTER a newer delete (raw apply_batch, outside
+    any monotone changefeed) must lose to the persisted tombstone instead of
+    resurrecting the row."""
+    store, engine = _mk(tmp_path, "t", "a")
+    img = _img("org/r", "f.py", "alive")
+    engine.apply_batch(spark.createDataFrame(
+        [_ev(0, 0, "c", img, _ts("2026-01-01 00:00:00"))], CHANGELOG_SCHEMA), 0)
+    engine.apply_batch(spark.createDataFrame(
+        [_ev(0, 1, "d", img, _ts("2026-06-01 00:00:00"))], CHANGELOG_SCHEMA), 1)
+    # fresh lsn (passes the watermark), arbitrarily old origin timestamp
+    engine.apply_batch(spark.createDataFrame(
+        [_ev(0, 2, "c", _img("org/r", "f.py", "zombie"),
+             _ts("2025-01-01 00:00:00"))], CHANGELOG_SCHEMA), 2)
+
+    assert store.read_state(spark).count() == 0  # still deleted
+    raw = store.read_state(spark, include_deleted=True).collect()
+    assert len(raw) == 1 and raw[0]["_lww_deleted"] is True
+    assert raw[0]["_lww_ts"] == int(_ts("2026-06-01 00:00:00").timestamp() * 1000)
+
+
+def test_purge_tombstones_gc_and_cascade_skip(spark, tmp_path):
+    """Expired tombstones are GC'd by a flagged maintenance commit that
+    cascades must SKIP (each replica purges on its own schedule; a purge
+    re-emitted as deletes would re-create tombstones on a replica that
+    already purged)."""
+    from kp_data_replication_spark.operators.changefeed import table_changes
+
+    a, eng_a = _mk(tmp_path, "a", "a")
+    b, eng_b = _mk(tmp_path, "b", "b")
+    img = _img("org/shared", "k.py", "v0")
+    eng_a.apply_batch(spark.createDataFrame(
+        [_ev(0, 0, "c", img, _ts("2026-01-01 00:00:00"))], CHANGELOG_SCHEMA), 0)
+    _drain(spark, a, eng_a, b, eng_b)
+    eng_a.apply_batch(spark.createDataFrame(
+        [_ev(0, 1, "d", img, _ts("2026-01-01 01:00:00"))], CHANGELOG_SCHEMA), 1)
+    _drain(spark, a, eng_a, b, eng_b)
+    for store in (a, b):
+        assert store.read_state(spark, include_deleted=True).filter(
+            "_lww_deleted").count() == 1
+
+    del_ts = int(_ts("2026-01-01 01:00:00").timestamp() * 1000)
+    # not expired yet: retention window still open -> no-op
+    res0 = a.purge_tombstones(spark, older_than_ms=3_600_000, now_ms=del_ts + 1000)
+    assert res0["purged"] == 0
+    # expired: tombstone physically removed
+    res = a.purge_tombstones(spark, older_than_ms=3_600_000,
+                             now_ms=del_ts + 7_200_000)
+    assert res["purged"] == 1
+    assert a.read_state(spark, include_deleted=True).count() == 0
+
+    # the purge version is excluded from cascades: B applies nothing, keeps
+    # its own tombstone until IT purges
+    r = cascade_catchup(spark, a, eng_b, n_partitions=2)
+    assert r["applied_versions"] == []
+    assert b.read_state(spark, include_deleted=True).filter(
+        "_lww_deleted").count() == 1
+    # ...but a direct changefeed read across the purge still reports the
+    # physical removal (it is a real state transition for terminal readers)
+    ch = table_changes(spark, a, res["version"] - 1, res["version"])
+    assert [r["_change_type"] for r in ch.collect()] == ["delete"]
+
+    b.purge_tombstones(spark, older_than_ms=3_600_000, now_ms=del_ts + 7_200_000)
+    assert b.read_state(spark, include_deleted=True).count() == 0

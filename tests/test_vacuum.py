@@ -118,3 +118,42 @@ def test_vacuum_expires_old_versions(spark, tmp_path):
     report = store.vacuum(keep_versions=1)
     assert report["removed_manifests"] == len(files) - 1
     assert store.read_state(spark).agg(F.count(F.lit(1))).collect()[0][0] == before
+
+
+def test_consumer_registry_per_group_files_and_legacy_merge(tmp_path):
+    """Registrations are one atomic file per group (no shared
+    read-modify-write): two independent consumer processes registering
+    concurrently can never drop each other's entry — the silent
+    full-resync hazard vacuum's keep-floor exists to prevent. Legacy
+    single-file registries merge in and migrate out on removal."""
+    import json
+    import os
+
+    from kp_data_replication_spark.sources.table_store import TableStore
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    s1 = TableStore(root)
+    s2 = TableStore(root)  # an independent process's handle
+
+    # interleaved read-modify-write pattern that used to lose an entry:
+    # both handles read (empty), then write different groups
+    s1.record_consumer("cascade:/dst1", 5)
+    s2.record_consumer("dedup-index", 3)
+    assert s1.consumers() == {"cascade:/dst1": 5, "dedup-index": 3}
+
+    # monotone per group: a stale re-registration cannot regress the pin
+    s1.record_consumer("cascade:/dst1", 2)
+    assert s1.consumers()["cascade:/dst1"] == 5
+
+    # legacy single-file registry (pre-round-4 store) merges in...
+    with open(os.path.join(root, "_consumers"), "w") as f:
+        json.dump({"old-flow": 4, "dedup-index": 1}, f)
+    cons = s1.consumers()
+    assert cons["old-flow"] == 4
+    assert cons["dedup-index"] == 3  # per-file entry wins (it is newer)
+
+    # ...and removal covers both layouts
+    s1.remove_consumer("old-flow")
+    s1.remove_consumer("dedup-index")
+    assert s1.consumers() == {"cascade:/dst1": 5}
