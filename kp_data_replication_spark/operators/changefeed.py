@@ -77,11 +77,28 @@ def diff_states(
     evolution contract (docs/consideration.md:13-18).
     """
     key_cols = key_cols or KEY_COLS
-    # null-pad old for columns added after v_from
+    # null-pad old for columns added after v_from; align columns whose type
+    # WIDENED between the versions (incl. structs that gained nested
+    # fields) so the null-safe comparison compares like with like
+    from .merge import cast_up, widen_type
+
     new_types = {f.name: f.dataType for f in new.schema.fields}
+    old_types = {f.name: f.dataType for f in old.schema.fields}
     for c in new.columns:
         if c not in old.columns:
             old = old.withColumn(c, F.lit(None).cast(new_types[c]))
+        elif old_types[c] != new_types[c]:
+            w = widen_type(old_types[c], new_types[c])
+            if w is None:
+                raise ValueError(
+                    f"column '{c}' changed incompatibly between versions: "
+                    f"{old_types[c].simpleString()} -> "
+                    f"{new_types[c].simpleString()}"
+                )
+            if w != old_types[c]:
+                old = old.withColumn(c, cast_up(F.col(c), old_types[c], w))
+            if w != new_types[c]:
+                new = new.withColumn(c, cast_up(F.col(c), new_types[c], w))
     data_cols = [c for c in new.columns if c not in key_cols]
 
     o = old.select(*key_cols, F.lit(True).alias("_o_present"),

@@ -40,12 +40,53 @@ _FLOAT_RANK = {T.FloatType(): 1, T.DoubleType(): 2}
 
 
 def widen_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
-    """The narrower-to-wider promotion of two primitive types, or None when
-    neither losslessly contains the other (the Delta/Iceberg type-widening
-    lattice: byte<short<int<long; float<double; byte/short/int -> double —
-    long -> double is lossy and refused)."""
+    """The narrower-to-wider promotion of two types, or None when neither
+    losslessly contains the other (the Delta/Iceberg type-widening lattice:
+    byte<short<int<long; float<double; byte/short/int -> double —
+    long -> double is lossy and refused).
+
+    Recurses into nested types (the evolution contract the reference's own
+    payloads need — mirror-maker-2/data/FreshProductOrder.json:1-9 nests
+    address objects, and Debezium envelopes evolve nested ``after`` schemas
+    additively, docs/consideration.md:15-18): two structs widen field-wise
+    — overlapping leaves widen, fields present on either side are kept
+    (add-only; a field can appear mid-stream but never disappear or
+    narrow), preserving ``a``'s field order with ``b``'s new fields
+    appended. Arrays widen by element; maps by value (keys must match —
+    key promotion would re-key the data)."""
     if a == b:
         return a
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        by_name = {f.name: f for f in b.fields}
+        out: list[T.StructField] = []
+        for f in a.fields:
+            bf = by_name.get(f.name)
+            if bf is None:
+                out.append(f)  # old field a pre-evolution producer still sends
+                continue
+            w = widen_type(f.dataType, bf.dataType)
+            if w is None:
+                return None
+            out.append(T.StructField(f.name, w, True))
+        names = {f.name for f in a.fields}
+        out += [
+            T.StructField(f.name, f.dataType, True)
+            for f in b.fields
+            if f.name not in names
+        ]
+        return T.StructType(out)
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        w = widen_type(a.elementType, b.elementType)
+        if w is None:
+            return None
+        return T.ArrayType(w, a.containsNull or b.containsNull)
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        if a.keyType != b.keyType:
+            return None
+        w = widen_type(a.valueType, b.valueType)
+        if w is None:
+            return None
+        return T.MapType(a.keyType, w, a.valueContainsNull or b.valueContainsNull)
     if a in _INT_RANK and b in _INT_RANK:
         return a if _INT_RANK[a] >= _INT_RANK[b] else b
     if a in _FLOAT_RANK and b in _FLOAT_RANK:
@@ -58,6 +99,40 @@ def widen_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
         if _INT_RANK[i] <= 3:
             return T.DoubleType()
     return None
+
+
+def cast_up(col: F.Column, src: T.DataType, dst: T.DataType) -> F.Column:
+    """Cast a value from ``src`` to the WIDER ``dst`` (``dst`` must be
+    ``widen_type(src, dst)``-compatible). Plain ``Column.cast`` refuses a
+    struct-to-struct cast whose field counts differ, so struct widening is
+    rebuilt structurally: existing fields recurse, fields ``src`` lacks
+    become typed nulls, and a null struct stays null (never a struct of
+    nulls). Arrays/maps recurse through ``transform``/``transform_values``
+    — all JVM expressions, no Python in the path."""
+    if src == dst:
+        return col
+    if isinstance(dst, T.StructType) and isinstance(src, T.StructType):
+        src_fields = {f.name: f.dataType for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            if f.name in src_fields:
+                parts.append(
+                    cast_up(
+                        col.getField(f.name), src_fields[f.name], f.dataType
+                    ).alias(f.name)
+                )
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.when(col.isNotNull(), F.struct(*parts))
+    if isinstance(dst, T.ArrayType) and isinstance(src, T.ArrayType):
+        return F.transform(
+            col, lambda x: cast_up(x, src.elementType, dst.elementType)
+        )
+    if isinstance(dst, T.MapType) and isinstance(src, T.MapType):
+        return F.transform_values(
+            col, lambda _, v: cast_up(v, src.valueType, dst.valueType)
+        )
+    return col.cast(dst)
 
 
 def widen_fields(
@@ -103,7 +178,9 @@ def evolve_columns(target: DataFrame, batch_row_cols: list[tuple[str, object]]) 
                     f"{existing[name].simpleString()} -> {dtype.simpleString()}"
                 )
             if w != existing[name]:
-                target = target.withColumn(name, F.col(name).cast(w))
+                target = target.withColumn(
+                    name, cast_up(F.col(name), existing[name], w)
+                )
     return target
 
 
@@ -221,8 +298,9 @@ def merge_upsert(
         *[
             F.when(
                 take_source,
-                # cast: a pre-widening producer may still send the narrow type
-                F.col(f"_s_{c}").cast(target_types[c])
+                # cast_up: a pre-widening producer may still send the narrow
+                # type (incl. a struct missing newly added nested fields)
+                cast_up(F.col(f"_s_{c}"), batch_types[c], target_types[c])
                 if c in data_cols
                 else F.lit(None).cast(target_types[c]),
             )

@@ -527,9 +527,14 @@ class CdcApplyEngine:
                                 fld.name, F.lit(None).cast(fld.dataType)
                             )
                 # cast to the (possibly widened) union schema so every file
-                # written this epoch carries the manifest's column types
+                # written this epoch carries the manifest's column types;
+                # cast_up handles structs that gained nested fields
+                from ..operators.merge import cast_up
+
+                mtypes = {f.name: f.dataType for f in merged.schema.fields}
                 merged = merged.select(
-                    *[F.col(f.name).cast(f.dataType).alias(f.name)
+                    *[cast_up(F.col(f.name), mtypes[f.name], f.dataType)
+                      .alias(f.name)
                       for f in row_schema.fields]
                 ).withColumn(BUCKET_COL, bucket_expr(self.store.n_buckets))
             else:
