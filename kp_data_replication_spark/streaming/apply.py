@@ -115,6 +115,18 @@ class EngineConfig:
     # epoch; ignored under conflict_policy="lww" (a losing LWW write is
     # not a change, only the state diff knows).
     changefeed_files: bool = False
+    # streaming-maintained incremental dedup index (round-3 verdict item):
+    # when set, every micro-batch epoch ALSO advances an
+    # IncrementalDedupIndex rooted here, in the same foreachBatch loop the
+    # target table commits in. The index fences on its own writer map
+    # (last source version applied), so kill/resume covers both halves: a
+    # crash between the table commit and the index advance is healed on
+    # resume — the re-delivered batch no-ops at the table and the index
+    # catches up from its own watermark to the table's head. Pairs are not
+    # materialized per epoch here (emit_pairs is a downstream consumer
+    # choice); the index is advanced, queryable at every epoch boundary.
+    dedup_index_dir: str | None = None
+    dedup_index_buckets: int = 8
     # conflict resolution at MERGE time: "source-wins" (default — CDC
     # semantics: the incoming batch is the newer truth) or "lww" —
     # CRDT-style last-write-wins by total-order conflict stamp
@@ -1006,10 +1018,26 @@ class CdcApplyEngine:
         # resume), while a different checkpoint or a batch replay can never
         # fence this stream's never-applied batches
         writer_id = f"stream:{os.path.abspath(checkpoint_dir)}"
-        writer = (
-            src.writeStream.foreachBatch(
-                lambda df, eid: self.apply_batch(df, eid, writer_id=writer_id) and None
+        index = None
+        if self.config.dedup_index_dir:
+            from ..operators.dedup_incremental import IncrementalDedupIndex
+
+            index = IncrementalDedupIndex(
+                self.config.dedup_index_dir,
+                n_buckets=self.config.dedup_index_buckets,
             )
+
+        def _apply(df: DataFrame, eid: int) -> None:
+            self.apply_batch(df, eid, writer_id=writer_id)
+            if index is not None:
+                # AFTER the table commit, in the same epoch loop: the index
+                # advances from ITS OWN last-applied source version to the
+                # table's new head (writer-fenced, resume-safe — a replayed
+                # epoch no-ops at the table and the index still catches up)
+                index.update(df.sparkSession, self.store)
+
+        writer = (
+            src.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)
             .queryName("cdc-apply")
         )

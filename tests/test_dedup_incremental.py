@@ -190,3 +190,77 @@ def test_index_registers_as_retention_consumer(spark, tmp_path):
     out = index.update(spark, src)  # no FileNotFoundError: v1 was pinned
     assert out["status"] == "committed" and out["from"] == 1 and out["to"] == 3
     _assert_parity(spark, src, index)
+
+
+def test_streaming_integrated_index_kill_and_resume(spark, tmp_path):
+    """Round-4: the index advances INSIDE the streaming epoch loop
+    (EngineConfig.dedup_index_dir) and kill/resume covers both halves —
+    including the worst crash window: table committed, process dies BEFORE
+    the index advance. On resume the re-delivered epoch no-ops at the
+    table (writer fencing) and the index catches up from its own
+    watermark. Parity with full recompute is asserted at every epoch
+    boundary."""
+    import os
+
+    cl = tmp_path / "cl"
+    cl.mkdir()
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    cp = str(tmp_path / "cp")
+    idx_dir = str(tmp_path / "idx")
+    engine = CdcApplyEngine(
+        src, EngineConfig(metrics=False, dedup_index_dir=idx_dir,
+                          dedup_index_buckets=4)
+    )
+    index = IncrementalDedupIndex(idx_dir, n_buckets=4)
+
+    def put(name, rows):
+        # the file stream source lists FLAT files — write via a temp dir
+        # and move the part file into the changelog directory
+        import glob
+        import shutil
+
+        tmp = str(tmp_path / ("_w_" + name))
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    str(cl / (name + ".parquet")))
+
+    # ---- epoch 0 via the stream: initial inserts (planted pair 0/1) ----
+    put("f0", [_env(d, "c", BASE[d], lsn=d) for d in (0, 1, 2, 3)])
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    assert index.update(spark, src)["status"] == "noop"  # stream kept it current
+    _assert_parity(spark, src, index)
+
+    # ---- crash window: epoch 1's TABLE half commits under the stream's
+    # writer identity, then the process "dies" before the index advance ----
+    put("f1", [_env(10, "c", BASE[10], lsn=100),
+               _env(11, "c", BASE[11], lsn=101)])
+    stream_writer = f"stream:{os.path.abspath(cp)}"
+    df1 = spark.read.schema(CHANGELOG_SCHEMA).parquet(str(cl / "f1.parquet"))
+    out = engine.apply_batch(df1, 1, writer_id=stream_writer)
+    assert out["status"] == "committed"
+    # the index is now BEHIND the table (the crash left it stale)
+    assert index.store.writer_epoch(
+        f"dedup-index:{os.path.abspath(src.root)}") < src.current_version()
+
+    # ---- resume: the stream re-delivers epoch 1 -> table no-ops (fenced),
+    # index catches up in the same foreachBatch ----
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    _assert_parity(spark, src, index)
+    pairs = _pairs_set(index.all_pairs(spark).collect(), incremental=True)
+    assert any({a, b} == {10, 11} for a, b, _ in pairs)
+
+    # ---- epoch 2 via the stream: delete + update, parity holds ----
+    put("f2", [_env(10, "d", BASE[10], lsn=200),
+               _env(1, "u", "entirely new text now", lsn=201)])
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    _assert_parity(spark, src, index)
+    final = _pairs_set(index.all_pairs(spark).collect(), incremental=True)
+    assert not any(10 in (a, b) for a, b, _ in final)
+    assert not any((a, b) == (0, 1) for a, b, _ in final)
