@@ -56,6 +56,7 @@ LLM_QUERIES = [
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_ivf_trained",
+    "ann_cosine_topk_ivf_incremental",
     "dedup_clusters",
     "corpus_sample_stratified",
     "pack_chunks",
@@ -261,6 +262,111 @@ def bench_incremental_dedup(spark, sf_dir: str, work_dir: str) -> dict:
     return out
 
 
+def bench_incremental_ann(spark, sf_dir: str, work_dir: str) -> dict:
+    """O(batch) vs O(corpus) evidence for the changefeed-maintained ANN
+    index: full assignment build over the whole (replicated) embedding
+    corpus, then an epoch touching ~1% of vectors — the epoch update must
+    cost a small fraction of both the full build and a full batch IVF
+    recompute (which re-assigns every vector per run)."""
+    from pyspark.sql import functions as F
+
+    from kp_data_replication_spark.operators.ann_incremental import (
+        IncrementalAnnIndex,
+    )
+    from kp_data_replication_spark.operators.similarity import cosine_topk_ivf
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # replicate with distinct ids + a tiny deterministic per-copy nudge so
+    # copies are distinct vectors (cosine structure preserved)
+    mult = int(os.environ.get("BENCH_ANN_SCALE", "8"))
+    copies = [
+        base.select(
+            (F.col("vec_id") + F.lit(k * 1_000_000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") + F.lit(k * 0.001),
+            ).alias("embedding"),
+        )
+        for k in range(mult)
+    ]
+    vecs = copies[0]
+    for c in copies[1:]:
+        vecs = vecs.unionByName(c)
+    vecs = vecs.cache()
+    n_vecs = vecs.count()
+
+    def envelope(sel, op, lsn_base, emb_col="embedding"):
+        img = F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("vec_id").cast("string").alias("path"),
+            F.col(emb_col).alias("embedding"),
+        )
+        is_del = F.lit(op == "d")
+        return sel.select(
+            F.pmod(F.col("vec_id"), F.lit(8)).cast("int").alias("partition"),
+            (F.col("vec_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            F.lit(op).alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    src = TableStore(os.path.join(work_dir, "ann_src"), n_buckets=64)
+    engine = CdcApplyEngine(
+        src, EngineConfig(metrics=False, changefeed_files=True)
+    )
+    index = IncrementalAnnIndex(os.path.join(work_dir, "ann_idx"), n_buckets=16)
+    cents = base.orderBy("vec_id").limit(64).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "_centroid"
+        ),
+    )
+    index.set_centroids(cents)
+
+    engine.apply_batch(envelope(vecs, "c", 0), 0)
+    t0 = time.time()
+    index.update(spark, src)
+    full_sec = time.time() - t0
+
+    # epoch: ~1% of vectors change (perturbed -> cells can reassign)
+    changed = vecs.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "emb2", F.transform(F.col("embedding"), lambda x: x + F.lit(0.5))
+    )
+    engine.apply_batch(
+        envelope(changed, "u", 100_000_000, emb_col="emb2"), 1
+    )
+    t0 = time.time()
+    out_inc = index.update(spark, src)
+    inc_sec = time.time() - t0
+
+    # the O(corpus) alternative: full batch IVF (re-assigns every vector)
+    corpus = src.read_state(spark).select(
+        F.col("path").cast("long").alias("vec_id"), "embedding"
+    )
+    queries = corpus.filter(F.col("vec_id") < 10)
+    t0 = time.time()
+    n_topk = cosine_topk_ivf(
+        corpus, queries, k=5, n_cells=64, n_probe=6,
+        centroids=index.centroids(spark).select("cell", "_centroid"),
+    ).count()
+    recompute_sec = time.time() - t0
+
+    vecs.unpersist()
+    out = {
+        "n_vecs": n_vecs,
+        "full_build_sec": round(full_sec, 3),
+        "epoch_update_sec": round(inc_sec, 3),
+        "full_ivf_recompute_sec": round(recompute_sec, 3),
+        "n_changed_epoch": out_inc["n_changed"],
+        "n_topk_rows": n_topk,
+    }
+    log(f"incremental ann: {out}")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -304,6 +410,9 @@ def main() -> None:
         dedup_inc = (
             bench_incremental_dedup(spark, sf_dir, work_dir) if llm_on else None
         )
+        ann_inc = (
+            bench_incremental_ann(spark, sf_dir, work_dir) if llm_on else None
+        )
 
         total = round(cdc["apply_sec"] + sum(qtimes.values()), 3)
         out = {
@@ -320,6 +429,8 @@ def main() -> None:
         }
         if dedup_inc is not None:
             out["dedup_incremental"] = dedup_inc
+        if ann_inc is not None:
+            out["ann_incremental"] = ann_inc
         print(json.dumps(out), flush=True)
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)

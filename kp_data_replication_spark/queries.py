@@ -997,6 +997,129 @@ SQL_ANN_COSINE_TOPK_IVF = f"""
 """
 
 
+def q_ann_cosine_topk_ivf_incremental(spark, sf_dir):
+    """Changefeed-maintained IVF index == full batch recompute
+    (operators/ann_incremental.py — the embedding twin of the incremental
+    dedup index: per-vector cell assignments are PERSISTED and advanced
+    per epoch from table_changes, never re-quantizing the corpus). Replays
+    the embeddings table through the CDC engine as a 3-epoch
+    insert/update/delete fixture, advancing the index after every epoch
+    (O(changed vectors) each), then answers top-k from the index alone.
+    The DuckDB oracle computes the IVF probe over the FINAL corpus state
+    with the same frozen centroids — hash equality proves incremental
+    assignment maintenance converges to full recompute.
+
+    Fixture (deterministic in both engines):
+      epoch 0  insert vecs with vec_id % 3 != 2
+      epoch 1  insert the rest; every vec with vec_id % 7 == 0 gets each
+               component +0.25 (new vecs arrive perturbed, old ones update
+               — updates REASSIGN cells)
+      epoch 2  delete vecs with vec_id % 11 == 0 (index rows retracted)
+    Centroids: the lowest-16 original vectors, frozen at index creation
+    (model state — immutable for the index's lifetime)."""
+    import tempfile
+
+    from .operators.ann_incremental import IncrementalAnnIndex
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v2 = F.when(
+        F.col("vec_id") % 7 == 0,
+        F.transform(F.col("embedding"), lambda x: x.cast("double") + F.lit(0.25)),
+    ).otherwise(as_double)
+
+    def env(sel, op_col, emb_expr, lsn_base, is_delete=False):
+        img = F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("vec_id").cast("string").alias("path"),
+            emb_expr.alias("embedding"),
+        )
+        is_del = F.lit(is_delete)
+        return sel.select(
+            F.pmod(F.col("vec_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("vec_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            op_col.alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    b0 = env(emb.filter(F.col("vec_id") % 3 != 2), F.lit("c"), as_double, 0)
+    b1 = env(
+        emb.filter((F.col("vec_id") % 3 == 2) | (F.col("vec_id") % 7 == 0)),
+        F.when(F.col("vec_id") % 3 == 2, F.lit("c")).otherwise(F.lit("u")),
+        v2, 1_000_000,
+    )
+    b2 = env(emb.filter(F.col("vec_id") % 11 == 0), F.lit("d"), as_double,
+             2_000_000, is_delete=True)
+
+    src = TableStore(tempfile.mkdtemp(prefix="ann_inc_src_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalAnnIndex(
+        tempfile.mkdtemp(prefix="ann_inc_idx_"), n_buckets=4
+    )
+    index.set_centroids(
+        emb.orderBy("vec_id").limit(16).select(
+            F.col("vec_id").cast("int").alias("cell"),
+            as_double.alias("_centroid"),
+        )
+    )
+    for epoch, batch in enumerate((b0, b1, b2)):
+        engine.apply_batch(batch, epoch)
+        index.update(spark, src)
+
+    queries = src.read_state(spark).select(
+        F.col("path").cast("long").alias("vec_id"), "embedding"
+    ).filter(F.col("vec_id") < 10)
+    return index.topk(spark, queries, k=5, n_probe=6)
+
+
+SQL_ANN_COSINE_TOPK_IVF_INCREMENTAL = f"""
+    WITH final AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 7 = 0
+                  THEN list_transform(embedding, x -> x::DOUBLE + 0.25)
+                  ELSE list_transform(embedding, x -> x::DOUBLE) END AS embedding
+      FROM embeddings WHERE vec_id % 11 != 0),
+    cents AS (
+      SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16),
+    c_sim AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             {_COS_SQL.format(a="e.embedding", b="c.cv")} AS sim
+      FROM final e CROSS JOIN cents c),
+    c_assign AS (
+      SELECT vec_id AS neighbor_id, embedding AS cvec, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+        FROM c_sim) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM final WHERE vec_id < 10),
+    q_sim AS (
+      SELECT q.query_id, q.qv, c.cell,
+             {_COS_SQL.format(a="q.qv", b="c.cv")} AS sim
+      FROM q CROSS JOIN cents c),
+    q_probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, cell) AS pr
+        FROM q_sim) WHERE pr <= 6),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             {_COS_SQL.format(a="p.qv", b="a.cvec")} AS cos
+      FROM c_assign a JOIN q_probes p USING (cell)
+      WHERE a.neighbor_id != p.query_id)
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+"""
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
@@ -1283,6 +1406,10 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, SQL_ANN_COSINE_TOPK_LSH),
     "ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, SQL_ANN_COSINE_TOPK_IVF),
     "ann_cosine_topk_ivf_trained": (q_ann_cosine_topk_ivf_trained, None),
+    "ann_cosine_topk_ivf_incremental": (
+        q_ann_cosine_topk_ivf_incremental,
+        SQL_ANN_COSINE_TOPK_IVF_INCREMENTAL,
+    ),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "corpus_sample_stratified": (
         q_corpus_sample_stratified,
