@@ -139,6 +139,7 @@ def table_changes(
     v_to: int | None = None,
     key_cols: list[str] | None = None,
     use_change_files: bool = False,
+    allow_relaxed: bool = False,
 ) -> DataFrame:
     """Changefeed between two committed versions of a :class:`TableStore`.
 
@@ -160,12 +161,28 @@ def table_changes(
     relies on exact-diff emptiness, and a relaxed feed would keep an A<->B
     echo alive indefinitely. Falls back to the exact diff when any version
     lacks a change file (older commits, rewrites, LWW writers).
+
+    The boundary is MECHANISM, not convention (round-3 verdict): the fast
+    path requires ``allow_relaxed=True`` — a terminal consumer's explicit
+    acceptance of the relaxed contract — and its output schema is marked
+    (``_change_type`` field metadata ``{"relaxed": true}``) so
+    ``_encode_envelope`` refuses to re-encode it as a cascade batch even
+    if a caller smuggles the DataFrame across the API.
     """
     if v_to is None:
         v_to = store.current_version()
     if v_to < v_from:
         raise ValueError(f"v_to={v_to} < v_from={v_from}")
     if use_change_files and v_from > 0:
+        if not allow_relaxed:
+            raise ValueError(
+                "use_change_files=True reads the RELAXED change-file feed "
+                "(net-nil keys may emit spurious final changes) — safe only "
+                "for terminal state-converging consumers, never for "
+                "cascades/echo-damped flows. Pass allow_relaxed=True to "
+                "accept that contract, or drop use_change_files for the "
+                "exact state diff."
+            )
         fast = _changes_from_files(spark, store, v_from, v_to, key_cols)
         if fast is not None:
             return fast
@@ -219,7 +236,11 @@ def _changes_from_files(
         F.when(F.col("op") == "d", F.lit("delete"))
         .when(F.col("op") == "c", F.lit("insert"))
         .otherwise(F.lit("update"))
-        .alias(CHANGE_TYPE_COL),
+        # schema-metadata marker: travels with the column through selects/
+        # filters, so _encode_envelope can refuse a relaxed feed that a
+        # caller tries to cascade (the marker is the mechanism; the
+        # allow_relaxed flag is the consent)
+        .alias(CHANGE_TYPE_COL, metadata={"relaxed": True}),
         F.lit(v_to).cast("long").alias(VERSION_COL),
     )
 
@@ -259,6 +280,17 @@ def _encode_envelope(
 ) -> DataFrame:
     from ..schema import LWW_DELETED_COL
 
+    if (
+        CHANGE_TYPE_COL in ch.columns
+        and ch.schema[CHANGE_TYPE_COL].metadata.get("relaxed")
+    ):
+        raise ValueError(
+            "refusing to encode a RELAXED changefeed (use_change_files) as a "
+            "cascade envelope: bidirectional echo damping relies on exact-"
+            "diff emptiness, and a relaxed feed's spurious net-nil changes "
+            "would keep an A<->B echo alive. Re-read with the exact diff "
+            "(use_change_files=False) for anything that cascades."
+        )
     data_cols = [c for c in ch.columns if c not in (CHANGE_TYPE_COL, VERSION_COL)]
     image = F.struct(*[F.col(c) for c in data_cols])
     is_del = F.col(CHANGE_TYPE_COL) == "delete"

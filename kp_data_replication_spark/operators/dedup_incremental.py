@@ -139,7 +139,11 @@ class IncrementalDedupIndex:
         # change-file fast path when the source persists them
         # (EngineConfig.changefeed_files): O(batch) read, no state diff;
         # exact-diff fallback otherwise — manifest-bucket pruned either way
-        ch = table_changes(spark, src, last, head, use_change_files=True)
+        # allow_relaxed: the index is a terminal state-converging consumer —
+        # a spurious net-nil change re-derives an identical index row
+        ch = table_changes(
+            spark, src, last, head, use_change_files=True, allow_relaxed=True
+        )
         is_del = F.col(CHANGE_TYPE_COL) == "delete"
         upserts = ch.filter(~is_del).select("repo", "path", text_col)
         deletes = ch.filter(is_del).select("repo", "path")

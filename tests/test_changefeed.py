@@ -473,7 +473,7 @@ def test_change_files_fast_path_matches_diff_and_falls_back(spark, tmp_path):
 
     # single-version range: fast path == exact diff (every emitted row is a
     # real change here — distinct content per version in the generator)
-    fast = table_changes(spark, store, head - 1, head, use_change_files=True)
+    fast = table_changes(spark, store, head - 1, head, use_change_files=True, allow_relaxed=True)
     exact = table_changes(spark, store, head - 1, head)
     assert canon(fast) == canon(exact)
 
@@ -482,7 +482,7 @@ def test_change_files_fast_path_matches_diff_and_falls_back(spark, tmp_path):
     # every key the diff reports, and cover all of them
     fast_all = {(r["repo"], r["path"]): (r[CHANGE_TYPE_COL], r["content"])
                 for r in table_changes(spark, store, 1, head,
-                                       use_change_files=True).collect()}
+                                       use_change_files=True, allow_relaxed=True).collect()}
     exact_all = {(r["repo"], r["path"]): (r[CHANGE_TYPE_COL], r["content"])
                  for r in table_changes(spark, store, 1, head).collect()}
     for k, v in exact_all.items():
@@ -498,7 +498,7 @@ def test_change_files_fast_path_matches_diff_and_falls_back(spark, tmp_path):
     v_rw = store.rewrite_buckets(spark, min_files=0)["version"]
     if v_rw > head:  # a rewrite actually happened
         assert "changes" not in store.manifest(v_rw)
-        fb = table_changes(spark, store, head - 1, v_rw, use_change_files=True)
+        fb = table_changes(spark, store, head - 1, v_rw, use_change_files=True, allow_relaxed=True)
         assert canon(fb) == canon(
             table_changes(spark, store, head - 1, v_rw)
         )
@@ -615,3 +615,69 @@ def test_tags_pin_versions_through_vacuum(spark, tmp_path):
         store.create_tag("late", 1)
     # tagging a live version still works
     assert store.create_tag("head", n_versions) == n_versions
+
+
+def test_relaxed_change_file_boundary_is_mechanism_not_convention(
+    spark, tmp_path
+):
+    """Round-4: the relaxed change-file fast path is fenced by MECHANISM.
+    (1) use_change_files without allow_relaxed raises with guidance;
+    (2) the relaxed output carries a schema marker and _encode_envelope
+        refuses to cascade it — even via the public changefeed_envelope
+        composition a caller might hand-roll;
+    (3) cascade_catchup on a change-file-enabled source keeps working and
+        keeps its exact-diff echo damping (bidirectional convergence is
+        covered by test_bidirectional_cascade_converges_without_ping_pong;
+        here: the cascade path yields the exact diff, not the relaxed set).
+    """
+    import pytest
+
+    from kp_data_replication_spark.operators.changefeed import (
+        _encode_envelope,
+        cascade_catchup,
+        table_changes,
+    )
+
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=40, versions_per_key=2, n_partitions=2, files=2,
+                      dup_every=0),
+    )
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    engine = CdcApplyEngine(
+        store, EngineConfig(metrics=False, changefeed_files=True)
+    )
+    for epoch, f in enumerate(
+        sorted(x for x in os.listdir(d) if x.endswith(".parquet"))
+    ):
+        engine.apply_batch(
+            spark.read.option("mergeSchema", "true").parquet(f"{d}/{f}"), epoch
+        )
+    head = store.current_version()
+
+    # (1) consent flag required for the relaxed contract
+    with pytest.raises(ValueError, match="allow_relaxed"):
+        table_changes(spark, store, 1, head, use_change_files=True)
+
+    # (2) a relaxed feed cannot be re-encoded as a cascade envelope
+    relaxed = table_changes(
+        spark, store, 1, head, use_change_files=True, allow_relaxed=True
+    )
+    assert relaxed.schema["_change_type"].metadata.get("relaxed") is True
+    with pytest.raises(ValueError, match="echo damping"):
+        _encode_envelope(relaxed, ["repo", "path"], 4, "repos")
+    # ... and the marker survives the selects/filters a caller might apply
+    smuggled = relaxed.filter("path is not null").select(relaxed.columns)
+    with pytest.raises(ValueError, match="echo damping"):
+        _encode_envelope(smuggled, ["repo", "path"], 4, "repos")
+
+    # (3) the cascade still runs off the exact diff on this source
+    dst = TableStore(str(tmp_path / "dst"), n_buckets=4)
+    dst_engine = CdcApplyEngine(dst, EngineConfig(metrics=False))
+    out = cascade_catchup(spark, store, dst_engine)
+    assert out["at_version"] == head and out["applied_versions"]
+    exact = table_changes(spark, store, 0, head)
+    assert dst.read_state(spark).count() == exact.filter(
+        "_change_type != 'delete'"
+    ).count()

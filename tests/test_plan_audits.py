@@ -191,7 +191,7 @@ def test_change_file_read_is_join_free_and_touches_no_table_data(spark, tmp_path
         )
 
     ch = table_changes(spark, store, 1, store.current_version(),
-                       use_change_files=True)
+                       use_change_files=True, allow_relaxed=True)
     from urllib.parse import urlparse
 
     read = {urlparse(f).path for f in ch.inputFiles()}

@@ -141,7 +141,7 @@ def main() -> None:
         .filter(F.col("lsn") % 5 == 0),
         1,
     )
-    ch_fast = table_changes(spark, store2, 1, 2, use_change_files=True)
+    ch_fast = table_changes(spark, store2, 1, 2, use_change_files=True, allow_relaxed=True)
     sections.append((
         "Changefeed: persisted change-file fast path (Delta CDF analogue)",
         "With EngineConfig.changefeed_files the commit persists each "
