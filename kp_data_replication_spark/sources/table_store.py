@@ -276,6 +276,9 @@ class TableStore:
         prev = self.current_manifest()
         version = self.current_version() + 1
         buckets_map: dict[str, list[str]] = dict(prev["buckets"]) if prev else {}
+        bucket_bytes: dict[str, int] = (
+            dict(prev.get("bucket_bytes", {})) if prev else {}
+        )
 
         epoch_rel = f"data/v{version}"
         epoch_dir = os.path.join(self.root, epoch_rel)
@@ -326,6 +329,16 @@ class TableStore:
                 ]
                 written[b] = files
             buckets_map.update(written)
+            # per-bucket byte sizes ride the manifest (Iceberg file-size
+            # metadata analogue): stat only THIS epoch's new files, so the
+            # auto-rebucket probe later is pure manifest metadata — no
+            # filesystem walk over the whole table per epoch
+            bucket_bytes.update({
+                b: sum(
+                    os.path.getsize(os.path.join(self.root, f)) for f in fs
+                )
+                for b, fs in written.items()
+            })
 
         changes_rel = None
         if changes is not None and dirty_buckets:
@@ -370,6 +383,7 @@ class TableStore:
             "n_buckets": prev["n_buckets"] if prev else self._n_buckets,
             "schema": row_schema.jsonValue(),
             "buckets": buckets_map,
+            "bucket_bytes": bucket_bytes,
             "lineage": lineage_rel,
         }
         if changes_rel is not None:
@@ -595,6 +609,7 @@ class TableStore:
             .parquet(epoch_dir)
         )
         buckets_map = dict(m["buckets"])
+        bucket_bytes = dict(m.get("bucket_bytes", {}))
         for b in sel:
             d = os.path.join(epoch_dir, f"{BUCKET_COL}={b}")
             buckets_map[str(b)] = sorted(
@@ -602,7 +617,14 @@ class TableStore:
                 for f in (os.listdir(d) if os.path.isdir(d) else [])
                 if f.endswith(".parquet")
             )
-        manifest = {**m, "version": version, "buckets": buckets_map}
+            bucket_bytes[str(b)] = sum(
+                os.path.getsize(os.path.join(self.root, f))
+                for f in buckets_map[str(b)]
+            )
+        manifest = {
+            **m, "version": version, "buckets": buckets_map,
+            "bucket_bytes": bucket_bytes,
+        }
         # a rewrite is a LOGICAL no-op: it must not inherit the previous
         # version's change-file pointer (a fast-path changefeed reader
         # would re-emit that version's changes for this one)
@@ -619,6 +641,25 @@ class TableStore:
             "files_before": files_before,
             "version": version,
         }
+
+    def live_bytes(self) -> int:
+        """Total bytes of the current version's live data files — pure
+        manifest metadata (``bucket_bytes`` recorded at commit/rewrite/
+        rebucket time); per-file ``getsize`` fallback only for buckets
+        last written before the metadata existed."""
+        m = self.current_manifest()
+        if m is None:
+            return 0
+        bb = m.get("bucket_bytes", {})
+        total = 0
+        for b, fs in m["buckets"].items():
+            if b in bb:
+                total += bb[b]
+            else:
+                total += sum(
+                    os.path.getsize(os.path.join(self.root, f)) for f in fs
+                )
+        return total
 
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
         """Change the table's bucket count in place (Iceberg partition-spec
@@ -667,11 +708,18 @@ class TableStore:
                 for f in os.listdir(os.path.join(epoch_dir, d))
                 if f.endswith(".parquet")
             )
+        bucket_bytes = {
+            b: sum(
+                os.path.getsize(os.path.join(self.root, f)) for f in fs
+            )
+            for b, fs in buckets_map.items()
+        }
         manifest = {
             **m,
             "version": version,
             "n_buckets": new_n_buckets,
             "buckets": buckets_map,
+            "bucket_bytes": bucket_bytes,
         }
         manifest.pop("changes", None)  # logical no-op: see rewrite_buckets
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")

@@ -127,6 +127,15 @@ class EngineConfig:
     # choice); the index is advanced, queryable at every epoch boundary.
     dedup_index_dir: str | None = None
     dedup_index_buckets: int = 8
+    # automatic bucket-count growth (MM2 Manager partition-count
+    # propagation analogue, docs/perf-tests.md:15): when set, every commit
+    # probes the manifest's per-bucket byte totals and DOUBLES n_buckets
+    # (via TableStore.rebucket — one full bucket-hash shuffle) until the
+    # average bucket fits the budget again. Opt-in: the rewrite is
+    # O(table), so the budget should be sized for rare O(log growth)
+    # rescales (e.g. 1 GiB per bucket at production scale).
+    auto_rebucket_target_bytes: int | None = None
+    auto_rebucket_max_buckets: int = 4096
     # conflict resolution at MERGE time: "source-wins" (default — CDC
     # semantics: the incoming batch is the newer truth) or "lww" —
     # CRDT-style last-write-wins by total-order conflict stamp
@@ -606,6 +615,31 @@ class CdcApplyEngine:
                 "compact_path": compact_path,
                 "write_salt": write_salt,
             }
+            if config.auto_rebucket_target_bytes:
+                # commit-time volume probe (MM2's Manager propagates
+                # partition-count increases automatically,
+                # docs/perf-tests.md:15 — this is the bucket analogue):
+                # pure manifest metadata (bucket_bytes recorded at commit),
+                # no filesystem walk. Doubling until the average bucket
+                # fits the budget gives O(log growth) rescales over the
+                # table's life; the rewrite itself is one bucket-hash
+                # shuffle, and every manifest carries its own layout so
+                # readers/changefeeds cross the boundary seamlessly.
+                n_b = self.store.n_buckets
+                avg = self.store.live_bytes() / max(n_b, 1)
+                if avg > config.auto_rebucket_target_bytes:
+                    new_n = n_b
+                    total = avg * n_b
+                    while (
+                        total / new_n > config.auto_rebucket_target_bytes
+                        and new_n < config.auto_rebucket_max_buckets
+                    ):
+                        new_n *= 2
+                    if new_n != n_b:
+                        out = self.store.rebucket(spark, new_n)
+                        summary["rebucketed_to"] = out["n_buckets"]
+                        phases["rebucket"] = round(_time.time() - t0, 3)
+                        t0 = _time.time()
             if metrics_thread is not None:
                 metrics_thread.join()
                 phases["metrics_wait"] = round(_time.time() - t0, 3)

@@ -176,3 +176,69 @@ def test_schema_evolution_additive(spark, tmp_path):
     assert state["stars"].notna().any()  # evolved rows carry values
     # rows last touched before evolution read as null through the widened schema
     assert state["stars"].isna().any()
+
+
+def test_auto_rebucket_scales_bucket_count_mid_stream(spark, tmp_path):
+    """Round-4 #7: MM2's Manager role propagates partition-count increases
+    to the target automatically (docs/perf-tests.md:15); the bucket
+    analogue is a commit-time manifest probe (``bucket_bytes`` metadata —
+    no filesystem walk) that doubles n_buckets via TableStore.rebucket
+    when the average live bucket outgrows its byte budget.
+
+    Volume grows ~100x over the stream relative to the per-bucket budget;
+    the layout must rescale MID-stream (not as a final pass), state must
+    stay sha-identical to the pandas oracle across the boundary, and the
+    changefeed must keep working across the rebucket version (a rebucket
+    is a logical no-op: it diffs to zero rows and drops the change-file
+    pointer so fast-path readers fall back to the exact diff).
+    """
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=400, versions_per_key=2, n_partitions=4,
+                      files=4),
+    )
+    store = TableStore(str(tmp_path / "t"), n_buckets=2)
+    engine = CdcApplyEngine(store, EngineConfig(
+        metrics=False,
+        changefeed_files=True,
+        auto_rebucket_target_bytes=6_000,
+        auto_rebucket_max_buckets=16,
+    ))
+    q = engine.start_stream(
+        spark, d, str(tmp_path / "cp"), CHANGELOG_SCHEMA_EVOLVED,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    head = store.current_version()
+    assert store.n_buckets > 2  # the layout rescaled
+    # ... and it rescaled MID-stream: some rebucket version is strictly
+    # older than the last data commit
+    growth_versions = [
+        v for v in range(2, head + 1)
+        if store.manifest(v)["n_buckets"] > store.manifest(v - 1)["n_buckets"]
+    ]
+    assert growth_versions and min(growth_versions) < head
+    for v in growth_versions:  # logical no-op: never a change-file pointer
+        assert "changes" not in store.manifest(v)
+
+    # state across the boundary is exactly the oracle
+    _assert_matches_oracle(spark, store, d)
+
+    # the changefeed crosses the rebucket boundary: cumulative upserts from
+    # genesis equal final state, and the fast path (change files enabled)
+    # falls back to the exact diff for ranges spanning a rebucket
+    from kp_data_replication_spark.operators.changefeed import table_changes
+
+    ch = table_changes(spark, store, 0, head)
+    assert ch.filter("_change_type != 'delete'").count() == final_state(
+        spark, store
+    ).count()
+    lo = min(growth_versions) - 1
+    fast = table_changes(spark, store, lo, head, use_change_files=True,
+                         allow_relaxed=True)
+    exact = table_changes(spark, store, lo, head)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
