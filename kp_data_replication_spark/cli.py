@@ -145,6 +145,26 @@ def main(argv: list[str] | None = None) -> None:
                     help="also write this advance's NEW candidate pairs "
                          "(changed docs vs the index) to this parquet dir")
 
+    al = sub.add_parser(
+        "alerts",
+        help="evaluate threshold alert rules over the replication metrics "
+             "(lag, latency, gaps, DLQ, bucket bytes, liveness — the "
+             "prometheus-rules.yaml analogue); prints firing alerts as "
+             "JSON lines",
+    )
+    al.add_argument("target")
+    al.add_argument("--changelog", default=None,
+                    help="changelog dir for lag/gap signals (head vs lineage)")
+    al.add_argument("--whitelist", default="^repos$")
+    al.add_argument("--dlq-dir", default=None)
+    al.add_argument("--bucket-budget-bytes", type=int, default=None,
+                    help="per-bucket byte budget for BucketOversized "
+                         "(KafkaRunningOutOfSpace analogue)")
+    al.add_argument("--rules", default=None,
+                    help="JSON file with a list of rule objects "
+                         "{name, source, expr, severity, summary_expr} "
+                         "replacing the default rule set")
+
     vc = sub.add_parser("vacuum", help="expire old versions + remove crash orphans")
     vc.add_argument("target")
     vc.add_argument("--keep-versions", type=int, default=2)
@@ -252,6 +272,34 @@ def main(argv: list[str] | None = None) -> None:
             min_shared_bands=args.min_shared_bands,
         )
         print(json.dumps(stats))
+    elif args.cmd == "alerts":
+        from .operators.alerts import (
+            AlertRule,
+            engine_alert_sources,
+            evaluate_alerts,
+        )
+
+        store = TableStore(args.target)
+        rules = None
+        if args.rules:
+            with open(args.rules) as f:
+                rules = [AlertRule(**r) for r in json.load(f)]
+        sources = engine_alert_sources(
+            spark, store,
+            changelog_dir=args.changelog,
+            dlq_dir=args.dlq_dir,
+            whitelist=args.whitelist,
+            bucket_budget_bytes=args.bucket_budget_bytes,
+        )
+        # driver-bounded: alerts are per-(rule, partition/bucket) rows —
+        # control-plane sized, never O(data)
+        fired = evaluate_alerts(spark, sources, rules).collect()
+        for row in fired:
+            print(json.dumps(row.asDict()))
+        print(json.dumps({
+            "n_alerts": len(fired),
+            "sources": sorted(sources),
+        }))
     elif args.cmd == "dlq-replay":
         engine = CdcApplyEngine(TableStore(args.target), EngineConfig())
         print(json.dumps(engine.replay_dlq(
