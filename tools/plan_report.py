@@ -176,6 +176,62 @@ def main() -> None:
         formatted(pairs),
     ))
 
+    # incremental ANN index: probe against the persisted assignment
+    from kp_data_replication_spark.operators.ann_incremental import (
+        IncrementalAnnIndex,
+    )
+
+    emb = spark.range(400).select(
+        F.lit("corpus").alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.array(
+            *[
+                (F.sin(F.col("id") * (i + 1)) + F.lit(1.5)).cast("double")
+                for i in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    src3 = TableStore(os.path.join(sdir2, "annsrc"), n_buckets=4)
+    CdcApplyEngine(src3, EngineConfig(metrics=False)).apply_batch(
+        emb.select(
+            F.pmod(F.col("path").cast("long"), F.lit(2)).cast("int").alias("partition"),
+            F.col("path").cast("long").alias("lsn"),
+            F.lit("c").alias("op"),
+            F.lit(None).cast(
+                "struct<repo:string,path:string,embedding:array<double>>"
+            ).alias("before"),
+            F.struct("repo", "path", "embedding").alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        ),
+        0,
+    )
+    ann = IncrementalAnnIndex(os.path.join(sdir2, "annidx"), n_buckets=4)
+    ann.set_centroids(
+        emb.limit(8).select(
+            F.col("path").cast("int").alias("cell"),
+            F.col("embedding").alias("_centroid"),
+        )
+    )
+    ann.update(spark, src3)
+    probe = ann.topk(
+        spark,
+        emb.limit(3).select(F.col("path").alias("vec_id"), "embedding"),
+        k=5, n_probe=2, id_col="vec_id",
+    )
+    sections.append((
+        "Incremental ANN index: probe against the persisted assignment",
+        "The query side (broadcast, bounded) is assigned its n_probe "
+        "nearest cells against the frozen codebook (a second broadcast); "
+        "candidates come from an equi-join on `cell` against the PERSISTED "
+        "index read — occupancy-bounded inverted lists, never a corpus "
+        "scan or re-quantization. The only crossJoins below are against "
+        "broadcast sides (codebook, query set); the index scan reads the "
+        "slim (key, cell, embedding, vnorm) rows only.",
+        formatted(probe),
+    ))
+
     with open(out_md, "w") as f:
         f.write(
             "# PLANS — executed physical plans of the hot path\n\n"
