@@ -164,6 +164,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="JSON file with a list of rule objects "
                          "{name, source, expr, severity, summary_expr} "
                          "replacing the default rule set")
+    al.add_argument("--stream-out", default=None,
+                    help="instead of point-in-time evaluation, tail the "
+                         "target's per-epoch metrics feed through the "
+                         "streaming `for:`-duration evaluator "
+                         "(pending->firing->resolved transitions) and "
+                         "append them to this parquet dir")
+    al.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir for --stream-out (required)")
 
     vc = sub.add_parser("vacuum", help="expire old versions + remove crash orphans")
     vc.add_argument("target")
@@ -280,6 +288,36 @@ def main(argv: list[str] | None = None) -> None:
         )
 
         store = TableStore(args.target)
+        if args.stream_out:
+            from .streaming.alerts_stream import (
+                EpochRule,
+                alert_stream_from_store,
+            )
+
+            erules = None
+            if args.rules:
+                with open(args.rules) as f:
+                    erules = [EpochRule(**r) for r in json.load(f)]
+            q = (
+                alert_stream_from_store(spark, store, erules)
+                .writeStream.format("parquet")
+                .option("path", args.stream_out)
+                .option("checkpointLocation",
+                        args.checkpoint or f"{args.stream_out}_cp")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            from pyspark.errors import AnalysisException
+
+            try:
+                n = spark.read.parquet(args.stream_out).count()
+            except AnalysisException:
+                n = 0
+            print(json.dumps({"status": "drained", "transitions": n}))
+            spark.stop()
+            return
         rules = None
         if args.rules:
             with open(args.rules) as f:
