@@ -63,6 +63,7 @@ def diff_states(
     old: DataFrame,
     new: DataFrame,
     key_cols: list[str] | None = None,
+    emit_preimages: bool = False,
 ) -> DataFrame:
     """Row-level diff of two table states: insert / update / delete.
 
@@ -71,6 +72,14 @@ def diff_states(
     + ``_change_type``. Rows identical in both states are dropped via a
     null-safe comparison, so a physical rewrite with no logical change
     produces no rows.
+
+    ``emit_preimages``: full Delta-CDF row convention — an update emits
+    TWO rows, ``update_preimage`` (old data cols) then
+    ``update_postimage`` (new data cols), instead of one ``update`` row.
+    This is what a retraction consumer (incremental aggregate view
+    maintenance, operators/agg_view.py) needs: the pre-image is the
+    contribution to retract. Same single full-outer join — the pre/post
+    pair comes from one explode over the joined row, not a second pass.
 
     Schemas may differ additively (the new state may carry columns the old
     lacks); the old side is null-padded to the union, matching the additive
@@ -118,6 +127,29 @@ def diff_states(
         .when(~in_new, F.lit("delete"))
         .when(~same, F.lit("update"))
     )  # else null -> unchanged, filtered
+    if emit_preimages:
+        pre = F.struct(*[F.col(f"_o_{c}").alias(c) for c in data_cols])
+        post = F.struct(*[F.col(f"_n_{c}").alias(c) for c in data_cols])
+
+        def entry(img: F.Column, t: str) -> F.Column:
+            return F.struct(img.alias("img"), F.lit(t).alias("t"))
+
+        rows = (
+            F.when(change == "insert", F.array(entry(post, "insert")))
+            .when(change == "delete", F.array(entry(pre, "delete")))
+            .when(
+                change == "update",
+                F.array(
+                    entry(pre, "update_preimage"),
+                    entry(post, "update_postimage"),
+                ),
+            )
+        )  # null (unchanged) -> explode emits nothing
+        return j.select(*key_cols, F.explode(rows).alias("_e")).select(
+            *key_cols,
+            *[F.col(f"_e.img.{c}").alias(c) for c in data_cols],
+            F.col("_e.t").alias(CHANGE_TYPE_COL),
+        )
     return (
         j.withColumn(CHANGE_TYPE_COL, change)
         .filter(F.col(CHANGE_TYPE_COL).isNotNull())
@@ -195,6 +227,41 @@ def table_changes(
     old = store.read_state(spark, buckets=dirty, version=v_from, include_deleted=True)
     new = store.read_state(spark, buckets=dirty, version=v_to, include_deleted=True)
     return diff_states(old, new, key_cols).withColumn(
+        VERSION_COL, F.lit(v_to).cast("long")
+    )
+
+
+def table_changes_cdf(
+    spark: SparkSession,
+    store: TableStore,
+    v_from: int,
+    v_to: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Full Delta-CDF changefeed over LOGICAL states: insert / delete /
+    update_preimage / update_postimage rows between two versions.
+
+    Differences vs :func:`table_changes` that make this the retraction
+    feed for incremental view maintenance (operators/agg_view.py):
+
+      * updates carry BOTH images (the pre-image is the contribution a
+        downstream aggregate must retract);
+      * states are read logically (LWW tombstones hidden), so a row that
+        became a tombstone surfaces as a plain ``delete`` of its last
+        live image — an aggregate never sees stamp-only tombstone rows;
+      * there is no relaxed change-file fast path: persisted change files
+        carry post-images only, and a net-nil spurious change would
+        retract/add unbalanced contributions. Exact state diff always,
+        manifest-bucket pruned like every incremental read.
+    """
+    if v_to is None:
+        v_to = store.current_version()
+    if v_to < v_from:
+        raise ValueError(f"v_to={v_to} < v_from={v_from}")
+    dirty = changed_buckets(store, v_from, v_to)
+    old = store.read_state(spark, buckets=dirty, version=v_from)
+    new = store.read_state(spark, buckets=dirty, version=v_to)
+    return diff_states(old, new, key_cols, emit_preimages=True).withColumn(
         VERSION_COL, F.lit(v_to).cast("long")
     )
 

@@ -812,6 +812,107 @@ SQL_DEDUP_INCREMENTAL_LSH_PAIRS = f"""
 """
 
 
+def q_agg_view_incremental(spark, sf_dir):
+    """Incremental aggregate view maintenance == full recompute
+    (operators/agg_view.py — exact IVM with retractions: the replicated
+    table's changefeed feeds a persisted GROUP BY view, the lakehouse
+    analogue of the consumer-side derived state the reference keeps near
+    its mirrored topics, docs/index.md:32-52). Replays the documents
+    table through the CDC engine as a 3-epoch insert/update/delete
+    fixture, advancing the view after EVERY epoch (O(changed rows) each
+    — pre-images retract, post-images add, min/max survive retraction
+    via the value-multiset sidecar), then reads the VIEW alone. The
+    DuckDB oracle aggregates the FINAL corpus state directly — hash
+    equality proves the maintained view converges to full recompute.
+
+    Fixture (deterministic in both engines, same shape as
+    q_dedup_incremental_lsh_pairs):
+      epoch 0  insert docs with doc_id % 3 != 2
+      epoch 1  insert the rest; every doc with doc_id % 7 == 0 gets
+               text || ' v2' (updates retract the old length)
+      epoch 2  delete docs with doc_id % 11 == 0
+    """
+    import tempfile
+
+    from .operators.agg_view import IncrementalAggView, Measure
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def env(sel, op_col, text_expr, lsn_base, is_delete=False):
+        img = F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang").alias("lang"),
+            text_expr.alias("content"),
+        )
+        is_del = F.lit(is_delete)
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            op_col.alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    v2 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    b0 = env(docs.filter(F.col("doc_id") % 3 != 2), F.lit("c"), F.col("text"), 0)
+    b1 = env(
+        docs.filter((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 7 == 0)),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("c")).otherwise(F.lit("u")),
+        v2, 1_000_000,
+    )
+    b2 = env(docs.filter(F.col("doc_id") % 11 == 0), F.lit("d"), F.col("text"),
+             2_000_000, is_delete=True)
+
+    src = TableStore(tempfile.mkdtemp(prefix="agg_view_src_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    view = IncrementalAggView(
+        tempfile.mkdtemp(prefix="agg_view_"),
+        ["lang"],
+        [
+            Measure("count", None, "n_docs"),
+            Measure("sum", "length(content)", "sum_len", dtype="long"),
+            Measure("avg", "length(content)", "avg_len", dtype="long"),
+            Measure("min", "length(content)", "min_len", dtype="long"),
+            Measure("max", "length(content)", "max_len", dtype="long"),
+        ],
+        n_buckets=4,
+    )
+    for epoch, batch in enumerate((b0, b1, b2)):
+        engine.apply_batch(batch, epoch)
+        view.update(spark, src)
+
+    out = view.read(spark)
+    return out.select(
+        "lang", "n_docs", "sum_len",
+        F.round("avg_len", 4).alias("avg_len"),
+        "min_len", "max_len",
+    )
+
+
+SQL_AGG_VIEW_INCREMENTAL = """
+    WITH final AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 != 0)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           round(avg(length(text)), 4) AS avg_len,
+           CAST(min(length(text)) AS BIGINT) AS min_len,
+           CAST(max(length(text)) AS BIGINT) AS max_len
+    FROM final GROUP BY lang
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -1399,6 +1500,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
         q_dedup_incremental_lsh_pairs,
         SQL_DEDUP_INCREMENTAL_LSH_PAIRS,
     ),
+    "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),

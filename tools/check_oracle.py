@@ -2,7 +2,9 @@
 
 Runs every queries() entry on Spark and its oracle_sql() twin on DuckDB at
 sf0.01, compares row count, sorted column names, and order-insensitive
-values (rounded canonicalization). Usage: python tools/check_oracle.py [sf_dir]
+values (rounded canonicalization).
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Args that aren't directories are treated as query names to check (default all).
 """
 
 from __future__ import annotations
@@ -35,7 +37,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dir = "/root/testdata/sf0.01"
+    only: set[str] = set()
+    for a in sys.argv[1:]:
+        if os.path.isdir(a):
+            sf_dir = a
+        else:
+            only.add(a)
     import __spark_entry__ as e
     from kp_data_replication_spark.session import get_spark
 
@@ -52,6 +60,8 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             got = canon(fn(spark, sf_dir).toPandas())
         except Exception as ex:  # noqa: BLE001
