@@ -29,6 +29,10 @@ Scale shape (100 TB base table / 10^10 events):
     multiset slice alone (bucket-pruned by the same group hash, so a
     group's whole multiset is co-located). State is O(distinct values per
     group), updates are O(batch).
+  * COUNT(DISTINCT) rides the same sidecar and is EXACT under retraction
+    (which no mergeable sketch is — HLL can union but never subtract): a
+    value stays counted until its last copy retracts, and the distinct
+    count is just the dirty group's live multiset-entry count.
   * Null semantics match ANSI SQL: SUM/AVG/MIN/MAX ignore null measure
     values (a separate non-null counter backs SUM's empty->NULL and AVG's
     denominator); COUNT(*) counts all rows; a group whose live row count
@@ -56,17 +60,24 @@ from .changefeed import CHANGE_TYPE_COL, table_changes_cdf
 
 _ADDITIVE = ("count", "sum", "avg")
 _EXTREMES = ("min", "max")
+# kinds whose exact maintenance needs the value-multiset sidecar: min/max
+# (retraction of the reigning extreme) and count_distinct (a value stays
+# counted until its LAST copy retracts — sketches like HLL can't retract,
+# the multiset can: the distinct count is just the group's live-entry count)
+_DETAILED = (*_EXTREMES, "count_distinct")
 
 
 @dataclass(frozen=True)
 class Measure:
     """One aggregate column of the view.
 
-    ``kind``: count | sum | avg | min | max. ``expr`` is any SQL
-    expression over a source row (ignored for count); ``alias`` is the
-    published column name; ``dtype`` ('long' | 'double') is the partial's
-    storage type — use 'long' for integral measures to make retraction
-    exact.
+    ``kind``: count | sum | avg | min | max | count_distinct. ``expr`` is
+    any SQL expression over a source row (ignored for count); ``alias``
+    is the published column name; ``dtype`` ('long' | 'double') is the
+    partial's storage type — use 'long' for integral measures to make
+    retraction exact. ``count_distinct`` is exact (multiset-backed, never
+    a sketch) and always publishes long; distinctness is over the value
+    cast to double, exact for integral values up to 2^53.
     """
 
     kind: str
@@ -75,7 +86,7 @@ class Measure:
     dtype: str = "double"
 
     def __post_init__(self):
-        if self.kind not in (*_ADDITIVE, *_EXTREMES):
+        if self.kind not in (*_ADDITIVE, *_DETAILED):
             raise ValueError(f"unknown measure kind '{self.kind}'")
         if self.kind != "count" and not self.expr:
             raise ValueError(f"measure '{self.alias}' ({self.kind}) needs expr")
@@ -110,7 +121,7 @@ class IncrementalAggView:
         self.group_cols = list(group_cols)
         self.measures = list(measures)
         self.view = TableStore(os.path.join(root, "view"), n_buckets=n_buckets)
-        self._needs_detail = any(m.kind in _EXTREMES for m in measures)
+        self._needs_detail = any(m.kind in _DETAILED for m in measures)
         self.detail = (
             TableStore(os.path.join(root, "detail"), n_buckets=n_buckets)
             if self._needs_detail
@@ -124,8 +135,9 @@ class IncrementalAggView:
     def _sums(self) -> list[Measure]:
         return [m for m in self.measures if m.kind in ("sum", "avg")]
 
-    def _extremes(self) -> list[Measure]:
-        return [m for m in self.measures if m.kind in _EXTREMES]
+    def _detailed(self) -> list[Measure]:
+        """Measures maintained through the multiset sidecar."""
+        return [m for m in self.measures if m.kind in _DETAILED]
 
     @staticmethod
     def _zero(dtype: str) -> F.Column:
@@ -245,7 +257,7 @@ class IncrementalAggView:
         clean bucket."""
         if not self._needs_detail:
             return None
-        exts = self._extremes()
+        exts = self._detailed()
         parts = [
             proj.filter(F.col(f"_v_{m.alias}").isNotNull()).select(
                 *self.group_cols,
@@ -318,8 +330,10 @@ class IncrementalAggView:
         dirty_groups = proj.select(*self.group_cols).distinct()
         if not self.detail._bucket_files(touched_buckets):
             # no multiset state for any touched group: all extremes null
+            # (count_distinct publishes 0 via read()'s coalesce)
             exts_null = [
-                F.lit(None).cast(m.dtype).alias(f"_mm_{m.alias}") for m in exts
+                F.lit(None).cast(self._detail_dtype(m)).alias(f"_mm_{m.alias}")
+                for m in exts
             ]
             return dirty_groups.select(*self.group_cols, *exts_null)
         det = self.detail.read_state(spark, buckets=touched_buckets).alias("s")
@@ -329,11 +343,15 @@ class IncrementalAggView:
         ).select(*[F.col(f"s.{c}").alias(c) for c in det.columns])
         mm_aggs = []
         for m in exts:
-            fn = F.min if m.kind == "min" else F.max
+            slice_ = F.when(F.col("_m") == m.alias, F.col("_val"))
+            if m.kind == "count_distinct":
+                # one multiset row per live distinct value: counting the
+                # slice IS the distinct count
+                agg = F.count(slice_)
+            else:
+                agg = (F.min if m.kind == "min" else F.max)(slice_)
             mm_aggs.append(
-                fn(F.when(F.col("_m") == m.alias, F.col("_val")))
-                .cast(m.dtype)
-                .alias(f"_mm_{m.alias}")
+                agg.cast(self._detail_dtype(m)).alias(f"_mm_{m.alias}")
             )
         # right outer onto the dirty groups so a group whose multiset
         # emptied still gets an (all-null) recompute row
@@ -345,6 +363,11 @@ class IncrementalAggView:
                 *[F.col(f"_mm_{m.alias}") for m in exts],
             )
         )
+
+    @staticmethod
+    def _detail_dtype(m: Measure) -> str:
+        # count_distinct publishes a count: long, whatever dtype says
+        return "long" if m.kind == "count_distinct" else m.dtype
 
     # ------------------------------------------------------------------ #
     def _merge_view(
@@ -360,7 +383,7 @@ class IncrementalAggView:
             m = mm.alias("mm")
             delta = d.join(m, self._group_eq("dl", "mm"), "left").select(
                 *[F.col(f"dl.{c}").alias(c) for c in delta.columns],
-                *[F.col(f"mm._mm_{x.alias}") for x in self._extremes()],
+                *[F.col(f"mm._mm_{x.alias}") for x in self._detailed()],
             )
         delta = delta.withColumn("_dirty", F.lit(True))
         old = (
@@ -382,7 +405,7 @@ class IncrementalAggView:
                 ],
                 *[
                     F.col(f"_mm_{m_.alias}").alias(m_.alias)
-                    for m_ in self._extremes()
+                    for m_ in self._detailed()
                 ],
             )
             return out
@@ -414,11 +437,11 @@ class IncrementalAggView:
                     + F.coalesce(F.col(f"d._d_nn_{m_.alias}"), F.lit(0))
                 ).cast("long").alias(f"_nn_{m_.alias}")
             )
-        for m_ in self._extremes():
+        for m_ in self._detailed():
             cols.append(
                 F.when(dirty, F.col(f"d._mm_{m_.alias}"))
                 .otherwise(F.col(f"o.{m_.alias}"))
-                .cast(m_.dtype)
+                .cast(self._detail_dtype(m_))
                 .alias(m_.alias)
             )
         return j.select(*cols).filter(F.col("_cnt") > 0)
@@ -456,6 +479,9 @@ class IncrementalAggView:
                         / F.col(f"_nn_{m.alias}"),
                     ).alias(m.alias)
                 )
+            elif m.kind == "count_distinct":
+                # SQL count(DISTINCT x) over an all-null group is 0
+                cols.append(F.coalesce(F.col(m.alias), F.lit(0)).alias(m.alias))
             else:
                 cols.append(F.col(m.alias))
         return st.select(*cols)

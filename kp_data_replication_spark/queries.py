@@ -883,6 +883,7 @@ def q_agg_view_incremental(spark, sf_dir):
             Measure("avg", "length(content)", "avg_len", dtype="long"),
             Measure("min", "length(content)", "min_len", dtype="long"),
             Measure("max", "length(content)", "max_len", dtype="long"),
+            Measure("count_distinct", "length(content)", "n_len", dtype="long"),
         ],
         n_buckets=4,
     )
@@ -894,7 +895,7 @@ def q_agg_view_incremental(spark, sf_dir):
     return out.select(
         "lang", "n_docs", "sum_len",
         F.round("avg_len", 4).alias("avg_len"),
-        "min_len", "max_len",
+        "min_len", "max_len", "n_len",
     )
 
 
@@ -908,7 +909,8 @@ SQL_AGG_VIEW_INCREMENTAL = """
            CAST(sum(length(text)) AS BIGINT) AS sum_len,
            round(avg(length(text)), 4) AS avg_len,
            CAST(min(length(text)) AS BIGINT) AS min_len,
-           CAST(max(length(text)) AS BIGINT) AS max_len
+           CAST(max(length(text)) AS BIGINT) AS max_len,
+           CAST(count(DISTINCT length(text)) AS BIGINT) AS n_len
     FROM final GROUP BY lang
 """
 

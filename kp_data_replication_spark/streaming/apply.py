@@ -127,6 +127,20 @@ class EngineConfig:
     # choice); the index is advanced, queryable at every epoch boundary.
     dedup_index_dir: str | None = None
     dedup_index_buckets: int = 8
+    # streaming-maintained incremental AGGREGATE view (exact IVM,
+    # operators/agg_view.py): when agg_view_dir is set, every micro-batch
+    # epoch also advances an IncrementalAggView over the target table —
+    # the consumer-side derived state the reference keeps near its
+    # mirrored topics (docs/index.md:32-52), maintained O(changed rows)
+    # from the full-CDF changefeed in the same foreachBatch loop. Same
+    # resume contract as the dedup index: the view fences on the source
+    # version it last folded, so a crash anywhere in the epoch is healed
+    # by catch-up on the next one. agg_view_measures holds Measure
+    # objects (Python-API config, not hot-reloadable JSON).
+    agg_view_dir: str | None = None
+    agg_view_group_cols: tuple = ()
+    agg_view_measures: tuple = ()
+    agg_view_buckets: int = 8
     # automatic bucket-count growth (MM2 Manager partition-count
     # propagation analogue, docs/perf-tests.md:15): when set, every commit
     # probes the manifest's per-bucket byte totals and DOUBLES n_buckets
@@ -1060,6 +1074,16 @@ class CdcApplyEngine:
                 self.config.dedup_index_dir,
                 n_buckets=self.config.dedup_index_buckets,
             )
+        agg_view = None
+        if self.config.agg_view_dir:
+            from ..operators.agg_view import IncrementalAggView
+
+            agg_view = IncrementalAggView(
+                self.config.agg_view_dir,
+                list(self.config.agg_view_group_cols),
+                list(self.config.agg_view_measures),
+                n_buckets=self.config.agg_view_buckets,
+            )
 
         def _apply(df: DataFrame, eid: int) -> None:
             self.apply_batch(df, eid, writer_id=writer_id)
@@ -1069,6 +1093,9 @@ class CdcApplyEngine:
                 # table's new head (writer-fenced, resume-safe — a replayed
                 # epoch no-ops at the table and the index still catches up)
                 index.update(df.sparkSession, self.store)
+            if agg_view is not None:
+                # same contract: O(changed rows) catch-up to the new head
+                agg_view.update(df.sparkSession, self.store)
 
         writer = (
             src.writeStream.foreachBatch(_apply)

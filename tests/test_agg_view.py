@@ -24,6 +24,7 @@ MEASURES = [
     Measure("avg", "length(content)", "avg_len", dtype="long"),
     Measure("min", "length(content)", "min_len", dtype="long"),
     Measure("max", "length(content)", "max_len", dtype="long"),
+    Measure("count_distinct", "length(content)", "n_len", dtype="long"),
 ]
 
 
@@ -51,6 +52,7 @@ def _expected(spark, src):
             F.avg(ln).alias("avg_len"),
             F.min(ln).alias("min_len"),
             F.max(ln).alias("max_len"),
+            F.countDistinct(ln).alias("n_len"),
         )
     )
 
@@ -197,6 +199,29 @@ def test_crash_between_detail_and_view_commit_resumes(spark, tmp_path):
     assert got["en"]["min_len"] == 4 and got["en"]["max_len"] == 10
 
 
+def test_count_distinct_retracts_only_on_last_copy(spark, tmp_path):
+    """Two docs share a length: deleting one must NOT drop the distinct
+    count (multiplicity 2 -> 1); deleting the second must (1 -> 0)."""
+    src, engine, view = _setup(tmp_path)
+    _apply(spark, engine, [
+        _env(0, "c", "abc", "en", 0),    # len 3
+        _env(1, "c", "xyz", "en", 1),    # len 3 again
+        _env(2, "c", "abcde", "en", 2),  # len 5
+    ], 0)
+    view.update(spark, src)
+    assert view.read(spark).collect()[0]["n_len"] == 2
+
+    _apply(spark, engine, [_env(0, "d", "abc", "en", 100)], 1)
+    view.update(spark, src)
+    _assert_parity(spark, src, view)
+    assert view.read(spark).collect()[0]["n_len"] == 2  # copy survives
+
+    _apply(spark, engine, [_env(1, "d", "xyz", "en", 200)], 2)
+    view.update(spark, src)
+    _assert_parity(spark, src, view)
+    assert view.read(spark).collect()[0]["n_len"] == 1
+
+
 def test_all_null_group_publishes_null_aggregates(spark, tmp_path):
     src, engine, view = _setup(tmp_path)
     _apply(spark, engine, [_env(0, "c", None, "xx", 0)], 0)
@@ -206,6 +231,74 @@ def test_all_null_group_publishes_null_aggregates(spark, tmp_path):
     assert r["n_docs"] == 1
     assert r["sum_len"] is None and r["avg_len"] is None
     assert r["min_len"] is None and r["max_len"] is None
+    assert r["n_len"] == 0  # count(DISTINCT) of an all-null group is 0
+
+
+def test_streaming_integrated_view_kill_and_resume(spark, tmp_path):
+    """The view advances INSIDE the streaming epoch loop
+    (EngineConfig.agg_view_dir), same resume contract as the dedup index:
+    worst crash window is table committed / process dies before the view
+    advance — on resume the re-delivered epoch no-ops at the table and
+    the view catches up from its own fenced watermark. Parity with full
+    recompute asserted at every epoch boundary."""
+    import glob
+    import os
+    import shutil
+
+    cl = tmp_path / "cl"
+    cl.mkdir()
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    cp = str(tmp_path / "cp")
+    view_dir = str(tmp_path / "view")
+    engine = CdcApplyEngine(
+        src,
+        EngineConfig(
+            metrics=False,
+            agg_view_dir=view_dir,
+            agg_view_group_cols=("lang",),
+            agg_view_measures=tuple(MEASURES),
+            agg_view_buckets=4,
+        ),
+    )
+    view = IncrementalAggView(view_dir, ["lang"], MEASURES, n_buckets=4)
+
+    def put(name, rows):
+        tmp = str(tmp_path / ("_w_" + name))
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    str(cl / (name + ".parquet")))
+
+    put("f0", [
+        _env(0, "c", "tiny!", "en", 0),
+        _env(1, "c", "medium words", "en", 1),
+        _env(4, "c", "bonjour", "fr", 2),
+    ])
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    assert view.update(spark, src)["status"] == "noop"  # stream kept it current
+    _assert_parity(spark, src, view)
+
+    # crash window: epoch 1's TABLE half commits under the stream's writer
+    # identity, the process "dies" before the view advance
+    put("f1", [_env(0, "d", "tiny!", "en", 100),
+               _env(5, "c", "une ligne", "fr", 101)])
+    stream_writer = f"stream:{os.path.abspath(cp)}"
+    df1 = spark.read.schema(CHANGELOG_SCHEMA).parquet(str(cl / "f1.parquet"))
+    assert engine.apply_batch(df1, 1, writer_id=stream_writer)[
+        "status"] == "committed"
+    assert view.view.writer_epoch(
+        f"agg-view:{os.path.abspath(src.root)}") < src.current_version()
+
+    # resume: table no-ops (fenced), view catches up in the same loop
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    _assert_parity(spark, src, view)
+    got = {r["lang"]: r for r in view.read(spark).collect()}
+    assert got["en"]["min_len"] == 12  # reigning min retracted via stream
+    assert got["fr"]["n_docs"] == 2
 
 
 def test_measure_validation():
