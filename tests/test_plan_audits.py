@@ -283,3 +283,57 @@ def test_table_changes_reads_only_changed_bucket_files(spark, tmp_path):
     assert read < all_files, "diff read the whole table"
     assert_no_row_python(ch)
     assert count_exchanges(ch) <= 2  # one hash exchange per join side
+
+
+def test_cdf_changefeed_is_manifest_pruned_single_join(spark, tmp_path):
+    """The full-CDF feed (update_preimage/postimage rows for the IVM
+    consumer) keeps every property of the exact diff: reads only changed
+    buckets' files, one full-outer join (<=2 exchanges — the pre/post pair
+    comes from an explode over the SAME joined row, not a second pass),
+    no per-row Python."""
+    import os
+    from urllib.parse import urlparse
+
+    from kp_data_replication_spark.operators.changefeed import (
+        changed_buckets,
+        table_changes_cdf,
+    )
+    from kp_data_replication_spark.sources.table_store import TableStore
+    from kp_data_replication_spark.streaming.apply import CdcApplyEngine, EngineConfig
+
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=200, versions_per_key=2, n_partitions=4, files=2,
+                      dup_every=0),
+    )
+    store = TableStore(str(tmp_path / "t"), n_buckets=16)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False))
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    half = len(files) // 2
+    engine.apply_batch(spark.read.parquet(*[f"{d}/{f}" for f in files[:half]]), 0)
+    second = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{d}/{f}" for f in files[half:]]
+    )
+    engine.apply_batch(second.filter(F.col("lsn") % 7 == 0), 1)
+
+    dirty = changed_buckets(store, 1, 2)
+    assert 0 < len(dirty) < store.n_buckets
+
+    ch = table_changes_cdf(spark, store, 1, 2)
+    allowed = set()
+    for v in (1, 2):
+        m = store.manifest(v)
+        for b in dirty:
+            allowed |= {
+                os.path.join(store.root, p) for p in m["buckets"].get(str(b), [])
+            }
+    read = {urlparse(f).path for f in ch.inputFiles()}
+    assert read <= allowed, f"CDF read beyond changed buckets: {read - allowed}"
+    assert_no_row_python(ch)
+    assert count_exchanges(ch) <= 2
+    # the pair convention: every update key contributes exactly 2 rows
+    from collections import Counter
+
+    ops = Counter(r["_change_type"] for r in ch.collect())
+    assert ops["update_preimage"] == ops["update_postimage"]
