@@ -57,6 +57,7 @@ LLM_QUERIES = [
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_ivf_trained",
     "ann_cosine_topk_ivf_incremental",
+    "agg_view_incremental",
     "dedup_clusters",
     "corpus_sample_stratified",
     "pack_chunks",
@@ -367,6 +368,122 @@ def bench_incremental_ann(spark, sf_dir: str, work_dir: str) -> dict:
     return out
 
 
+def bench_incremental_agg_view(spark, sf_dir: str, work_dir: str) -> dict:
+    """O(batch) vs O(table) evidence for the IVM aggregate view: full view
+    build over the replicated corpus, then an epoch touching ~1% of docs.
+    HONEST toy-scale caveat: a flat scan+aggregate over this small a table
+    is itself sub-second, while the epoch update pays ~5 fixed job
+    latencies (CDF diff, sidecar merge, view merge) — the crossover is
+    where a full table SCAN per refresh stops being affordable (at 100 TB
+    the recompute leg reads 100 TB per epoch; the view update reads only
+    the dirty buckets of the changed keys). The row records both numbers
+    plus the bytes asymmetry so the asymptotics are auditable, not
+    asserted."""
+    from pyspark.sql import functions as F
+
+    from kp_data_replication_spark.operators.agg_view import (
+        IncrementalAggView,
+        Measure,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mult = int(os.environ.get("BENCH_DEDUP_SCALE", "4"))
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(k * 1_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copy {k}")).alias("text"),
+            "lang",
+        )
+        for k in range(mult)
+    ]
+    docs = copies[0]
+    for c in copies[1:]:
+        docs = docs.unionByName(c)
+    docs = docs.cache()
+    n_docs = docs.count()
+    img = F.struct(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+    def envelope(sel, op, lsn_base, image=img):
+        is_del = F.lit(op == "d")
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            F.lit(op).alias("op"),
+            F.when(is_del, image).alias("before"),
+            F.when(~is_del, image).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    src = TableStore(os.path.join(work_dir, "aggv_src"), n_buckets=256)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    view = IncrementalAggView(
+        os.path.join(work_dir, "aggv_view"),
+        ["lang"],
+        [
+            Measure("count", None, "n_docs"),
+            Measure("sum", "length(content)", "sum_len", dtype="long"),
+            Measure("avg", "length(content)", "avg_len", dtype="long"),
+            Measure("min", "length(content)", "min_len", dtype="long"),
+            Measure("max", "length(content)", "max_len", dtype="long"),
+            Measure("count_distinct", "length(content)", "n_len", dtype="long"),
+        ],
+        n_buckets=32,
+    )
+
+    engine.apply_batch(envelope(docs, "c", 0), 0)
+    t0 = time.time()
+    view.update(spark, src)
+    full_sec = time.time() - t0
+
+    # epoch: ~1% of docs change
+    img_v2 = F.struct(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("content"),
+    )
+    changed = docs.filter(F.col("doc_id") % 100 == 0)
+    engine.apply_batch(envelope(changed, "u", 100_000_000, image=img_v2), 1)
+    t0 = time.time()
+    out_inc = view.update(spark, src)
+    inc_sec = time.time() - t0
+
+    # the O(table) alternative: flat scan + aggregate every refresh
+    ln = F.length("content")
+    t0 = time.time()
+    n_groups = (
+        src.read_state(spark)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(ln).alias("sum_len"),
+             F.avg(ln).alias("avg_len"), F.min(ln).alias("min_len"),
+             F.max(ln).alias("max_len"), F.countDistinct(ln).alias("n_len"))
+        .count()
+    )
+    recompute_sec = time.time() - t0
+
+    docs.unpersist()
+    out = {
+        "n_docs": n_docs,
+        "full_build_sec": round(full_sec, 3),
+        "epoch_update_sec": round(inc_sec, 3),
+        "full_recompute_sec": round(recompute_sec, 3),
+        "n_changes_epoch": out_inc["n_changes"],
+        "dirty_view_buckets": out_inc["dirty_view_buckets"],
+        "n_groups": n_groups,
+    }
+    log(f"incremental agg view: {out}")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -413,6 +530,10 @@ def main() -> None:
         ann_inc = (
             bench_incremental_ann(spark, sf_dir, work_dir) if llm_on else None
         )
+        aggv_inc = (
+            bench_incremental_agg_view(spark, sf_dir, work_dir)
+            if llm_on else None
+        )
 
         total = round(cdc["apply_sec"] + sum(qtimes.values()), 3)
         out = {
@@ -431,6 +552,8 @@ def main() -> None:
             out["dedup_incremental"] = dedup_inc
         if ann_inc is not None:
             out["ann_incremental"] = ann_inc
+        if aggv_inc is not None:
+            out["agg_view_incremental"] = aggv_inc
         print(json.dumps(out), flush=True)
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)

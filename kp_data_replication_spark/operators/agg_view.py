@@ -179,10 +179,21 @@ class IncrementalAggView:
         try:
             n_vb = self.view.n_buckets
             vb = bucket_expr(n_vb, self.group_cols)
-            # ONE driver-bounded job: dirty view buckets + changed-image count
-            stats = (
-                proj.groupBy(vb.alias("b")).agg(F.count(F.lit(1)).alias("n")).collect()
-            )
+            # ONE driver-bounded job: dirty view buckets, changed-image
+            # count, AND (when min/max/count_distinct exist) which of those
+            # buckets carry a non-null detailed value — the sidecar's dirty
+            # set, folded into the same per-bucket aggregate so the whole
+            # epoch plans exactly two writes and one stats collect
+            det_cols = [F.col(f"_v_{m.alias}") for m in self._detailed()]
+            aggs = [F.count(F.lit(1)).alias("n")]
+            if det_cols:
+                aggs.append(
+                    F.count(
+                        det_cols[0] if len(det_cols) == 1
+                        else F.coalesce(*det_cols)
+                    ).alias("nd")
+                )
+            stats = proj.groupBy(vb.alias("b")).agg(*aggs).collect()
             if not stats:
                 # physical-only rewrites in range: nothing to fold, but the
                 # cursor must still advance (fenced no-data commit)
@@ -193,9 +204,12 @@ class IncrementalAggView:
                         "n_changes": 0, "dirty_view_buckets": 0}
             dirty_view = sorted(r["b"] for r in stats)
             n_changes = sum(r["n"] for r in stats)
+            dirty_det = sorted(r["b"] for r in stats if r["nd"] > 0) \
+                if det_cols else []
 
             delta = self._additive_delta(proj)
-            mm = self._advance_detail(spark, proj, head, writer, dirty_view)
+            mm = self._advance_detail(spark, proj, head, writer, dirty_view,
+                                      dirty_det)
             merged = self._merge_view(spark, delta, mm, dirty_view, n_vb)
             self.view.commit(
                 merged.withColumn(BUCKET_COL, bucket_expr(n_vb, self.group_cols)),
@@ -242,6 +256,7 @@ class IncrementalAggView:
         head: int,
         writer: str,
         touched_buckets: list[int],
+        dirty_det: list[int],
     ) -> DataFrame | None:
         """Fold the batch into the (group, measure, value) multiset sidecar
         and return the dirty groups' recomputed extremes (None when the
@@ -254,7 +269,10 @@ class IncrementalAggView:
         The recompute must read these, not just the buckets whose
         multisets changed — a group touched only by null-valued
         contributions keeps its old extreme, which lives in an otherwise
-        clean bucket."""
+        clean bucket. ``dirty_det``: the subset of those buckets with a
+        non-null detailed contribution (the sidecar's dirty set) —
+        computed by the caller's single stats job, no extra collect here.
+        """
         if not self._needs_detail:
             return None
         exts = self._detailed()
@@ -280,10 +298,6 @@ class IncrementalAggView:
                 "view/detail bucket counts diverged (rebucket both together): "
                 f"{self.view.n_buckets} != {n_db}"
             )
-        db = bucket_expr(n_db, self.group_cols)
-        dirty_det = sorted(
-            r["b"] for r in ddelta.select(db.alias("b")).distinct().collect()
-        )
         if self.detail.writer_epoch(writer) < head and dirty_det:
             old = (
                 self.detail.read_state(spark, buckets=dirty_det)
@@ -456,6 +470,18 @@ class IncrementalAggView:
             [T.StructField(g, T.StringType()) for g in self.group_cols]
             + [T.StructField("_cnt", T.LongType())]
         )
+
+    # ------------------------------------------------------------------ #
+    def rebucket(self, spark: SparkSession, n_buckets: int) -> dict:
+        """Rescale BOTH stores to ``n_buckets`` (hashed on the group
+        columns — the co-location invariant the update path depends on:
+        view and sidecar must agree so dirty-bucket ids line up). Use when
+        the group-key universe has outgrown the bucket budget, same
+        rationale as the base table's auto-rebucket."""
+        v = self.view.rebucket(spark, n_buckets, key_cols=self.group_cols)
+        if self.detail is not None:
+            self.detail.rebucket(spark, n_buckets, key_cols=self.group_cols)
+        return v
 
     # ------------------------------------------------------------------ #
     def read(self, spark: SparkSession) -> DataFrame:

@@ -52,6 +52,11 @@ class AlertRule:
 #  * DlqNonEmpty            — errors.tolerance=all quarantine growth
 #  * BucketOversized        — KafkaRunningOutOfSpace, per-bucket bytes vs
 #                             budget from the manifest (auto-rebucket's probe)
+#  * DerivedConsumerStale   — consumer-group lag at the TABLE level: a
+#                             registered changefeed consumer (cascade,
+#                             dedup/ANN index, agg view) falling behind
+#                             the source head — it pins retention and its
+#                             eventual catch-up diff grows
 #  * PartitionStalled       — heartbeat liveness: a known partition whose
 #                             last epochs applied nothing while others moved
 DEFAULT_RULES: list[AlertRule] = [
@@ -80,6 +85,14 @@ DEFAULT_RULES: list[AlertRule] = [
         summary_expr="format_string('bucket %s holds %s bytes (budget %s)"
                      " — rebucket or raise auto_rebucket_target_bytes',"
                      " bucket, bytes, budget_bytes)",
+    ),
+    AlertRule(
+        "DerivedConsumerStale", "consumers",
+        "versions_behind > stale_budget_versions",
+        summary_expr="format_string('%s is %s versions behind the source "
+                     "head (%s/%s) — stalled derived flow pins retention "
+                     "and grows catch-up cost', consumer_group, "
+                     "versions_behind, applied_version, head_version)",
     ),
     AlertRule(
         "PartitionStalled", "liveness",
@@ -147,6 +160,7 @@ def engine_alert_sources(
     whitelist: str = "^repos$",
     bucket_budget_bytes: int | None = None,
     liveness_epochs: int = 5,
+    consumer_stale_versions: int = 10,
 ) -> dict[str, DataFrame]:
     """Assemble the standard signal frames for :data:`DEFAULT_RULES` from a
     target :class:`TableStore` (+ optionally the changelog for lag/gaps and
@@ -215,6 +229,25 @@ def engine_alert_sources(
             sources["dlq"] = spark.createDataFrame(
                 [(0,)], T.StructType([T.StructField("n_rows", T.LongType())])
             )
+
+    cons = store.consumers()
+    if cons:
+        head_v = store.current_version()
+        rows = [
+            (g, int(v), int(head_v), int(head_v) - int(v),
+             int(consumer_stale_versions))
+            for g, v in sorted(cons.items())
+        ]
+        sources["consumers"] = spark.createDataFrame(
+            rows,
+            T.StructType([
+                T.StructField("consumer_group", T.StringType()),
+                T.StructField("applied_version", T.LongType()),
+                T.StructField("head_version", T.LongType()),
+                T.StructField("versions_behind", T.LongType()),
+                T.StructField("stale_budget_versions", T.LongType()),
+            ]),
+        )
 
     manifest = store.current_manifest()
     if manifest is not None and bucket_budget_bytes is not None:

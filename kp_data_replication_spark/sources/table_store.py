@@ -661,7 +661,12 @@ class TableStore:
                 )
         return total
 
-    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
+    def rebucket(
+        self,
+        spark: SparkSession,
+        new_n_buckets: int,
+        key_cols: list[str] | None = None,
+    ) -> dict:
         """Change the table's bucket count in place (Iceberg partition-spec
         evolution + one full rewrite).
 
@@ -676,6 +681,11 @@ class TableStore:
         reads ``n_buckets`` from the manifest on every batch. Readers of
         older versions still see the old layout (each manifest carries its
         own bucket map). Same single-maintainer caveat as :meth:`vacuum`.
+
+        ``key_cols``: the hash key of the NEW layout — default the CDC key
+        (repo, path); derived tables bucketed by another key (e.g. the agg
+        view's group columns) must pass theirs or the rewrite would break
+        their co-location invariant.
         """
         m = self.current_manifest()
         if m is None:
@@ -688,7 +698,7 @@ class TableStore:
         epoch_dir = os.path.join(self.root, epoch_rel)
         shutil.rmtree(epoch_dir, ignore_errors=True)
         df = self.read_state(spark, include_deleted=True).withColumn(
-            BUCKET_COL, bucket_expr(new_n_buckets)
+            BUCKET_COL, bucket_expr(new_n_buckets, key_cols)
         )
         (
             df.repartition(new_n_buckets, F.col(BUCKET_COL))

@@ -234,6 +234,30 @@ def test_all_null_group_publishes_null_aggregates(spark, tmp_path):
     assert r["n_len"] == 0  # count(DISTINCT) of an all-null group is 0
 
 
+def test_rebucket_rescales_view_and_sidecar_together(spark, tmp_path):
+    """Rebucketing rescales BOTH stores on the group-key hash; updates
+    across the boundary stay exact (incl. a min retraction that must find
+    the group's multiset co-located in the NEW layout)."""
+    src, engine, view = _setup(tmp_path)
+    _apply(spark, engine, [
+        _env(0, "c", "ab", "en", 0),
+        _env(1, "c", "abcdef", "en", 1),
+        _env(4, "c", "bonjour", "fr", 2),
+    ], 0)
+    view.update(spark, src)
+
+    out = view.rebucket(spark, 8)
+    assert out["n_buckets"] == 8
+    assert view.view.n_buckets == 8 and view.detail.n_buckets == 8
+    _assert_parity(spark, src, view)  # rebucket is a logical no-op
+
+    _apply(spark, engine, [_env(0, "d", "ab", "en", 100)], 1)
+    view.update(spark, src)
+    _assert_parity(spark, src, view)
+    got = {r["lang"]: r for r in view.read(spark).collect()}
+    assert got["en"]["min_len"] == 6  # retraction resolved in new layout
+
+
 def test_streaming_integrated_view_kill_and_resume(spark, tmp_path):
     """The view advances INSIDE the streaming epoch loop
     (EngineConfig.agg_view_dir), same resume contract as the dedup index:

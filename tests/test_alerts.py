@@ -69,6 +69,10 @@ def test_alerts_fire_on_planted_lag_gap_dlq_and_oversize(spark, tmp_path):
     dlq = str(tmp_path / "dlq")
     spark.range(3).write.parquet(f"{dlq}/epoch=0")
 
+    # plant a STALE DERIVED CONSUMER: a registered flow pinned at v0 while
+    # the table head advances (threshold 0 versions at toy scale)
+    store.record_consumer("cascade:stale", 0)
+
     rules = [r for r in DEFAULT_RULES if r.name != "ReplicationLagHigh"] + [
         # toy-scale threshold; prod keeps the 1000-offset default
         AlertRule(
@@ -79,13 +83,14 @@ def test_alerts_fire_on_planted_lag_gap_dlq_and_oversize(spark, tmp_path):
     sources = engine_alert_sources(
         spark, store, changelog_dir=cl, dlq_dir=dlq,
         bucket_budget_bytes=1,  # plant BUCKET OVERSIZE: any live byte fires
+        consumer_stale_versions=0,
     )
     alerts = evaluate_alerts(spark, sources, rules)
     assert alerts.columns == ["alert", "severity", "source", "summary", "labels"]
     names = _names(alerts)
     assert {
         "ReplicationLagHigh", "SequenceGapDetected", "DlqNonEmpty",
-        "BucketOversized",
+        "BucketOversized", "DerivedConsumerStale",
     } <= names
 
     # the planted hole shows up as a NEW gap row spanning the victim lsn
@@ -110,13 +115,15 @@ def test_alerts_fire_on_planted_lag_gap_dlq_and_oversize(spark, tmp_path):
     # HEALTHY TWIN: catch up fully, give buckets a sane budget, no DLQ —
     # those rules go silent (gap alerts stay: the changelog itself is holed)
     engine.apply_batch(events.filter(F.col("lsn") > cut), 1)
+    store.record_consumer("cascade:stale", store.current_version())
     healthy = engine_alert_sources(
         spark, store, changelog_dir=cl, bucket_budget_bytes=1 << 30,
+        consumer_stale_versions=0,
     )
     silent = _names(evaluate_alerts(spark, healthy, rules))
     assert not silent & {
         "ReplicationLagHigh", "DlqNonEmpty", "BucketOversized",
-        "PartitionStalled",
+        "PartitionStalled", "DerivedConsumerStale",
     }
     assert "SequenceGapDetected" in silent
 
