@@ -812,6 +812,76 @@ SQL_DEDUP_INCREMENTAL_LSH_PAIRS = f"""
 """
 
 
+def q_cdc_state_time_travel(spark, sf_dir):
+    """S4/W2 + versioned-store time travel: replay the 3-epoch
+    insert/update/delete fixture through the CDC engine, then read the
+    table AS OF version 2 — BEFORE the epoch-2 deletions landed. The
+    DuckDB oracle reconstructs that logical state directly from the
+    fixture definition (all docs, with the %7 'v2' updates applied, no
+    %11 deletions), so hash equality proves the manifest-addressed
+    versioned reads are exact, not just the head state. (Each manifest
+    pins its own file set; reading v2 after v3 committed touches only
+    v<=2 files — the Iceberg/Delta snapshot-isolation contract the
+    reference gets from Kafka offset replay, docs/consideration.md:37-48.)
+    """
+    import tempfile
+
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def env(sel, op_col, text_expr, lsn_base, is_delete=False):
+        img = F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang").alias("lang"),
+            text_expr.alias("content"),
+        )
+        is_del = F.lit(is_delete)
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            op_col.alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    v2 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    b0 = env(docs.filter(F.col("doc_id") % 3 != 2), F.lit("c"), F.col("text"), 0)
+    b1 = env(
+        docs.filter((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 7 == 0)),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("c")).otherwise(F.lit("u")),
+        v2, 1_000_000,
+    )
+    b2 = env(docs.filter(F.col("doc_id") % 11 == 0), F.lit("d"), F.col("text"),
+             2_000_000, is_delete=True)
+
+    src = TableStore(tempfile.mkdtemp(prefix="time_travel_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    for epoch, batch in enumerate((b0, b1, b2)):
+        engine.apply_batch(batch, epoch)
+
+    return src.read_state(spark, version=2).select(
+        F.col("path").cast("long").alias("doc_id"),
+        "lang",
+        F.col("content").alias("text"),
+    )
+
+
+SQL_CDC_STATE_TIME_TRAVEL = """
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents
+"""
+
+
 def q_agg_view_incremental(spark, sf_dir):
     """Incremental aggregate view maintenance == full recompute
     (operators/agg_view.py — exact IVM with retractions: the replicated
@@ -1502,6 +1572,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
         q_dedup_incremental_lsh_pairs,
         SQL_DEDUP_INCREMENTAL_LSH_PAIRS,
     ),
+    "cdc_state_time_travel": (q_cdc_state_time_travel, SQL_CDC_STATE_TIME_TRAVEL),
     "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
