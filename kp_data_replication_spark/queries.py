@@ -882,6 +882,92 @@ SQL_CDC_STATE_TIME_TRAVEL = """
 """
 
 
+def q_cdc_offset_failover(spark, sf_dir):
+    """J1/S8 at the VERSION level — consumer-group failover translation
+    (MM2 RemoteClusterUtils.translateOffsets, docs/consideration.md:37-48).
+    Build primary A with 5 versions: 3 data epochs interleaved with 2
+    content-identical rewrite-maintenance commits (the sparse-sync-point
+    regime — maintenance versions replicate nothing, exactly like MM2's
+    sync topic only recording points where numbering diverges). Cascade
+    A -> B, then as-of translate every consumer position k=1..5 against
+    the checkpoint table DERIVED AT RUNTIME from B's manifest writer-map
+    history (operators/failover.py). The DuckDB oracle recomputes the
+    as-of join from the fixture-defined sync table ((1,1),(3,2),(5,3)),
+    so hash equality proves both the derived sync table and the rounding-
+    down translation semantics.
+    """
+    import tempfile
+
+    from .operators.changefeed import cascade_catchup
+    from .operators.failover import translate_version
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+
+    # envelope builder shares its shape with q_cdc_state_time_travel; the
+    # content is irrelevant to the translation — only the commit structure
+    # matters — so the batches are simple insert/update slices
+    def envelope(sel, op, text_expr, lsn_base):
+        img = F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang").alias("lang"),
+            text_expr.alias("content"),
+        )
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            F.lit(op).alias("op"),
+            F.lit(None).cast(
+                "struct<repo:string,path:string,commit:string,"
+                "lang:string,content:string>"
+            ).alias("before"),
+            img.alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    a = TableStore(tempfile.mkdtemp(prefix="failover_a_"), n_buckets=4)
+    eng = CdcApplyEngine(a, EngineConfig(metrics=False))
+    eng.apply_batch(envelope(docs.filter(F.col("doc_id") % 3 == 0), "c",
+                             F.col("text"), 0), 0)                     # v1
+    a.rewrite_buckets(spark, min_files=0)                              # v2
+    eng.apply_batch(envelope(docs.filter(F.col("doc_id") % 3 == 1), "c",
+                             F.col("text"), 1_000_000), 1)             # v3
+    a.rewrite_buckets(spark, min_files=0)                              # v4
+    eng.apply_batch(envelope(docs.filter(F.col("doc_id") % 3 == 0), "u",
+                             F.concat(F.col("text"), F.lit(" v2")),
+                             2_000_000), 2)                            # v5
+
+    b = TableStore(tempfile.mkdtemp(prefix="failover_b_"), n_buckets=4)
+    cascade_catchup(spark, a, CdcApplyEngine(b, EngineConfig(metrics=False)))
+
+    rows = []
+    for k in range(1, 6):
+        tr = translate_version(b, a.root, k)
+        rows.append((k, tr["replica_version"], tr["source_high"]))
+    return spark.createDataFrame(
+        rows, "src_version long, resume_version long, source_high long"
+    )
+
+
+SQL_CDC_OFFSET_FAILOVER = """
+    WITH commits(src_version) AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5))),
+         syncs(source_version, replica_version) AS (
+             SELECT * FROM (VALUES (1, 1), (3, 2), (5, 3)))
+    SELECT c.src_version,
+           max(s.replica_version) AS resume_version,
+           max(s.source_version)  AS source_high
+    FROM commits c JOIN syncs s ON s.source_version <= c.src_version
+    GROUP BY c.src_version
+"""
+
+
 def q_agg_view_incremental(spark, sf_dir):
     """Incremental aggregate view maintenance == full recompute
     (operators/agg_view.py — exact IVM with retractions: the replicated
@@ -1573,6 +1659,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
         SQL_DEDUP_INCREMENTAL_LSH_PAIRS,
     ),
     "cdc_state_time_travel": (q_cdc_state_time_travel, SQL_CDC_STATE_TIME_TRAVEL),
+    "cdc_offset_failover": (q_cdc_offset_failover, SQL_CDC_OFFSET_FAILOVER),
     "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
