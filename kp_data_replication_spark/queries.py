@@ -709,28 +709,14 @@ SQL_DEDUP_MINHASH_LSH_PAIRS = f"""
 """
 
 
-def q_dedup_incremental_lsh_pairs(spark, sf_dir):
-    """Incremental changefeed-maintained LSH index == full recompute
-    (operators/dedup_incremental.py — the flagship composition: CDC engine
-    feeds the dedup index). Replays the documents table through the CDC
-    engine as a 3-epoch insert/update/delete fixture, advancing the
-    persisted band index after EVERY epoch (O(changed docs) each), then
-    reads candidate pairs from the INDEX alone. The DuckDB oracle computes
-    LSH pairs over the FINAL corpus state directly — hash equality proves
-    incremental maintenance converges to full recompute.
-
-    Fixture (deterministic in both engines):
+def _incremental_fixture_batches(spark, sf_dir):
+    """The shared 3-epoch insert/update/delete changelog fixture the
+    incremental-index family replays (deterministic in both engines):
       epoch 0  insert docs with doc_id % 3 != 2
       epoch 1  insert the rest; every doc with doc_id % 7 == 0 gets
                text || ' v2' (new docs arrive with it, old docs update)
       epoch 2  delete docs with doc_id % 11 == 0
     """
-    import tempfile
-
-    from .operators.dedup_incremental import IncrementalDedupIndex
-    from .sources.table_store import TableStore
-    from .streaming.apply import CdcApplyEngine, EngineConfig
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def env(sel, op_col, text_expr, lsn_base, is_delete=False):
@@ -764,13 +750,32 @@ def q_dedup_incremental_lsh_pairs(spark, sf_dir):
     )
     b2 = env(docs.filter(F.col("doc_id") % 11 == 0), F.lit("d"), F.col("text"),
              2_000_000, is_delete=True)
+    return b0, b1, b2
+
+
+def q_dedup_incremental_lsh_pairs(spark, sf_dir):
+    """Incremental changefeed-maintained LSH index == full recompute
+    (operators/dedup_incremental.py — the flagship composition: CDC engine
+    feeds the dedup index). Replays the documents table through the CDC
+    engine as the 3-epoch insert/update/delete fixture
+    (:func:`_incremental_fixture_batches`), advancing the persisted band
+    index after EVERY epoch (O(changed docs) each), then reads candidate
+    pairs from the INDEX alone. The DuckDB oracle computes LSH pairs over
+    the FINAL corpus state directly — hash equality proves incremental
+    maintenance converges to full recompute.
+    """
+    import tempfile
+
+    from .operators.dedup_incremental import IncrementalDedupIndex
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
 
     src = TableStore(tempfile.mkdtemp(prefix="dedup_inc_src_"), n_buckets=4)
     engine = CdcApplyEngine(src, EngineConfig(metrics=False))
     index = IncrementalDedupIndex(
         tempfile.mkdtemp(prefix="dedup_inc_idx_"), n_buckets=4
     )
-    for epoch, batch in enumerate((b0, b1, b2)):
+    for epoch, batch in enumerate(_incremental_fixture_batches(spark, sf_dir)):
         engine.apply_batch(batch, epoch)
         index.update(spark, src)
 
@@ -809,6 +814,65 @@ SQL_DEDUP_INCREMENTAL_LSH_PAIRS = f"""
     FROM banded x JOIN banded y
       ON x.band = y.band AND x.bucket = y.bucket AND x.doc < y.doc
     GROUP BY 1, 2
+"""
+
+
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """Incremental duplicate-CLUSTER maintenance == full recompute
+    (operators/clusters_incremental.py — the last derived artifact made
+    incremental: per epoch only the AFFECTED components are re-labeled,
+    never the corpus). Replays the shared 3-epoch insert/update/delete
+    fixture, advancing band index + cluster labels after EVERY epoch, then
+    emits the per-document cluster view of the FINAL state. The DuckDB
+    oracle resolves a recursive-CTE connected components over LSH pairs of
+    the final corpus — hash equality proves the affected-component closure
+    (bridge deletes SPLIT, bridge inserts MERGE) converges to recompute.
+    """
+    import tempfile
+
+    from .operators.clusters_incremental import IncrementalClusterIndex
+    from .operators.dedup_incremental import IncrementalDedupIndex
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    src = TableStore(tempfile.mkdtemp(prefix="cc_inc_src_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalDedupIndex(
+        tempfile.mkdtemp(prefix="cc_inc_idx_"), n_buckets=4
+    )
+    clusters = IncrementalClusterIndex(
+        tempfile.mkdtemp(prefix="cc_inc_lab_"), index, n_buckets=4
+    )
+    for epoch, batch in enumerate(_incremental_fixture_batches(spark, sf_dir)):
+        engine.apply_batch(batch, epoch)
+        clusters.update(spark, src)
+
+    # labels carry min-STRING composite ids; re-canonicalize numerically to
+    # the oracle's min-doc_id representative (bijective per component)
+    view = clusters.cluster_view(spark, src)
+    lab = view.select(F.col("path").cast("long").alias("doc_id"), "cluster")
+    rep = lab.groupBy("cluster").agg(F.min("doc_id").alias("cluster_id"))
+    return lab.join(rep, "cluster").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("keep"),
+    )
+
+
+SQL_DEDUP_CLUSTERS_INCREMENTAL = f"""
+    WITH RECURSIVE pairs AS ({SQL_DEDUP_INCREMENTAL_LSH_PAIRS}),
+    fdocs AS (SELECT doc_id FROM documents WHERE doc_id % 11 != 0),
+    e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+          UNION SELECT doc2, doc1 FROM pairs),
+    reach(node, root) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node),
+    comp AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+    FROM fdocs d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
@@ -1673,6 +1737,10 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
         SQL_ANN_COSINE_TOPK_IVF_INCREMENTAL,
     ),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_clusters_incremental": (
+        q_dedup_clusters_incremental,
+        SQL_DEDUP_CLUSTERS_INCREMENTAL,
+    ),
     "corpus_sample_stratified": (
         q_corpus_sample_stratified,
         SQL_CORPUS_SAMPLE_STRATIFIED,

@@ -1,0 +1,203 @@
+"""Incremental duplicate-cluster maintenance from the changefeed:
+insert/bridge-merge/bridge-delete-SPLIT/update-move epochs, with parity
+against (a) a full CC recompute over the band index and (b) an
+independent pure-Python connected-components oracle over
+minhash_lsh_pairs of the live corpus state — after EVERY epoch.
+
+The bridge texts are deterministic finds (md5-fixed minhash): B = A ++ C
+shares a band with A and a band with C while A and C never collide, so
+inserting B merges two components and deleting B SPLITS them again — the
+re-labeling case naive incremental CC gets wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kp_data_replication_spark.operators.clusters_incremental import (
+    IncrementalClusterIndex,
+)
+from kp_data_replication_spark.operators.dedup_docs import minhash_lsh_pairs
+from kp_data_replication_spark.operators.dedup_incremental import (
+    IncrementalDedupIndex,
+)
+from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+from kp_data_replication_spark.sources.table_store import TableStore
+from kp_data_replication_spark.streaming.apply import CdcApplyEngine, EngineConfig
+
+# deterministic LSH geometry (verified by the assertions below):
+# pairs: (0,1) exact copies of A; (10,11) exact copies of C;
+# bridge B pairs with BOTH A-docs and C-docs; A and C never pair.
+A = "alpha beta gamma delta epsilon zeta eta theta iota kappa six five"
+C = "nu xi omicron pi rho sigma tau upsilon phi chi three"
+B = A + " " + C
+NOISE2 = "completely different content about spark partitions and shuffles"
+NOISE3 = "yet another unique document mentioning changefeeds and manifests"
+
+
+def _env(doc_id, op, text, lsn):
+    img = Row(repo="corpus", path=str(doc_id), commit="c0", lang="en", content=text)
+    return Row(
+        partition=doc_id % 4, lsn=lsn, op=op,
+        before=img if op == "d" else None,
+        after=None if op == "d" else img,
+        ts_ms=None, headers=None, source_topic="repos",
+    )
+
+
+def _apply(spark, engine, epoch, rows):
+    engine.apply_batch(spark.createDataFrame(rows, CHANGELOG_SCHEMA), epoch)
+
+
+def _label_set(df):
+    return {(r["repo"], r["path"], r["cluster"]) for r in df.collect()}
+
+
+def _python_cc_oracle(spark, src):
+    """Independent expected labels: LSH pairs over the LIVE corpus state
+    (full recompute through the public pair operator), resolved into
+    min-composite-id components by plain-Python union-find."""
+    docs = src.read_state(spark).select(
+        F.col("path").alias("doc_id"), F.col("content").alias("text")
+    )
+    pairs = [
+        (r["doc1"], r["doc2"])
+        for r in minhash_lsh_pairs(docs).collect()
+    ]
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[str, list[str]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    sep = "\x01"
+    out = set()
+    for members in comp.values():
+        cid = "corpus" + sep + min(members)
+        for m in members:
+            out.add(("corpus", m, cid))
+    return out
+
+
+def _assert_parity(spark, src, clusters):
+    inc = _label_set(clusters.labels(spark))
+    full = _label_set(clusters.full_recompute(spark))
+    assert inc == full, (sorted(inc), sorted(full))
+    oracle = _python_cc_oracle(spark, src)
+    assert inc == oracle, (sorted(inc), sorted(oracle))
+
+
+def _clusters_by_path(spark, clusters):
+    rows = clusters.labels(spark).collect()
+    comp: dict[str, set[str]] = {}
+    for r in rows:
+        comp.setdefault(r["cluster"], set()).add(r["path"])
+    return {frozenset(v) for v in comp.values()}
+
+
+def test_bridge_merge_split_and_move(spark, tmp_path):
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalDedupIndex(str(tmp_path / "idx"), n_buckets=4)
+    clusters = IncrementalClusterIndex(str(tmp_path / "cc"), index, n_buckets=4)
+
+    # ---- epoch 0: two disjoint dup components + noise ----
+    _apply(spark, engine, 0, [
+        _env(0, "c", A, 0), _env(1, "c", A, 1),
+        _env(10, "c", C, 2), _env(11, "c", C, 3),
+        _env(2, "c", NOISE2, 4), _env(3, "c", NOISE3, 5),
+    ])
+    out0 = clusters.update(spark, src)
+    assert out0["status"] == "committed"
+    _assert_parity(spark, src, clusters)
+    assert _clusters_by_path(spark, clusters) == {
+        frozenset({"0", "1"}), frozenset({"10", "11"}),
+    }
+
+    # ---- epoch 1: bridge INSERT merges the two components ----
+    _apply(spark, engine, 1, [_env(5, "c", B, 100)])
+    out1 = clusters.update(spark, src)
+    _assert_parity(spark, src, clusters)
+    assert _clusters_by_path(spark, clusters) == {
+        frozenset({"0", "1", "5", "10", "11"}),
+    }
+    # O(affected): the noise docs were never touched
+    assert out1["n_affected"] == 5
+
+    # ---- epoch 2: bridge DELETE splits the component again ----
+    _apply(spark, engine, 2, [_env(5, "d", B, 200)])
+    out2 = clusters.update(spark, src)
+    _assert_parity(spark, src, clusters)
+    assert _clusters_by_path(spark, clusters) == {
+        frozenset({"0", "1"}), frozenset({"10", "11"}),
+    }
+    assert out2["n_affected"] == 5  # the old merged component, nothing else
+
+    # fenced noop when nothing new committed
+    assert clusters.update(spark, src)["status"] == "noop"
+
+    # ---- epoch 3: update moves doc 2 into the A-component; deleting 11
+    # strands 10 as a singleton (its label row must disappear) ----
+    _apply(spark, engine, 3, [_env(2, "u", A, 300), _env(11, "d", C, 301)])
+    clusters.update(spark, src)
+    _assert_parity(spark, src, clusters)
+    assert _clusters_by_path(spark, clusters) == {frozenset({"0", "1", "2"})}
+
+    # ---- epoch 4: update MOVES doc 0 across components (split + merge) ----
+    _apply(spark, engine, 4, [_env(0, "u", C, 400)])
+    clusters.update(spark, src)
+    _assert_parity(spark, src, clusters)
+    assert _clusters_by_path(spark, clusters) == {
+        frozenset({"1", "2"}), frozenset({"0", "10"}),
+    }
+
+    # cluster_view covers the FULL corpus with singleton fallback
+    view = {
+        (r["path"], r["keep"])
+        for r in clusters.cluster_view(spark, src).collect()
+    }
+    assert ("3", True) in view  # noise doc: own cluster, kept
+    n_kept = sum(1 for _, k in view if k)
+    assert n_kept == 3  # one canonical per cluster: {1,2}, {0,10}, {3}
+
+
+def test_multi_version_catchup_and_shared_index(spark, tmp_path):
+    """One update() spanning several source commits converges identically,
+    and a band index ALREADY advanced by another consumer is a fenced noop
+    inside the cluster update (crash-between-commits resume shape)."""
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalDedupIndex(str(tmp_path / "idx"), n_buckets=4)
+    clusters = IncrementalClusterIndex(str(tmp_path / "cc"), index, n_buckets=4)
+
+    _apply(spark, engine, 0, [
+        _env(0, "c", A, 0), _env(1, "c", A, 1),
+        _env(10, "c", C, 2), _env(11, "c", C, 3),
+    ])
+    clusters.update(spark, src)
+
+    # three more source commits before the next cluster advance; the index
+    # is advanced by its own consumer after each (simulating the crash
+    # point: index committed, clusters not yet)
+    _apply(spark, engine, 1, [_env(5, "c", B, 100)])
+    index.update(spark, src)
+    _apply(spark, engine, 2, [_env(5, "d", B, 200)])
+    _apply(spark, engine, 3, [_env(2, "c", A, 300)])
+    out = clusters.update(spark, src)
+    assert out["status"] == "committed"
+    _assert_parity(spark, src, clusters)
+    assert _clusters_by_path(spark, clusters) == {
+        frozenset({"0", "1", "2"}), frozenset({"10", "11"}),
+    }
