@@ -146,6 +146,9 @@ def bench_incremental_dedup(spark, sf_dir: str, work_dir: str) -> dict:
     the full build (and of a full LSH-pairs recompute)."""
     from pyspark.sql import functions as F
 
+    from kp_data_replication_spark.operators.clusters_incremental import (
+        IncrementalClusterIndex,
+    )
     from kp_data_replication_spark.operators.dedup_docs import minhash_lsh_pairs
     from kp_data_replication_spark.operators.dedup_incremental import (
         IncrementalDedupIndex,
@@ -208,10 +211,19 @@ def bench_incremental_dedup(spark, sf_dir: str, work_dir: str) -> dict:
         os.path.join(work_dir, "dedup_idx"), n_buckets=32
     )
 
+    clusters = IncrementalClusterIndex(
+        os.path.join(work_dir, "dedup_cc"), index, n_buckets=32
+    )
+
     engine.apply_batch(envelope(docs, "c", 0), 0)
     t0 = time.time()
     out_full = index.update(spark, src)
     full_sec = time.time() - t0
+
+    # duplicate-cluster labels: bootstrap = one full CC over the fresh index
+    t0 = time.time()
+    clusters.update(spark, src)
+    cc_boot_sec = time.time() - t0
 
     # epoch: ~1% of docs change
     changed = docs.filter(F.col("doc_id") % 100 == 0)
@@ -240,6 +252,12 @@ def bench_incremental_dedup(spark, sf_dir: str, work_dir: str) -> dict:
     n_pairs_new = out_inc["pairs"].count()
     inc_sec = time.time() - t0
 
+    # cluster epoch advance: re-labels only the AFFECTED components (the
+    # index advance above is a fenced noop inside this call)
+    t0 = time.time()
+    out_cc = clusters.update(spark, src)
+    cc_epoch_sec = time.time() - t0
+
     # the O(corpus) alternative the index replaces: full LSH recompute
     t0 = time.time()
     n_pairs_full = minhash_lsh_pairs(
@@ -248,6 +266,12 @@ def bench_incremental_dedup(spark, sf_dir: str, work_dir: str) -> dict:
         )
     ).count()
     recompute_sec = time.time() - t0
+
+    # the O(corpus) alternative the cluster index replaces: CC over the
+    # entire band index per run
+    t0 = time.time()
+    n_labeled_full = clusters.full_recompute(spark).count()
+    cc_recompute_sec = time.time() - t0
 
     docs.unpersist()
     out = {
@@ -258,6 +282,11 @@ def bench_incremental_dedup(spark, sf_dir: str, work_dir: str) -> dict:
         "n_changed_epoch": out_inc["n_changed"],
         "n_new_pairs_epoch": n_pairs_new,
         "n_pairs_full": n_pairs_full,
+        "cluster_bootstrap_sec": round(cc_boot_sec, 3),
+        "cluster_epoch_sec": round(cc_epoch_sec, 3),
+        "cluster_full_cc_sec": round(cc_recompute_sec, 3),
+        "n_affected_epoch": out_cc["n_affected"],
+        "n_labeled_full": n_labeled_full,
     }
     log(f"incremental dedup: {out}")
     return out

@@ -201,3 +201,59 @@ def test_multi_version_catchup_and_shared_index(spark, tmp_path):
     assert _clusters_by_path(spark, clusters) == {
         frozenset({"0", "1", "2"}), frozenset({"10", "11"}),
     }
+
+def test_cluster_merge_touches_only_affected_buckets(spark, tmp_path):
+    """O(affected) on the LABEL STORE side too: an epoch whose changes touch
+    no component rewrites at most the single bucket its seed key hashes
+    into — every other label bucket's files carry forward by manifest
+    reference, byte-identical."""
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalDedupIndex(str(tmp_path / "idx"), n_buckets=4)
+    clusters = IncrementalClusterIndex(str(tmp_path / "cc"), index, n_buckets=16)
+
+    _apply(spark, engine, 0, [
+        _env(0, "c", A, 0), _env(1, "c", A, 1),
+        _env(10, "c", C, 2), _env(11, "c", C, 3),
+        _env(3, "c", NOISE3, 4),
+    ])
+    clusters.update(spark, src)
+    m1 = clusters.store.current_manifest()
+    before = _label_set(clusters.labels(spark))
+
+    # delete the pair-less noise doc: affected = {3} only
+    _apply(spark, engine, 1, [_env(3, "d", NOISE3, 100)])
+    out = clusters.update(spark, src)
+    assert out["n_affected"] == 1 and out["dirty_buckets"] == 1
+    m2 = clusters.store.current_manifest()
+    rewritten = [
+        b for b in m2["buckets"] if m2["buckets"][b] != m1["buckets"].get(b, [])
+    ]
+    assert len(rewritten) <= 1  # every other label bucket carried forward
+    assert _label_set(clusters.labels(spark)) == before  # components untouched
+    _assert_parity(spark, src, clusters)
+
+
+def test_cluster_index_registers_as_retention_consumer(spark, tmp_path):
+    """The label store's position pins source vacuum (same auto-pin contract
+    as the band index): a lagging cluster index survives aggressive vacuum
+    and catches up across the vacuumed range."""
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalDedupIndex(str(tmp_path / "idx"), n_buckets=4)
+    clusters = IncrementalClusterIndex(str(tmp_path / "cc"), index, n_buckets=4)
+
+    _apply(spark, engine, 0, [_env(0, "c", A, 0), _env(1, "c", A, 1)])
+    clusters.update(spark, src)
+    assert any(g.startswith("cluster-index:") for g in src.consumers())
+
+    _apply(spark, engine, 1, [_env(10, "c", C, 100)])
+    _apply(spark, engine, 2, [_env(11, "c", C, 200)])
+    src.vacuum(keep_versions=1)
+
+    out = clusters.update(spark, src)  # no FileNotFoundError: v1 was pinned
+    assert out["status"] == "committed" and out["from"] == 1 and out["to"] == 3
+    _assert_parity(spark, src, clusters)
+    assert _clusters_by_path(spark, clusters) == {
+        frozenset({"0", "1"}), frozenset({"10", "11"}),
+    }
