@@ -145,6 +145,20 @@ def main(argv: list[str] | None = None) -> None:
                     help="also write this advance's NEW candidate pairs "
                          "(changed docs vs the index) to this parquet dir")
 
+    cc = sub.add_parser(
+        "clusters",
+        help="advance the incremental duplicate-cluster labels from a source "
+             "table's changefeed (re-labels only the AFFECTED components)",
+    )
+    cc.add_argument("source", help="source TableStore root (the CDC target)")
+    cc.add_argument("index", help="band-index TableStore root (advanced too)")
+    cc.add_argument("labels", help="label TableStore root (created on first run)")
+    cc.add_argument("--buckets", type=int, default=32)
+    cc.add_argument("--text-col", default="content")
+    cc.add_argument("--view-out", default=None,
+                    help="also write the per-document cluster view "
+                         "(repo, path, cluster, keep) to this parquet dir")
+
     al = sub.add_parser(
         "alerts",
         help="evaluate threshold alert rules over the replication metrics "
@@ -356,6 +370,22 @@ def main(argv: list[str] | None = None) -> None:
             pairs.write.mode("overwrite").parquet(args.pairs_out)
             out["pairs_out"] = args.pairs_out
             out["n_new_pairs"] = spark.read.parquet(args.pairs_out).count()
+        print(json.dumps(out))
+    elif args.cmd == "clusters":
+        from .operators.clusters_incremental import IncrementalClusterIndex
+        from .operators.dedup_incremental import IncrementalDedupIndex
+
+        src_store = TableStore(args.source)
+        clusters = IncrementalClusterIndex(
+            args.labels,
+            IncrementalDedupIndex(args.index, n_buckets=args.buckets),
+            n_buckets=args.buckets,
+        )
+        out = clusters.update(spark, src_store, text_col=args.text_col)
+        if args.view_out:
+            clusters.cluster_view(spark, src_store).write.mode(
+                "overwrite").parquet(args.view_out)
+            out["view_out"] = args.view_out
         print(json.dumps(out))
     elif args.cmd == "monitor":
         from .streaming.monitor import throughput_stream

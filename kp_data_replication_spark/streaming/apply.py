@@ -127,6 +127,17 @@ class EngineConfig:
     # choice); the index is advanced, queryable at every epoch boundary.
     dedup_index_dir: str | None = None
     dedup_index_buckets: int = 8
+    # streaming-maintained duplicate-CLUSTER labels
+    # (operators/clusters_incremental.py): when set (requires
+    # dedup_index_dir), every epoch also re-labels the AFFECTED components
+    # on top of the band index — the curation pipeline's consumable
+    # (cluster_view) stays fresh at every epoch boundary. Same fencing/
+    # resume contract as the index: the label store fences on the source
+    # version, so a crash between the index advance and the cluster
+    # advance is healed by catch-up (the index advance inside
+    # clusters.update() is then a fenced noop).
+    cluster_index_dir: str | None = None
+    cluster_index_buckets: int = 8
     # streaming-maintained incremental AGGREGATE view (exact IVM,
     # operators/agg_view.py): when agg_view_dir is set, every micro-batch
     # epoch also advances an IncrementalAggView over the target table —
@@ -1074,6 +1085,20 @@ class CdcApplyEngine:
                 self.config.dedup_index_dir,
                 n_buckets=self.config.dedup_index_buckets,
             )
+        clusters = None
+        if self.config.cluster_index_dir:
+            if index is None:
+                raise ValueError(
+                    "cluster_index_dir requires dedup_index_dir: the label "
+                    "store re-labels components over the persisted band index"
+                )
+            from ..operators.clusters_incremental import IncrementalClusterIndex
+
+            clusters = IncrementalClusterIndex(
+                self.config.cluster_index_dir,
+                index,
+                n_buckets=self.config.cluster_index_buckets,
+            )
         agg_view = None
         if self.config.agg_view_dir:
             from ..operators.agg_view import IncrementalAggView
@@ -1093,6 +1118,10 @@ class CdcApplyEngine:
                 # table's new head (writer-fenced, resume-safe — a replayed
                 # epoch no-ops at the table and the index still catches up)
                 index.update(df.sparkSession, self.store)
+            if clusters is not None:
+                # then the labels, fenced on their own source watermark —
+                # the index advance inside is a noop (just ran above)
+                clusters.update(df.sparkSession, self.store)
             if agg_view is not None:
                 # same contract: O(changed rows) catch-up to the new head
                 agg_view.update(df.sparkSession, self.store)

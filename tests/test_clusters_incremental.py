@@ -257,3 +257,76 @@ def test_cluster_index_registers_as_retention_consumer(spark, tmp_path):
     assert _clusters_by_path(spark, clusters) == {
         frozenset({"0", "1"}), frozenset({"10", "11"}),
     }
+
+def test_streaming_integrated_clusters_kill_and_resume(spark, tmp_path):
+    """Round-4: the cluster labels advance INSIDE the streaming epoch loop
+    (EngineConfig.cluster_index_dir on top of dedup_index_dir) and
+    kill/resume covers all three artifacts — including the worst crash
+    window: table AND index committed, process dies BEFORE the cluster
+    advance. On resume the re-delivered epoch no-ops at the table and the
+    index, and the labels catch up from their own watermark. Parity with
+    full recompute + the union-find oracle at every epoch boundary."""
+    import glob
+    import os
+    import shutil
+
+    cl = tmp_path / "cl"
+    cl.mkdir()
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    cp = str(tmp_path / "cp")
+    idx_dir, cc_dir = str(tmp_path / "idx"), str(tmp_path / "cc")
+    engine = CdcApplyEngine(
+        src, EngineConfig(metrics=False,
+                          dedup_index_dir=idx_dir, dedup_index_buckets=4,
+                          cluster_index_dir=cc_dir, cluster_index_buckets=4)
+    )
+    index = IncrementalDedupIndex(idx_dir, n_buckets=4)
+    clusters = IncrementalClusterIndex(cc_dir, index, n_buckets=4)
+
+    def put(name, rows):
+        tmp = str(tmp_path / ("_w_" + name))
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    str(cl / (name + ".parquet")))
+
+    # ---- epoch 0 via the stream: the two disjoint components ----
+    put("f0", [_env(0, "c", A, 0), _env(1, "c", A, 1),
+               _env(10, "c", C, 2), _env(11, "c", C, 3)])
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    assert clusters.update(spark, src)["status"] == "noop"  # stream current
+    _assert_parity(spark, src, clusters)
+    assert _clusters_by_path(spark, clusters) == {
+        frozenset({"0", "1"}), frozenset({"10", "11"}),
+    }
+
+    # ---- crash window: epoch 1's table half AND index half commit, the
+    # process "dies" before the cluster advance ----
+    put("f1", [_env(5, "c", B, 100)])
+    stream_writer = f"stream:{os.path.abspath(cp)}"
+    df1 = spark.read.schema(CHANGELOG_SCHEMA).parquet(str(cl / "f1.parquet"))
+    engine.apply_batch(df1, 1, writer_id=stream_writer)
+    index.update(spark, src)
+    assert clusters.store.writer_epoch(
+        f"cluster-index:{os.path.abspath(src.root)}") < src.current_version()
+
+    # ---- resume: table + index no-op (fenced), labels catch up ----
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    _assert_parity(spark, src, clusters)
+    assert _clusters_by_path(spark, clusters) == {
+        frozenset({"0", "1", "5", "10", "11"}),  # bridge merged them
+    }
+
+    # ---- epoch 2 via the stream: bridge delete SPLITS mid-stream ----
+    put("f2", [_env(5, "d", B, 200)])
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    _assert_parity(spark, src, clusters)
+    assert _clusters_by_path(spark, clusters) == {
+        frozenset({"0", "1"}), frozenset({"10", "11"}),
+    }
