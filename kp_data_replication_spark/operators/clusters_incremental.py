@@ -110,9 +110,18 @@ class IncrementalClusterIndex:
     :func:`~.clustering.connected_components`)."""
 
     def __init__(self, root: str, index: IncrementalDedupIndex,
-                 n_buckets: int = 8):
+                 n_buckets: int = 8, local_cc_max_edges: int = 200_000):
         self.store = TableStore(root, n_buckets=n_buckets)
         self.index = index
+        # scale-adaptive re-label (the asof.py auto sparse/dense pattern):
+        # an affected subgraph at or under this many edges is collected and
+        # resolved by driver-side union-find — one job instead of the ~10
+        # serial localCheckpoint jobs iterative CC costs, which dominate at
+        # component scale (a normal epoch touches a few cliques). Larger
+        # subgraphs (a pathological mega-component) take the distributed
+        # pointer-jumping path unchanged. The collect is BOUNDED by this
+        # threshold — never corpus-sized.
+        self.local_cc_max_edges = local_cc_max_edges
 
     # ------------------------------------------------------------------ #
     def _labels(self, spark: SparkSession) -> DataFrame:
@@ -140,53 +149,62 @@ class IncrementalClusterIndex:
         # fenced noop when a shared index already advanced this range
         self.index.update(spark, src, text_col=text_col)
 
-        # 1. changed keys (upserts AND deletes; relaxed fast path is safe:
-        #    a spurious net-nil change only widens the re-clustered set,
-        #    which converges to the same labels)
-        chg = (
-            table_changes(
-                spark, src, last, head, use_change_files=True, allow_relaxed=True
-            )
-            .select("repo", "path")
-            .distinct()
-        )
-
-        # 2. current band partners of the changed docs (deleted docs have no
-        #    index row and contribute nothing here — their old co-members
-        #    arrive via the old-label closure below)
         idx_state = self.index.store.read_state(spark)
-        chg_bands = idx_state.join(chg, ["repo", "path"])
-        partners = (
-            _exploded(chg_bands, "1")
-            .join(_exploded(idx_state, "2"), ["band", "bucket"])
-            .select(F.col("repo2").alias("repo"), F.col("path2").alias("path"))
-        )
-        seeds = chg.unionByName(partners).distinct().cache()
-        cached = [seeds]
-
+        cached = []
         try:
-            # 3. affected = whole old components of every seed
-            labels = self._labels(spark)
-            aff_labels = (
-                labels.join(seeds, ["repo", "path"]).select("cluster").distinct()
-            )
-            affected = (
-                labels.join(aff_labels, "cluster")
-                .select("repo", "path")
-                .unionByName(seeds)
-                .distinct()
-                .cache()
-            )
-            cached.append(affected)
+            if self.store.current_manifest() is None:
+                # BOOTSTRAP: no labels exist, so every indexed doc is
+                # affected by definition — skip the changefeed read and the
+                # partner probe entirely (probing the whole corpus against
+                # itself would just rebuild the full pair set a second time)
+                affected = idx_state.select("repo", "path").cache()
+                cached.append(affected)
+            else:
+                # 1. changed keys (upserts AND deletes; relaxed fast path is
+                #    safe: a spurious net-nil change only widens the
+                #    re-clustered set, which converges to the same labels)
+                chg = (
+                    table_changes(
+                        spark, src, last, head,
+                        use_change_files=True, allow_relaxed=True,
+                    )
+                    .select("repo", "path")
+                    .distinct()
+                )
 
-            # 4. re-cluster the induced subgraph only
+                # 2. current band partners of the changed docs (deleted docs
+                #    have no index row and contribute nothing here — their
+                #    old co-members arrive via the old-label closure below)
+                chg_bands = idx_state.join(chg, ["repo", "path"])
+                partners = (
+                    _exploded(chg_bands, "1")
+                    .join(_exploded(idx_state, "2"), ["band", "bucket"])
+                    .select(
+                        F.col("repo2").alias("repo"), F.col("path2").alias("path")
+                    )
+                )
+                seeds = chg.unionByName(partners).distinct().cache()
+                cached.append(seeds)
+
+                # 3. affected = whole old components of every seed
+                labels = self._labels(spark)
+                aff_labels = (
+                    labels.join(seeds, ["repo", "path"]).select("cluster").distinct()
+                )
+                affected = (
+                    labels.join(aff_labels, "cluster")
+                    .select("repo", "path")
+                    .unionByName(seeds)
+                    .distinct()
+                    .cache()
+                )
+                cached.append(affected)
+
+            # 4. re-cluster the induced subgraph only — driver-side
+            #    union-find when it is component-sized, distributed
+            #    pointer jumping when it is not
             edges = _band_edges(idx_state.join(affected, ["repo", "path"]))
-            relabeled = connected_components(edges, src="doc1", dst="doc2")
-            new_rows = relabeled.select(
-                F.substring_index("node", _KEY_SEP, 1).alias("repo"),
-                F.substring_index("node", _KEY_SEP, -1).alias("path"),
-                F.col("cluster_id").alias("cluster"),
-            )
+            new_rows = self._components(spark, edges)
 
             # 5. MERGE: upsert re-labeled docs, delete rows for affected
             #    docs that ended up edge-less (deleted docs, new singletons)
@@ -232,6 +250,48 @@ class IncrementalClusterIndex:
         finally:
             for df in cached:
                 df.unpersist()
+
+    # ------------------------------------------------------------------ #
+    def _components(self, spark: SparkSession, edges: DataFrame) -> DataFrame:
+        """(repo, path, cluster) labels for the docs in ``edges``.
+
+        Adaptive: an affected subgraph of <= ``local_cc_max_edges`` edges
+        (the normal epoch — a few cliques) is collected and resolved by
+        driver-side union-find in one job; anything larger falls back to
+        distributed pointer jumping. Both produce identical min-node
+        labels, parity-asserted in tests at both settings."""
+        cached = edges.cache()
+        try:
+            head = cached.limit(self.local_cc_max_edges + 1).collect()
+            if len(head) <= self.local_cc_max_edges:
+                parent: dict[str, str] = {}
+
+                def find(x: str) -> str:
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for r in head:
+                    a, b = r["doc1"], r["doc2"]
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+                rows = [(n, find(n)) for n in parent]
+                comp = spark.createDataFrame(
+                    rows, "node string, cluster_id string"
+                )
+            else:
+                comp = connected_components(cached, src="doc1", dst="doc2")
+            return comp.select(
+                F.substring_index("node", _KEY_SEP, 1).alias("repo"),
+                F.substring_index("node", _KEY_SEP, -1).alias("path"),
+                F.col("cluster_id").alias("cluster"),
+            )
+        finally:
+            cached.unpersist()
 
     # ------------------------------------------------------------------ #
     def labels(self, spark: SparkSession) -> DataFrame:

@@ -107,11 +107,19 @@ def _clusters_by_path(spark, clusters):
     return {frozenset(v) for v in comp.values()}
 
 
-def test_bridge_merge_split_and_move(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("max_edges", [200_000, 0], ids=["local-uf", "distributed"])
+def test_bridge_merge_split_and_move(spark, tmp_path, max_edges):
+    """max_edges=200k takes the driver-side union-find path (the normal
+    component-sized epoch); max_edges=0 forces distributed pointer jumping
+    on every epoch — both must produce identical labels."""
     src = TableStore(str(tmp_path / "src"), n_buckets=4)
     engine = CdcApplyEngine(src, EngineConfig(metrics=False))
     index = IncrementalDedupIndex(str(tmp_path / "idx"), n_buckets=4)
-    clusters = IncrementalClusterIndex(str(tmp_path / "cc"), index, n_buckets=4)
+    clusters = IncrementalClusterIndex(str(tmp_path / "cc"), index, n_buckets=4,
+                                       local_cc_max_edges=max_edges)
 
     # ---- epoch 0: two disjoint dup components + noise ----
     _apply(spark, engine, 0, [
