@@ -92,6 +92,27 @@ def main(argv: list[str] | None = None) -> None:
     rw = sub.add_parser("rewrite", help="compact multi-file buckets (rewrite_data_files)")
     rw.add_argument("target")
     rw.add_argument("--min-files", type=int, default=2)
+    rw.add_argument("--sort-keys", action="store_true",
+                    help="sort rewritten buckets by key (tight row-group "
+                         "min/max for point lookups)")
+
+    lk = sub.add_parser(
+        "lookup",
+        help="point-read keys (bucket-pruned: reads only the keys' hash buckets)",
+    )
+    lk.add_argument("target")
+    lk.add_argument("keys", nargs="+", help="repo:path pairs, e.g. 'org/repo:src/a.py'")
+    lk.add_argument("--version", type=int, default=None)
+
+    cl = sub.add_parser(
+        "clone",
+        help="zero-copy shallow clone (branch) of a table; pins the source version",
+    )
+    cl.add_argument("target")
+    cl.add_argument("clone_dir")
+    cl.add_argument("--version", type=int, default=None)
+    cl.add_argument("--no-pin", action="store_true",
+                    help="do not register a retention pin on the source")
 
     mo = sub.add_parser(
         "monitor",
@@ -209,6 +230,16 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "vacuum":  # pure metadata/file op — no Spark session needed
         print(json.dumps(TableStore(args.target).vacuum(args.keep_versions)))
         return
+    if args.cmd == "clone":  # pure metadata op — no Spark session needed
+        clone = TableStore(args.target).clone(
+            args.clone_dir, version=args.version, pin=not args.no_pin
+        )
+        print(json.dumps({
+            "clone": clone.root,
+            "version": clone.current_version(),
+            "cloned_from": clone.current_manifest().get("cloned_from"),
+        }))
+        return
     if args.cmd == "tag":  # pure metadata op — no Spark session needed
         store = TableStore(args.target)
         if args.delete:
@@ -281,7 +312,20 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(TableStore(args.target).rebucket(spark, args.n_buckets)))
     elif args.cmd == "rewrite":
         print(json.dumps(TableStore(args.target).rewrite_buckets(
-            spark, min_files=args.min_files)))
+            spark, min_files=args.min_files, sort_keys=args.sort_keys)))
+    elif args.cmd == "lookup":
+        store = TableStore(args.target)
+        keys = []
+        for k in args.keys:
+            repo, _, path = k.partition(":")
+            if not path:
+                raise SystemExit(f"key must be repo:path, got {k!r}")
+            keys.append((repo, path))
+        rows = store.lookup(spark, keys, version=args.version).collect()
+        print(json.dumps({
+            "n": len(rows),
+            "rows": [{c: str(r[c]) for c in r.asDict()} for r in rows],
+        }))
     elif args.cmd == "curate":
         from .curate import curate_to_dir, parse_rates
 

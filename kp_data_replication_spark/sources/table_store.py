@@ -220,6 +220,55 @@ class TableStore:
             LINEAGE_SCHEMA,
         )
 
+    def lookup(
+        self,
+        spark: SparkSession,
+        keys: list[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point lookup of specific keys — O(keys), never O(table).
+
+        The reference's replicated topics serve point reads by key hash
+        (consumers fetch a key's partition, not the whole topic —
+        SendProductToKafka.py:48 keys every record so "all events for one
+        product land in one partition"). The table analogue: rows are
+        hash-bucketed on (repo, path), so a lookup needs only the buckets
+        its keys hash to.
+
+        Three pruning layers, outermost first:
+          1. **Manifest bucket pruning** — bucket ids are computed with the
+             SAME JVM hash the write path uses (one tiny job over a local
+             relation of the keys; no scan, no shuffle), then only those
+             buckets' files are even listed: at 10^10 rows a 3-key lookup
+             reads ≤ 3/B of the table's files, the rest are never opened.
+          2. **Parquet row-group pruning** — a per-column ``IN`` superset
+             prefilter is pushed to the scan (tuple-IN isn't pushable, the
+             per-column projection of it is), so row groups whose min/max
+             exclude the requested repos/paths are skipped. Skipped when
+             ``len(keys)`` is large — a thousands-literal predicate costs
+             more to evaluate than it prunes.
+          3. **Exact match** — broadcast left-semi join against the key
+             relation (exact tuple semantics; the prefilter alone would
+             also pass (repo_a, path_b) cross-matches).
+
+        ``version``: time-travel lookup (read AS OF that version).
+        """
+        m = self.current_manifest() if version is None else self.manifest(version)
+        if m is None or not keys:
+            return self.read_state(spark, buckets=[], version=version)
+        schema = T.StructType.fromJson(m["schema"])
+        key_schema = T.StructType([schema[c] for c in KEY_COLS])
+        kdf = spark.createDataFrame(keys, key_schema)
+        buckets = sorted({
+            r[0]
+            for r in kdf.select(bucket_expr(m["n_buckets"])).distinct().collect()
+        })
+        df = self.read_state(spark, buckets=buckets, version=version)
+        if len(keys) <= 1000:
+            for i, c in enumerate(KEY_COLS):
+                df = df.filter(F.col(c).isin([k[i] for k in keys]))
+        return df.join(F.broadcast(kdf), KEY_COLS, "left_semi")
+
     # ---------- commit ----------
     def commit(
         self,
@@ -535,6 +584,92 @@ class TableStore:
         except KeyError:
             raise ValueError(f"unknown tag {name!r} in {self.root}") from None
 
+    # ---------- clone (zero-copy branch) ----------
+    def clone(
+        self,
+        target_root: str,
+        version: int | None = None,
+        pin: bool = True,
+    ) -> "TableStore":
+        """Zero-copy shallow clone (Delta SHALLOW CLONE / Iceberg
+        snapshot-ref branch analogue): create an independent table at
+        ``target_root`` whose v1 manifest REFERENCES this table's data
+        files instead of copying them.
+
+        The ops story the reference motivates: MM2 exists to stand up
+        duplicate clusters for migration/DR/test ("replicate data between
+        two Kafka clusters", docs/index.md:9), and its perf methodology
+        replays production-shaped topics into disposable targets
+        (docs/perf-tests.md). At 10^10 rows a physical copy of the table
+        for a staging pipeline is days of IO; a shallow clone is O(1)
+        metadata.
+
+        Semantics:
+          * the clone starts at the chosen source ``version`` (default
+            current) and then diverges freely — its commits write NEW files
+            under its own root (copy-on-write at bucket granularity), never
+            touching the source; the writer/epoch fencing map is carried
+            over so a streaming checkpoint can be re-pointed at the clone
+            without replaying fenced epochs.
+          * file references are stored absolute; every read path joins
+            refs against the table root, and ``os.path.join`` passes
+            absolute paths through, so readers need no special casing.
+            The clone's own :meth:`vacuum` walks only the clone's root —
+            it can never delete borrowed source files.
+          * ``pin=True`` registers the clone as a consumer on the SOURCE
+            (group ``clone:<target_root>``), so the source's vacuum
+            auto-pins the cloned version's files — the same mechanism that
+            protects lagging changefeed consumers. The pin is permanent
+            until the operator drops it (``remove_consumer``), matching
+            the documented abandoned-consumer trade-off. To make a clone
+            self-contained and release the pin: run
+            ``clone.rewrite_buckets(spark, min_files=0)`` (rewrites every
+            bucket into local files), then
+            ``source.remove_consumer("clone:<target_root>")``.
+
+        Returns the clone's :class:`TableStore`. Raises if ``target_root``
+        is already a table or the source has no committed version.
+        """
+        m = self.current_manifest() if version is None else self.manifest(version)
+        if m is None:
+            raise ValueError("cannot clone an empty table (no committed version)")
+        target = TableStore(target_root, n_buckets=m["n_buckets"])
+        if target.exists():
+            raise ValueError(f"clone target already exists: {target_root}")
+        src_version = version if version is not None else self.current_version()
+        src_root = os.path.abspath(self.root)
+
+        def _abs(ref: str) -> str:
+            return ref if os.path.isabs(ref) else os.path.join(src_root, ref)
+
+        manifest = {
+            "version": 1,
+            "epoch": m["epoch"],
+            "writers": dict(m.get("writers", {})),
+            "n_buckets": m["n_buckets"],
+            "schema": m["schema"],
+            "buckets": {
+                b: [_abs(f) for f in files] for b, files in m["buckets"].items()
+            },
+            "bucket_bytes": dict(m.get("bucket_bytes", {})),
+            "lineage": _abs(m["lineage"]) if m.get("lineage") else None,
+            "cloned_from": {"root": src_root, "version": src_version},
+        }
+        # NOT carried: the source version's change-file pointer — the
+        # clone's v1 is a creation snapshot, not that version's delta
+        # (same reasoning as rewrite_buckets).
+        os.makedirs(os.path.join(target_root, "manifests"), exist_ok=True)
+        mpath = os.path.join(target_root, "manifests", "v1.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        with open(target.pointer_path + ".tmp", "w") as f:
+            json.dump({"version": 1}, f)
+        os.replace(target.pointer_path + ".tmp", target.pointer_path)
+        if pin:
+            self.record_consumer(f"clone:{os.path.abspath(target_root)}", src_version)
+        return target
+
     # ---------- maintenance ----------
     def versions(self) -> list[int]:
         """Committed (pointer-reachable, unexpired) versions, ascending."""
@@ -553,8 +688,18 @@ class TableStore:
         spark: SparkSession,
         min_files: int = 2,
         buckets: list[int] | None = None,
+        sort_keys: bool = False,
     ) -> dict:
         """Small-file compaction (Iceberg ``rewrite_data_files`` analogue).
+
+        ``sort_keys``: additionally sort each rewritten bucket by the key
+        columns (Iceberg table SORT ORDER applied at compaction — never in
+        the ingest hot path, where a per-epoch sort would tax every commit).
+        Sorted buckets give parquet row groups tight, mostly-disjoint
+        min/max ranges on (repo, path), so :meth:`lookup`'s pushed IN
+        prefilter skips whole row groups instead of scanning the bucket;
+        at 10^10 rows a bucket is many row groups and this is the
+        difference between reading one row group and reading them all.
 
         Commits are copy-on-write at bucket granularity, so epochs do NOT
         accrete files per bucket — multi-file buckets arise from size-split
@@ -602,8 +747,13 @@ class TableStore:
         df = self.read_state(
             spark, buckets=sel, include_deleted=True
         ).withColumn(BUCKET_COL, bucket_expr(m["n_buckets"]))
+        df = df.repartition(len(sel), F.col(BUCKET_COL))
+        if sort_keys:
+            # in-task sort only: the bucket shuffle above already placed
+            # each bucket in one task, so this adds no exchange
+            df = df.sortWithinPartitions(*KEY_COLS)
         (
-            df.repartition(len(sel), F.col(BUCKET_COL))
+            df
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(epoch_dir)

@@ -56,3 +56,29 @@ def test_maintenance_and_changes_subcommands(tmp_path):
     s1 = json.loads(_run("state", tgt, "--version", "1"))
     s2 = json.loads(_run("state", tgt))
     assert s1["rows"] == s2["rows"] and s2["version"] == 2
+
+
+def test_lookup_and_clone_subcommands(tmp_path):
+    cl = str(tmp_path / "cl")
+    tgt = str(tmp_path / "tgt")
+    _run("gen", cl, "--keys", "40", "--versions", "1",
+         "--partitions", "2", "--files", "2")
+    _run("replay", cl, tgt)
+
+    c = json.loads(_run("clone", tgt, str(tmp_path / "branch")))
+    assert c["version"] == 1 and c["cloned_from"]["version"] == 1
+    sb = json.loads(_run("state", str(tmp_path / "branch")))
+    st = json.loads(_run("state", tgt))
+    assert sb["rows"] == st["rows"]
+
+    # grab one real key driver-side (pyarrow, no Spark), then point-read it
+    import pyarrow.parquet as pq
+
+    from kp_data_replication_spark.sources.table_store import TableStore
+
+    row = pq.read_table(
+        TableStore(tgt)._bucket_files()[0], columns=["repo", "path"]
+    ).to_pylist()[0]
+    key = f"{row['repo']}:{row['path']}"
+    lk = json.loads(_run("lookup", tgt, key))
+    assert lk["n"] == 1 and lk["rows"][0]["path"] == row["path"]
