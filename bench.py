@@ -56,8 +56,12 @@ LLM_QUERIES = [
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_ivf_trained",
-    "ann_cosine_topk_ivf_incremental",
-    "agg_view_incremental",
+    # NOT here: ann_cosine_topk_ivf_incremental / agg_view_incremental /
+    # dedup_incremental_lsh_pairs / dedup_clusters_incremental — those
+    # driver queries exist for the CORRECTNESS gate and spend ~90% of their
+    # wall time BUILDING a multi-epoch store fixture; their real costs
+    # (epoch update vs full recompute) are measured by the dedicated
+    # bench_incremental_* sections below, same as the other index queries.
     "dedup_clusters",
     "corpus_sample_stratified",
     "pack_chunks",

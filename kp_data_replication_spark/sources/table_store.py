@@ -60,15 +60,72 @@ from ..schema import KEY_COLS, LINEAGE_SCHEMA, LWW_DELETED_COL, LWW_TS_COL
 BUCKET_COL = "_bucket"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's state read and its
+    commit attempt (optimistic concurrency conflict). The caller must
+    recompute its merge against the new current version and retry —
+    committing anyway would silently drop the other writer's rows."""
+
+
 def bucket_expr(n_buckets: int, key_cols: list[str] | None = None) -> F.Column:
     key_cols = key_cols or KEY_COLS
     return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+def _locked(fn):
+    """Serialize a version-advancing method under the table's write lock."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self._write_lock():
+            return fn(self, *a, **k)
+
+    return wrapper
 
 
 class TableStore:
     def __init__(self, root: str, n_buckets: int = 16):
         self.root = root
         self._n_buckets = n_buckets
+
+    def _write_lock(self):
+        """Exclusive advisory lock serializing all version-advancing ops
+        (commit / rewrite / rebucket / purge / vacuum) on this table.
+
+        Closes the silent-clobber race between concurrent writers: both
+        would compute ``version = current + 1``, overwrite each other's
+        ``data/v{n}`` directory (the second writer's rmtree deletes files
+        the first's manifest references) and last-pointer-swap would win.
+        With the lock, writers serialize; a writer that based its merge on
+        a version that moved while it waited fails the ``expected_version``
+        check in :meth:`commit` and retries against fresh state instead of
+        clobbering. Also turns vacuum's documented "don't run concurrently
+        with a writer" caveat from convention into mechanism.
+
+        flock is per-host (and released automatically if the process
+        dies mid-commit — crash idempotency is unchanged). A multi-driver
+        deployment writing ONE table from several hosts needs a lock
+        service / catalog CAS instead (Delta LogStore / Iceberg catalog
+        commit); the portable part of the mechanism is the optimistic
+        ``expected_version`` conflict check, which any CAS backend keeps.
+        Readers never take the lock — snapshot reads stay lock-free.
+        """
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _lock():
+            os.makedirs(self.root, exist_ok=True)
+            fd = os.open(os.path.join(self.root, "_lock"), os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _lock()
 
     # ---------- metadata ----------
     @property
@@ -270,6 +327,7 @@ class TableStore:
         return df.join(F.broadcast(kdf), KEY_COLS, "left_semi")
 
     # ---------- commit ----------
+    @_locked
     def commit(
         self,
         merged_dirty: DataFrame | None,
@@ -281,6 +339,7 @@ class TableStore:
         writer_id: str = "default",
         write_salt: int = 1,
         changes: DataFrame | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Atomically publish a new version: dirty-bucket data + lineage.
 
@@ -320,6 +379,18 @@ class TableStore:
         """
         if epoch <= self.writer_epoch(writer_id):
             return self.current_version()  # fenced: this writer already committed it
+        if (
+            expected_version is not None
+            and self.current_version() != expected_version
+        ):
+            # optimistic concurrency: the merge was computed against a
+            # version that is no longer current — committing it would
+            # silently drop the intervening writer's rows
+            raise ConcurrentWriteError(
+                f"table advanced to v{self.current_version()} while this "
+                f"writer merged against v{expected_version}; recompute the "
+                "merge against current state and retry"
+            )
 
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         prev = self.current_manifest()
@@ -683,6 +754,7 @@ class TableStore:
             and (v := int(f[1:-5])) <= current
         )
 
+    @_locked
     def rewrite_buckets(
         self,
         spark: SparkSession,
@@ -811,6 +883,7 @@ class TableStore:
                 )
         return total
 
+    @_locked
     def rebucket(
         self,
         spark: SparkSession,
@@ -891,6 +964,7 @@ class TableStore:
         os.replace(self.pointer_path + ".tmp", self.pointer_path)
         return {"version": version, "n_buckets": new_n_buckets}
 
+    @_locked
     def purge_tombstones(
         self,
         spark: SparkSession,
@@ -979,6 +1053,7 @@ class TableStore:
         os.replace(self.pointer_path + ".tmp", self.pointer_path)
         return {"purged": n_purged, "version": version, "buckets": sel}
 
+    @_locked
     def vacuum(self, keep_versions: int = 2) -> dict:
         """Garbage-collect unreachable files (Iceberg expire_snapshots +
         remove_orphan_files analogue).

@@ -58,7 +58,12 @@ from ..operators.merge import (
     LWW_TS_COL,
     merge_upsert,
 )
-from ..sources.table_store import BUCKET_COL, TableStore, bucket_expr
+from ..sources.table_store import (
+    BUCKET_COL,
+    ConcurrentWriteError,
+    TableStore,
+    bucket_expr,
+)
 
 
 @dataclass
@@ -247,7 +252,27 @@ class CdcApplyEngine:
         checkpoint targeting the same table can never silently no-op each
         other's never-applied batches — cross-writer re-deliveries fall
         through to the lineage-watermark event dedup, which is the actual
-        exactly-once guard."""
+        exactly-once guard.
+
+        Concurrent-writer safety: the MERGE is computed against the table
+        version current at batch start and committed with
+        ``expected_version`` — if ANOTHER writer (a second flow, a cascade,
+        a maintenance job) advanced the table in between, the commit raises
+        :class:`ConcurrentWriteError` instead of silently dropping that
+        writer's rows, and this method recomputes the whole merge against
+        fresh state (bounded retries; every step before the commit is
+        side-effect-free on the table, so a retry is a clean re-execution)."""
+        last: ConcurrentWriteError | None = None
+        for _ in range(3):
+            try:
+                return self._apply_batch_attempt(batch, epoch, writer_id)
+            except ConcurrentWriteError as e:
+                last = e  # recompute against the advanced version
+        raise last
+
+    def _apply_batch_attempt(
+        self, batch: DataFrame, epoch: int, writer_id: str = "default"
+    ) -> dict:
         import time as _time
 
         t0 = _time.time()
@@ -256,6 +281,9 @@ class CdcApplyEngine:
         if epoch <= self.store.writer_epoch(writer_id):
             # fenced: this writer already committed this epoch (re-delivery)
             return {"epoch": epoch, "status": "fenced"}
+        # everything below reads table state AS OF this version; commit
+        # verifies it is still current (optimistic concurrency)
+        base_version = self.store.current_version()
         # hot-reload point: reloadable overrides apply to THIS epoch
         config = self._effective_config()
         if config.shuffle_partitions:
@@ -627,6 +655,7 @@ class CdcApplyEngine:
                 merged, dirty, new_lineage, epoch, row_schema,
                 clustered=clustered, writer_id=writer_id,
                 write_salt=write_salt, changes=changes_df,
+                expected_version=base_version,
             )
             phases["merge_commit"] = round(_time.time() - t0, 3)
             t0 = _time.time()
