@@ -946,6 +946,46 @@ SQL_CDC_STATE_TIME_TRAVEL = """
 """
 
 
+def q_cdc_state_mor(spark, sf_dir):
+    """Merge-on-read apply path (EngineConfig.table_mode='mor'): replay the
+    shared 3-epoch insert/update/delete fixture with every post-base epoch
+    committed as a DELTA LAYER (no base read, no merge join — the Iceberg
+    v2 equality-delete / deletion-vector analogue; fold disabled so the
+    read-side last-layer-wins resolution is what this query proves), then
+    read the resolved final state. The DuckDB oracle computes the final
+    corpus directly from the fixture definition — hash equality proves the
+    layered write path + window resolution converge to the same state the
+    copy-on-write MERGE produces.
+    """
+    import tempfile
+
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    src = TableStore(tempfile.mkdtemp(prefix="mor_state_"), n_buckets=4)
+    engine = CdcApplyEngine(
+        src,
+        EngineConfig(metrics=False, table_mode="mor", mor_fold_max_layers=0),
+    )
+    for epoch, batch in enumerate(_incremental_fixture_batches(spark, sf_dir)):
+        engine.apply_batch(batch, epoch)
+    if not (src.current_manifest().get("mor") or {}):
+        raise RuntimeError("mor fixture produced no delta layers")
+    return src.read_state(spark).select(
+        F.col("path").cast("long").alias("doc_id"),
+        "lang",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+SQL_CDC_STATE_MOR = """
+    SELECT doc_id, lang,
+           sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+             AS content_sha
+    FROM documents WHERE doc_id % 11 != 0
+"""
+
+
 def q_cdc_offset_failover(spark, sf_dir):
     """J1/S8 at the VERSION level — consumer-group failover translation
     (MM2 RemoteClusterUtils.translateOffsets, docs/consideration.md:37-48).
@@ -1723,6 +1763,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
         SQL_DEDUP_INCREMENTAL_LSH_PAIRS,
     ),
     "cdc_state_time_travel": (q_cdc_state_time_travel, SQL_CDC_STATE_TIME_TRAVEL),
+    "cdc_state_mor": (q_cdc_state_mor, SQL_CDC_STATE_MOR),
     "cdc_offset_failover": (q_cdc_offset_failover, SQL_CDC_OFFSET_FAILOVER),
     "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

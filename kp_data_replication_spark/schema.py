@@ -37,6 +37,17 @@ LWW_TS_COL = "_lww_ts"
 LWW_SRC_COL = "_lww_src"
 LWW_DELETED_COL = "_lww_deleted"
 
+# Merge-on-read delta-layer columns (Iceberg v2 equality-delete / Delta
+# deletion-vector analogue, re-expressed for the bucketed table store): a
+# MoR commit appends the batch's rows as a DELTA layer on the bucket —
+# MOR_V_COL stamps the layer with its commit version (base rows read as
+# null -> 0), MOR_DELETED_COL marks a delta tombstone. Readers resolve
+# last-layer-wins per key; compaction folds layers back into plain base
+# files. These columns live only in data FILES, never in the manifest's
+# logical schema.
+MOR_V_COL = "_mor_v"
+MOR_DELETED_COL = "_mor_deleted"
+
 ROW_FIELDS = [
     T.StructField("repo", T.StringType(), False),
     T.StructField("path", T.StringType(), False),

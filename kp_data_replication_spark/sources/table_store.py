@@ -55,7 +55,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schema import KEY_COLS, LINEAGE_SCHEMA, LWW_DELETED_COL, LWW_TS_COL
+from ..schema import (
+    KEY_COLS,
+    LINEAGE_SCHEMA,
+    LWW_DELETED_COL,
+    LWW_TS_COL,
+    MOR_DELETED_COL,
+    MOR_V_COL,
+)
 
 BUCKET_COL = "_bucket"
 
@@ -196,6 +203,7 @@ class TableStore:
         buckets: list[int] | None = None,
         version: int | None = None,
         include_deleted: bool = False,
+        key_prefilter: F.Column | None = None,
     ) -> DataFrame:
         """Table state (optionally restricted to some buckets), always
         through the manifest schema so old files are null-padded for columns
@@ -213,15 +221,82 @@ class TableStore:
         and physical rewrites read with ``include_deleted=True`` so stamps
         survive. No-op for tables without the column — the filter is a
         pushed-down parquet predicate, not an extra pass.
+
+        ``key_prefilter``: an optional predicate over the KEY columns only,
+        applied AT THE SCAN (pushed to parquet) on every layer. It must be
+        a pure function of (repo, path) — merge-on-read resolution windows
+        by key, and a key-functional predicate selects whole key groups, so
+        filtering before resolution is exact while letting the parquet
+        min/max pruning fire under the layers. :meth:`lookup` uses this.
+
+        Merge-on-read buckets (manifest ``mor`` layer counts — see
+        :meth:`commit` ``mor=True``) are resolved here: base + delta files
+        are read in one scan with the two file-only resolution columns
+        appended to the schema, the newest layer per key wins
+        (``row_number`` over ``_mor_v`` desc; base rows read as null -> 0),
+        and tombstone winners are dropped. Buckets WITHOUT delta layers are
+        read plain and unioned around the window, so the resolution shuffle
+        touches only layered rows — after compaction folds the layers,
+        reads are back to pure scans.
         """
         m = self.current_manifest() if version is None else self.manifest(version)
         schema = None if m is None else T.StructType.fromJson(m["schema"])
-        files = self._bucket_files(buckets, version=version)
-        if schema is None or not files:
-            return spark.createDataFrame([], schema or T.StructType(
+        if schema is None:
+            return spark.createDataFrame([], T.StructType(
                 [T.StructField(c, T.StringType()) for c in KEY_COLS]
             ))
-        df = spark.read.schema(schema).parquet(*files)
+        mor_map: dict[str, int] = m.get("mor") or {}
+        sel = list(m["buckets"].keys()) if buckets is None else [
+            str(b) for b in buckets
+        ]
+        mor_sel = [b for b in sel if mor_map.get(b)]
+        plain_sel = [b for b in sel if not mor_map.get(b)]
+        parts: list[DataFrame] = []
+        plain_files = [
+            os.path.join(self.root, p)
+            for b in plain_sel
+            for p in m["buckets"].get(b, [])
+        ]
+        if plain_files:
+            d = spark.read.schema(schema).parquet(*plain_files)
+            if key_prefilter is not None:
+                d = d.filter(key_prefilter)
+            parts.append(d)
+        mor_files = [
+            os.path.join(self.root, p)
+            for b in mor_sel
+            for p in m["buckets"].get(b, [])
+        ]
+        if mor_files:
+            ext = T.StructType(
+                schema.fields
+                + [
+                    T.StructField(MOR_V_COL, T.LongType(), True),
+                    T.StructField(MOR_DELETED_COL, T.BooleanType(), True),
+                ]
+            )
+            from pyspark.sql.window import Window
+
+            d = spark.read.schema(ext).parquet(*mor_files)
+            if key_prefilter is not None:
+                d = d.filter(key_prefilter)
+            w = Window.partitionBy(*KEY_COLS).orderBy(
+                F.desc(F.coalesce(F.col(MOR_V_COL), F.lit(0)))
+            )
+            d = (
+                d.withColumn("_mor_rn", F.row_number().over(w))
+                .filter(
+                    (F.col("_mor_rn") == 1)
+                    & ~F.coalesce(F.col(MOR_DELETED_COL), F.lit(False))
+                )
+                .drop("_mor_rn", MOR_V_COL, MOR_DELETED_COL)
+            )
+            parts.append(d)
+        if not parts:
+            return spark.createDataFrame([], schema)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         if not include_deleted and LWW_DELETED_COL in schema.names:
             df = df.filter(
                 ~F.coalesce(F.col(LWW_DELETED_COL), F.lit(False))
@@ -320,10 +395,18 @@ class TableStore:
             r[0]
             for r in kdf.select(bucket_expr(m["n_buckets"])).distinct().collect()
         })
-        df = self.read_state(spark, buckets=buckets, version=version)
+        pre = None
         if len(keys) <= 1000:
+            # key-functional by construction (pure IN over the key
+            # columns), so read_state may apply it UNDER merge-on-read
+            # resolution — the parquet row-group pruning fires on every
+            # layer, base and delta alike
+            pre = F.lit(True)
             for i, c in enumerate(KEY_COLS):
-                df = df.filter(F.col(c).isin([k[i] for k in keys]))
+                pre = pre & F.col(c).isin([k[i] for k in keys])
+        df = self.read_state(
+            spark, buckets=buckets, version=version, key_prefilter=pre
+        )
         return df.join(F.broadcast(kdf), KEY_COLS, "left_semi")
 
     # ---------- commit ----------
@@ -340,6 +423,7 @@ class TableStore:
         write_salt: int = 1,
         changes: DataFrame | None = None,
         expected_version: int | None = None,
+        mor: bool = False,
     ) -> int:
         """Atomically publish a new version: dirty-bucket data + lineage.
 
@@ -365,6 +449,20 @@ class TableStore:
         join. Written before the manifest, so the same crash-idempotency
         argument applies; versions without change files (older commits,
         rewrites) simply fall back to the state diff.
+
+        ``mor`` (merge-on-read commit — Iceberg v2 equality-delete / Delta
+        deletion-vector analogue): ``merged_dirty`` is the BATCH's rows
+        only (upserts as full images, deletes as tombstone rows), already
+        stamped with :data:`~..schema.MOR_V_COL` = this version and
+        :data:`~..schema.MOR_DELETED_COL`. The new files are APPENDED to
+        each dirty bucket's file list as a delta layer instead of replacing
+        it, and the manifest's ``mor`` map counts layers per bucket. Write
+        cost is O(batch) with NO base read and NO merge join — the
+        copy-on-write amplification (bucket_size / batch_size) goes away;
+        reads pay a per-key last-layer-wins window over layered buckets
+        until :meth:`rewrite_buckets` folds them (which clears the ``mor``
+        entries). A copy-on-write commit to a layered bucket also clears
+        its entry (the replace subsumes the layers).
 
         ``write_salt`` (>1, non-clustered path only): split each bucket's
         write across ``write_salt`` tasks by salting the repartition with a
@@ -402,6 +500,7 @@ class TableStore:
 
         epoch_rel = f"data/v{version}"
         epoch_dir = os.path.join(self.root, epoch_rel)
+        mor_counts: dict[str, int] = dict(prev.get("mor", {})) if prev else {}
         if merged_dirty is not None and dirty_buckets:
             shutil.rmtree(epoch_dir, ignore_errors=True)  # idempotent re-delivery
             # cluster rows by bucket before the dynamic-partition write: one
@@ -448,17 +547,30 @@ class TableStore:
                     if f.endswith(".parquet")
                 ]
                 written[b] = files
-            buckets_map.update(written)
             # per-bucket byte sizes ride the manifest (Iceberg file-size
             # metadata analogue): stat only THIS epoch's new files, so the
             # auto-rebucket probe later is pure manifest metadata — no
             # filesystem walk over the whole table per epoch
-            bucket_bytes.update({
+            new_bytes = {
                 b: sum(
                     os.path.getsize(os.path.join(self.root, f)) for f in fs
                 )
                 for b, fs in written.items()
-            })
+            }
+            if mor:
+                # delta layer: APPEND to each dirty bucket's file list
+                for b, fs in written.items():
+                    buckets_map[b] = list(buckets_map.get(b, [])) + fs
+                    bucket_bytes[b] = bucket_bytes.get(b, 0) + new_bytes[b]
+                    mor_counts[b] = mor_counts.get(b, 0) + 1
+            else:
+                buckets_map.update(written)
+                bucket_bytes.update(new_bytes)
+                # a copy-on-write replace subsumes any delta layers the
+                # bucket had (the merged output was computed over the
+                # resolved read)
+                for b in written:
+                    mor_counts.pop(b, None)
 
         changes_rel = None
         if changes is not None and dirty_buckets:
@@ -506,6 +618,8 @@ class TableStore:
             "bucket_bytes": bucket_bytes,
             "lineage": lineage_rel,
         }
+        if mor_counts:
+            manifest["mor"] = mor_counts
         if changes_rel is not None:
             manifest["changes"] = changes_rel
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
@@ -726,6 +840,10 @@ class TableStore:
             "lineage": _abs(m["lineage"]) if m.get("lineage") else None,
             "cloned_from": {"root": src_root, "version": src_version},
         }
+        if m.get("mor"):
+            # borrowed delta layers resolve exactly as at the source — the
+            # stamps live in the (absolute-referenced) files themselves
+            manifest["mor"] = dict(m["mor"])
         # NOT carried: the source version's change-file pointer — the
         # clone's v1 is a creation snapshot, not that version's delta
         # (same reasoning as rewrite_buckets).
@@ -796,10 +914,12 @@ class TableStore:
         m = self.current_manifest()
         if m is None:
             return {"rewritten_buckets": [], "files_before": 0, "version": 0}
+        mor_map: dict[str, int] = m.get("mor") or {}
         fat = {
             int(b): files
             for b, files in m["buckets"].items()
-            if len(files) > min_files and (buckets is None or int(b) in buckets)
+            if (len(files) > min_files or mor_map.get(b))
+            and (buckets is None or int(b) in buckets)
         }
         if not fat:
             return {
@@ -851,6 +971,17 @@ class TableStore:
         # version's change-file pointer (a fast-path changefeed reader
         # would re-emit that version's changes for this one)
         manifest.pop("changes", None)
+        # a rewritten bucket's merge-on-read layers are FOLDED into its new
+        # base files (read_state resolved them; the resolution columns are
+        # file-only and never written back)
+        if mor_map:
+            remaining = {
+                b: n for b, n in mor_map.items() if int(b) not in fat
+            }
+            if remaining:
+                manifest["mor"] = remaining
+            else:
+                manifest.pop("mor", None)
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
@@ -955,6 +1086,7 @@ class TableStore:
             "bucket_bytes": bucket_bytes,
         }
         manifest.pop("changes", None)  # logical no-op: see rewrite_buckets
+        manifest.pop("mor", None)  # full rewrite folds every delta layer
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)

@@ -51,7 +51,7 @@ from ..operators.compact import (
 )
 from ..operators.dedup_cdc import filter_applied
 from ..operators.filters import DEFAULT_BLACKLIST, select_topics
-from ..schema import DEFAULT_GROUP
+from ..schema import DEFAULT_GROUP, MOR_DELETED_COL, MOR_V_COL
 from ..operators.merge import (
     LWW_DELETED_COL,
     LWW_SRC_COL,
@@ -177,6 +177,29 @@ class EngineConfig:
     # cascade as ordinary data columns.
     conflict_policy: str = "source-wins"
     cluster_id: str = ""
+    # target-table write strategy: "cow" (default — copy-on-write: each
+    # batch MERGEs against its dirty buckets and rewrites them whole) or
+    # "mor" (merge-on-read — Iceberg v2 equality-delete / Delta
+    # deletion-vector analogue): the batch's compacted rows are APPENDED
+    # as a per-bucket delta layer (upserts as full images, deletes as
+    # tombstone rows), with NO base read and NO merge join on the write
+    # path. Write cost per epoch drops from O(dirty-bucket bytes) to
+    # O(batch) — at 100 TB a 1 GB micro-batch touching 500 of 4096 buckets
+    # stops re-reading and re-writing ~12 TB of base files per commit.
+    # Reads resolve last-layer-wins per key until compaction folds the
+    # layers (see mor_fold_max_layers). Identity-bearing (NOT
+    # hot-reloadable): flipping strategies mid-stream is safe for STATE
+    # (a CoW commit folds layers) but would corrupt the write-amplification
+    # accounting a benchmark run depends on. Mutually exclusive with
+    # conflict_policy="lww" — LWW resolution stamps and MoR layer stamps
+    # are two total orders; composing them needs a stamp-aware fold.
+    table_mode: str = "cow"
+    # fold a bucket's merge-on-read layers back into plain base files when
+    # it accretes this many (rewrite_buckets over just the offenders — one
+    # bounded job). The read-side window tax is proportional to layer
+    # count, so this bounds BOTH read cost and file count; 0 = never
+    # auto-fold (operator-scheduled maintenance only).
+    mor_fold_max_layers: int = 8
     # dead-letter queue (Kafka Connect errors.tolerance=all + DLQ topic,
     # which the reference's connector stack exposes): malformed envelopes —
     # no key in either image, unknown op, null lsn — are quarantined to
@@ -286,6 +309,14 @@ class CdcApplyEngine:
         base_version = self.store.current_version()
         # hot-reload point: reloadable overrides apply to THIS epoch
         config = self._effective_config()
+        if config.table_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown table_mode {config.table_mode!r}")
+        if config.table_mode == "mor" and config.conflict_policy == "lww":
+            raise ValueError(
+                "table_mode='mor' is mutually exclusive with "
+                "conflict_policy='lww': LWW stamps and MoR layer stamps "
+                "are two total orders (see EngineConfig.table_mode)"
+            )
         if config.shuffle_partitions:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(config.shuffle_partitions)
@@ -569,7 +600,25 @@ class CdcApplyEngine:
                     BUCKET_COL, "_n_fresh", "_bytes_fresh", "_pmin", "_pmax",
                     "_lww_order", "_max_lsn",
                 )
-                if self.store._bucket_files(dirty):
+                mor_delta = (
+                    config.table_mode == "mor"
+                    and bool(self.store._bucket_files(dirty))
+                )
+                if mor_delta:
+                    # merge-on-read delta layer: the batch's compacted rows
+                    # ARE the commit — no base read, no merge join. Deletes
+                    # persist as tombstone rows (keys from the before image,
+                    # data columns null) until compaction folds the layers.
+                    merged = batch_side.withColumn(
+                        MOR_DELETED_COL, F.col("op") == "d"
+                    ).drop("op", "partition", "lsn", "ts_ms")
+                    present = set(merged.columns)
+                    for fld in row_schema.fields:
+                        if fld.name not in present:
+                            merged = merged.withColumn(
+                                fld.name, F.lit(None).cast(fld.dataType)
+                            )
+                elif self.store._bucket_files(dirty):
                     # include_deleted: persisted LWW tombstones must join so
                     # their stamps fence re-delivered older writes
                     target_dirty = self.store.read_state(
@@ -606,12 +655,24 @@ class CdcApplyEngine:
                 from ..operators.merge import cast_up
 
                 mtypes = {f.name: f.dataType for f in merged.schema.fields}
+                mor_extras = (
+                    [
+                        F.col(MOR_DELETED_COL),
+                        # stamped with THIS commit's version; the
+                        # expected_version check makes base_version+1 exact
+                        F.lit(base_version + 1).cast("long").alias(MOR_V_COL),
+                    ]
+                    if mor_delta
+                    else []
+                )
                 merged = merged.select(
                     *[cast_up(F.col(f.name), mtypes[f.name], f.dataType)
                       .alias(f.name)
-                      for f in row_schema.fields]
+                      for f in row_schema.fields],
+                    *mor_extras,
                 ).withColumn(BUCKET_COL, bucket_expr(self.store.n_buckets))
             else:
+                mor_delta = False
                 merged = None
 
             new_lineage = self._advance_lineage_rows(
@@ -655,7 +716,7 @@ class CdcApplyEngine:
                 merged, dirty, new_lineage, epoch, row_schema,
                 clustered=clustered, writer_id=writer_id,
                 write_salt=write_salt, changes=changes_df,
-                expected_version=base_version,
+                expected_version=base_version, mor=mor_delta,
             )
             phases["merge_commit"] = round(_time.time() - t0, 3)
             t0 = _time.time()
@@ -668,7 +729,25 @@ class CdcApplyEngine:
                 "n_dlq": n_dlq,
                 "compact_path": compact_path,
                 "write_salt": write_salt,
+                "mor_delta": mor_delta,
             }
+            if mor_delta and config.mor_fold_max_layers:
+                # layer-count fold: bound the read-side resolution window
+                # and the per-bucket file count. Pure manifest metadata to
+                # decide; the fold itself is one bounded rewrite job over
+                # just the offending buckets.
+                mor_map = (self.store.current_manifest() or {}).get("mor") or {}
+                over = sorted(
+                    int(b) for b, n in mor_map.items()
+                    if n >= config.mor_fold_max_layers
+                )
+                if over:
+                    out = self.store.rewrite_buckets(
+                        spark, min_files=0, buckets=over
+                    )
+                    summary["mor_folded"] = out["rewritten_buckets"]
+                    phases["mor_fold"] = round(_time.time() - t0, 3)
+                    t0 = _time.time()
             if config.auto_rebucket_target_bytes:
                 # commit-time volume probe (MM2's Manager propagates
                 # partition-count increases automatically,
