@@ -517,6 +517,81 @@ def bench_incremental_agg_view(spark, sf_dir: str, work_dir: str) -> dict:
     return out
 
 
+def bench_mor_write(spark, work_dir: str) -> dict:
+    """Write-amplification evidence for merge-on-read (EngineConfig.
+    table_mode='mor'): same base table (BENCH_MOR_BASE rows x ~1 KB, 64
+    buckets), same 4 small update batches whose keys spread across EVERY
+    bucket — the worst case for copy-on-write, which must re-read and
+    rewrite all 64 dirty buckets per epoch (O(table)), while MoR appends
+    one O(batch) delta layer per bucket with no base read and no merge
+    join. At 100 TB this asymmetry is the difference between a 1 GB
+    micro-batch committing in seconds and re-writing terabytes. The row
+    also reports the MoR read tax (last-layer-wins window over layered
+    buckets) and the post-fold read, so the full cost model — fast write,
+    taxed read, fold restores scan-speed — is auditable."""
+    from pyspark.sql import functions as F
+
+    n_base = int(os.environ.get("BENCH_MOR_BASE", "200000"))
+    n_batch = int(os.environ.get("BENCH_MOR_BATCH", "2000"))
+    epochs = 4
+    stride = max(1, n_base // n_batch)
+
+    def envelope(sel, op, lsn_base, tag):
+        img = F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("en").alias("lang"),
+            # ~1 KB deterministic body, JVM-side
+            F.repeat(F.md5(F.concat_ws("|", F.lit(tag), F.col("id"))), 32)
+            .alias("content"),
+        )
+        return sel.select(
+            F.pmod(F.col("id"), F.lit(32)).cast("int").alias("partition"),
+            (F.col("id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            F.lit(op).alias("op"),
+            F.when(F.lit(op == "d"), img).alias("before"),
+            F.when(F.lit(op != "d"), img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    out: dict = {"n_base": n_base, "n_batch": n_batch, "epochs": epochs}
+    for mode in ("cow", "mor"):
+        store = TableStore(os.path.join(work_dir, f"mor_{mode}"), n_buckets=64)
+        engine = CdcApplyEngine(
+            store,
+            EngineConfig(metrics=False, table_mode=mode, mor_fold_max_layers=0),
+        )
+        engine.apply_batch(envelope(spark.range(n_base), "c", 0, "base"), 0)
+        os.sync()
+        t0 = time.time()
+        for e in range(1, epochs + 1):
+            batch = spark.range(n_base).filter(
+                F.pmod(F.col("id"), F.lit(stride)) == (e - 1)
+            )
+            engine.apply_batch(
+                envelope(batch, "u", e * 10_000_000, f"e{e}"), e
+            )
+        out[f"{mode}_epochs_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        out[f"{mode}_state_rows"] = store.read_state(spark).count()
+        out[f"{mode}_read_sec"] = round(time.time() - t0, 3)
+        if mode == "mor":
+            t0 = time.time()
+            store.rewrite_buckets(spark, min_files=0)
+            out["mor_fold_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            store.read_state(spark).count()
+            out["mor_read_after_fold_sec"] = round(time.time() - t0, 3)
+    out["write_speedup"] = round(
+        out["cow_epochs_sec"] / max(out["mor_epochs_sec"], 1e-9), 2
+    )
+    log(f"mor write amplification: {out}")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -567,6 +642,10 @@ def main() -> None:
             bench_incremental_agg_view(spark, sf_dir, work_dir)
             if llm_on else None
         )
+        mor = (
+            bench_mor_write(spark, work_dir)
+            if os.environ.get("BENCH_MOR", "1") != "0" else None
+        )
 
         total = round(cdc["apply_sec"] + sum(qtimes.values()), 3)
         out = {
@@ -587,6 +666,8 @@ def main() -> None:
             out["ann_incremental"] = ann_inc
         if aggv_inc is not None:
             out["agg_view_incremental"] = aggv_inc
+        if mor is not None:
+            out["mor_write"] = mor
         print(json.dumps(out), flush=True)
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
