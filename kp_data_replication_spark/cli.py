@@ -226,7 +226,53 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--pack-shards", type=int, default=64)
     cu.add_argument("--min-shared-bands", type=int, default=1)
 
+    ac = sub.add_parser(
+        "acl",
+        help="table ACL grants + replication-hop ACL sync "
+             "(sync.topic.acls.enabled analogue)",
+    )
+    ac.add_argument("target")
+    ac.add_argument("action", choices=["grant", "revoke", "list", "sync"])
+    ac.add_argument("--principal", default="")
+    ac.add_argument("--operation", default="")
+    ac.add_argument("--resource", default="*")
+    ac.add_argument("--permission", default="allow")
+    ac.add_argument("--pattern-type", default="literal")
+    ac.add_argument("--host", default="*")
+    ac.add_argument("--source", default=None,
+                    help="sync: source table root whose grants replicate here")
+    ac.add_argument("--alias", default="source",
+                    help="sync: replication-policy rename prefix")
+    ac.add_argument("--topics", default=None,
+                    help="sync: topic whitelist regex (same as the data flow)")
+
     args = ap.parse_args(argv)
+    if args.cmd == "acl":  # pure metadata op — no Spark session needed
+        store = TableStore(args.target)
+        if args.action == "grant":
+            print(json.dumps(store.grant(
+                args.principal, args.operation, resource_name=args.resource,
+                pattern_type=args.pattern_type, permission=args.permission,
+                host=args.host,
+            )))
+        elif args.action == "revoke":
+            print(json.dumps({"revoked": store.revoke(
+                principal=args.principal, operation=args.operation,
+                resource_name=args.resource, pattern_type=args.pattern_type,
+                permission=args.permission, host=args.host,
+            )}))
+        elif args.action == "list":
+            print(json.dumps(store.grants()))
+        else:  # sync
+            from .operators.acl_sync import sync_grants
+
+            if not args.source:
+                raise SystemExit("acl sync requires --source")
+            print(json.dumps(sync_grants(
+                TableStore(args.source), store, args.alias,
+                whitelist=args.topics,
+            )))
+        return
     if args.cmd == "vacuum":  # pure metadata/file op — no Spark session needed
         print(json.dumps(TableStore(args.target).vacuum(args.keep_versions)))
         return

@@ -315,6 +315,71 @@ SQL_CDC_TOPIC_ROUTING = """
 """
 
 
+def q_cdc_acl_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 ACL sync (`sync.topic.acls.enabled=true`,
+    docs/security.md:171-188; MM2 KIP-382 rules): synthesize a
+    deterministic topic-ACL table from `events` (topics = event types,
+    principals/operations/permissions/pattern types cycled from user_id),
+    then compute the bindings the target cluster receives — literal topic
+    bindings on whitelisted topics only, ALLOW WRITE dropped, ALLOW ALL
+    downgraded to READ, resource renamed kp-remote.topic. The DuckDB
+    oracle applies the same rules in SQL."""
+    from .operators.acl_sync import sync_topic_acls
+
+    ev = _events(spark, sf_dir)
+    ops = F.array(
+        F.lit("read"), F.lit("write"), F.lit("describe"),
+        F.lit("all"), F.lit("create"),
+    )
+    acls = ev.select(
+        F.lit("topic").alias("resource_type"),
+        F.col("event_type").alias("resource_name"),
+        F.when(F.col("user_id") % 13 == 0, F.lit("prefixed"))
+        .otherwise(F.lit("literal")).alias("pattern_type"),
+        F.concat(
+            F.lit("User:CN=kp-consumer-"),
+            (F.col("user_id") % 3).cast("string"),
+        ).alias("principal"),
+        F.element_at(ops, (F.col("user_id") % 5 + 1).cast("int"))
+        .alias("operation"),
+        F.when(F.col("user_id") % 7 == 0, F.lit("deny"))
+        .otherwise(F.lit("allow")).alias("permission"),
+        F.lit("*").alias("host"),
+    ).distinct()
+    return sync_topic_acls(
+        acls, "kp-remote", whitelist="^(click|view|purchase)$"
+    )
+
+
+SQL_CDC_ACL_SYNC = """
+    WITH acls AS (
+      SELECT DISTINCT
+        'topic' AS resource_type,
+        event_type AS resource_name,
+        CASE WHEN user_id % 13 = 0 THEN 'prefixed' ELSE 'literal' END
+          AS pattern_type,
+        'User:CN=kp-consumer-' || CAST(user_id % 3 AS VARCHAR) AS principal,
+        (['read','write','describe','all','create'])
+          [CAST(user_id % 5 AS INT) + 1] AS operation,
+        CASE WHEN user_id % 7 = 0 THEN 'deny' ELSE 'allow' END AS permission,
+        '*' AS host
+      FROM events)
+    SELECT DISTINCT
+      'topic' AS resource_type,
+      'kp-remote.' || resource_name AS resource_name,
+      'literal' AS pattern_type,
+      principal,
+      CASE WHEN permission = 'allow' AND operation = 'all'
+           THEN 'read' ELSE operation END AS operation,
+      permission,
+      host
+    FROM acls
+    WHERE pattern_type = 'literal'
+      AND regexp_matches(resource_name, '^(click|view|purchase)$')
+      AND NOT (permission = 'allow' AND operation = 'write')
+"""
+
+
 def q_cdc_fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1/F6: regex-subscription fan-in over per-cluster replicas
     (docs/consideration.md:29-35)."""
@@ -1764,6 +1829,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     ),
     "cdc_state_time_travel": (q_cdc_state_time_travel, SQL_CDC_STATE_TIME_TRAVEL),
     "cdc_state_mor": (q_cdc_state_mor, SQL_CDC_STATE_MOR),
+    "cdc_acl_sync": (q_cdc_acl_sync, SQL_CDC_ACL_SYNC),
     "cdc_offset_failover": (q_cdc_offset_failover, SQL_CDC_OFFSET_FAILOVER),
     "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

@@ -47,6 +47,7 @@ exactly-once guard.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -755,6 +756,94 @@ class TableStore:
             with open(self._consumers_path + ".tmp", "w") as f:
                 json.dump(cons, f)
             os.replace(self._consumers_path + ".tmp", self._consumers_path)
+
+    # ---------- grants (table-level ACL metadata) ----------
+    @property
+    def _grants_dir(self) -> str:
+        return os.path.join(self.root, "_grants.d")
+
+    def grants(self) -> list[dict]:
+        """Persisted ACL bindings for this table, sorted canonically.
+        Control-plane metadata (the reference's topic-ACL set,
+        docs/security.md:171-188), NOT enforced by the reader — this store
+        has no authenticated principals; the contract here is the
+        replication of the grants themselves (`sync.topic.acls.enabled`),
+        which :func:`~..operators.acl_sync.sync_grants` applies."""
+        out: list[dict] = []
+        if os.path.isdir(self._grants_dir):
+            for fn in sorted(os.listdir(self._grants_dir)):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(self._grants_dir, fn)) as f:
+                        out.append(json.load(f))
+                except (OSError, ValueError):
+                    continue  # half-written tmp or concurrent revoke
+        from ..operators.acl_sync import _binding_key
+
+        return sorted(out, key=_binding_key)
+
+    def grant(
+        self,
+        principal: str,
+        operation: str,
+        resource_name: str = "*",
+        resource_type: str = "topic",
+        pattern_type: str = "literal",
+        permission: str = "allow",
+        host: str = "*",
+    ) -> dict:
+        """Persist one ACL binding (idempotent on the binding identity).
+        One file per binding under ``_grants.d/``, atomic ``os.replace``
+        each — the same concurrency-safe registry shape as
+        :meth:`record_consumer` (two independent granters can never lose
+        each other's entry to a read-modify-write race)."""
+        from ..operators.acl_sync import _binding_key
+
+        binding = {
+            "resource_type": str(resource_type).lower(),
+            "resource_name": str(resource_name),
+            "pattern_type": str(pattern_type).lower(),
+            "principal": str(principal),
+            "operation": str(operation).lower(),
+            "permission": str(permission).lower(),
+            "host": str(host),
+        }
+        os.makedirs(self._grants_dir, exist_ok=True)
+        fname = hashlib.sha256(
+            repr(_binding_key(binding)).encode()
+        ).hexdigest() + ".json"
+        path = os.path.join(self._grants_dir, fname)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(binding, f)
+        os.replace(tmp, path)
+        return binding
+
+    def revoke(self, **binding) -> bool:
+        """Remove one binding by identity (kwargs as :meth:`grant`).
+        Returns whether it existed. Local only — a revoke does NOT
+        propagate downstream, faithfully to MM2's additive sync."""
+        from ..operators.acl_sync import _binding_key
+
+        target = _binding_key({
+            "resource_type": binding.get("resource_type", "topic"),
+            "resource_name": binding.get("resource_name", "*"),
+            "pattern_type": binding.get("pattern_type", "literal"),
+            "principal": binding.get("principal", ""),
+            "operation": binding.get("operation", ""),
+            "permission": binding.get("permission", "allow"),
+            "host": binding.get("host", "*"),
+        })
+        path = os.path.join(
+            self._grants_dir,
+            hashlib.sha256(repr(target).encode()).hexdigest() + ".json",
+        )
+        try:
+            os.remove(path)
+            return True
+        except FileNotFoundError:
+            return False
 
     def delete_tag(self, name: str) -> None:
         tags = self.tags()

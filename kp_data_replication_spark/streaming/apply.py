@@ -177,6 +177,17 @@ class EngineConfig:
     # cascade as ordinary data columns.
     conflict_policy: str = "source-wins"
     cluster_id: str = ""
+    # ACL sync (sync.topic.acls.enabled=true, docs/security.md:171-188):
+    # when set to another TableStore's root, each epoch additionally
+    # replicates that store's persisted grants into the target store
+    # through the MM2 KIP-382 rules (literal topic bindings only, the same
+    # topic whitelist/blacklist as the data path, ALLOW WRITE never
+    # propagated, ALLOW ALL downgraded to READ, resource renamed
+    # acl_sync_alias.topic). Driver-side O(grants) metadata per epoch —
+    # MM2's periodic sync re-expressed as an epoch-time step. Additive:
+    # revokes do not propagate (faithful to MM2).
+    acl_sync_source: str = ""
+    acl_sync_alias: str = "source"
     # target-table write strategy: "cow" (default — copy-on-write: each
     # batch MERGEs against its dirty buckets and rewrites them whole) or
     # "mor" (merge-on-read — Iceberg v2 equality-delete / Delta
@@ -773,6 +784,17 @@ class CdcApplyEngine:
                         summary["rebucketed_to"] = out["n_buckets"]
                         phases["rebucket"] = round(_time.time() - t0, 3)
                         t0 = _time.time()
+            if config.acl_sync_source:
+                from ..operators.acl_sync import sync_grants
+
+                acl_out = sync_grants(
+                    TableStore(config.acl_sync_source),
+                    self.store,
+                    config.acl_sync_alias,
+                    whitelist=config.whitelist,
+                    blacklist=config.blacklist,
+                )
+                summary["acls_applied"] = acl_out["n_applied"]
             if metrics_thread is not None:
                 metrics_thread.join()
                 phases["metrics_wait"] = round(_time.time() - t0, 3)
