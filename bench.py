@@ -84,6 +84,7 @@ HEADLINE_QUERIES = [
     "cdc_throughput_1h",
     "cdc_latency_percentiles",
     "cdc_sha_invariant",
+    "cdc_smt_chain",
     "agg_pricing_summary",
     "join_segment_revenue",
     "window_topk_orders",

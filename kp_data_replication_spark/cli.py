@@ -135,6 +135,11 @@ def main(argv: list[str] | None = None) -> None:
     )
     mt.add_argument("target")
     mt.add_argument("--last-epochs", type=int, default=5)
+    mt.add_argument("--format", choices=["json", "prometheus"],
+                    default="json",
+                    help="prometheus: text exposition format (the scrape "
+                         "shape the reference's JMX exporter feeds to "
+                         "prometheus-rules.yaml / Grafana)")
 
     lg = sub.add_parser("lag", help="per-partition replication lag vs a changelog head")
     lg.add_argument("changelog")
@@ -246,7 +251,34 @@ def main(argv: list[str] | None = None) -> None:
     ac.add_argument("--topics", default=None,
                     help="sync: topic whitelist regex (same as the data flow)")
 
+    cn = sub.add_parser(
+        "constraint",
+        help="named CHECK constraints persisted in table metadata — every "
+             "writer enforces them (Delta ADD CONSTRAINT analogue)",
+    )
+    cn.add_argument("target")
+    cn.add_argument("action", choices=["add", "drop", "list"])
+    cn.add_argument("--name", default=None)
+    cn.add_argument("--expr", default=None,
+                    help="add: SQL boolean expression over the row's data "
+                         "columns (FALSE violates, NULL passes, deletes "
+                         "exempt)")
+
     args = ap.parse_args(argv)
+    if args.cmd == "constraint":  # pure metadata op — no Spark session needed
+        store = TableStore(args.target)
+        if args.action == "add":
+            if not (args.name and args.expr):
+                raise SystemExit("constraint add requires --name and --expr")
+            store.add_constraint(args.name, args.expr)
+            print(json.dumps(store.constraints()))
+        elif args.action == "drop":
+            if not args.name:
+                raise SystemExit("constraint drop requires --name")
+            print(json.dumps({"dropped": store.drop_constraint(args.name)}))
+        else:
+            print(json.dumps(store.constraints()))
+        return
     if args.cmd == "acl":  # pure metadata op — no Spark session needed
         store = TableStore(args.target)
         if args.action == "grant":
@@ -538,8 +570,34 @@ def main(argv: list[str] | None = None) -> None:
             .orderBy("partition")
             .collect()
         )
-        for r in rows:
-            print(json.dumps(r.asDict(), default=str))
+        if args.format == "prometheus":
+            from .operators.metrics import prometheus_exposition
+
+            store = TableStore(args.target)
+            marks = {
+                r["partition"]: r["applied_lsn"]
+                for r in store.read_lineage_rows()
+            }
+            prows = []
+            for r in rows:
+                d = r.asDict()
+                lat_us = d.pop("replication_latency_us", None)
+                d["replication_latency_ms"] = (
+                    None if lat_us is None else lat_us / 1000.0
+                )
+                d["applied_lsn"] = marks.get(d["partition"])
+                prows.append(d)
+            m = store.current_manifest()
+            stats = {
+                "version": store.current_version(),
+                "n_buckets": None if m is None else m["n_buckets"],
+                "bytes": None if m is None else
+                sum(m.get("bucket_bytes", {}).values()),
+            }
+            print(prometheus_exposition(prows, stats), end="")
+        else:
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "lag":
         from pyspark.sql import functions as F
 

@@ -108,3 +108,90 @@ def _window_seconds(window: str) -> float:
         "day": 86400, "days": 86400,
     }[unit]
     return float(qty) * mult
+
+
+# --------------------------------------------------------------------- #
+# Prometheus text exposition (monitoring/kafka-metrics.yaml +
+# mm2-jmx-exporter.yaml analogue)
+# --------------------------------------------------------------------- #
+_PROM_METRICS = [
+    # (name, type, help, per-partition field or callable)
+    ("cdc_partition_records_total", "counter",
+     "Change events read from the log per partition "
+     "(kafka_server_BrokerTopicMetrics_MessagesIn_total analogue)",
+     "n_events"),
+    ("cdc_partition_applied_total", "counter",
+     "Events applied to the target table per partition "
+     "(MirrorSourceConnector record-count analogue, "
+     "mm2-jmx-exporter.yaml record-count)",
+     "n_applied"),
+    ("cdc_partition_duplicates_total", "counter",
+     "Re-delivered events dropped by the applied-offset watermark",
+     "n_duplicates"),
+    ("cdc_partition_bytes_in_total", "counter",
+     "Payload bytes read per partition (byte-rate analogue)",
+     "bytes_in"),
+    ("cdc_partition_applied_lsn", "gauge",
+     "Per-partition applied-offset watermark "
+     "(kafka_consumergroup_current_offset analogue)",
+     "applied_lsn"),
+    ("cdc_partition_replication_latency_ms", "gauge",
+     "Apply wall clock minus newest producer event time, ts3-ts2 of the "
+     "reference's four-timestamp model (docs/perf-tests.md:173-187; "
+     "mm2-jmx-exporter.yaml replication-latency-ms)",
+     "replication_latency_ms"),
+]
+
+_TABLE_METRICS = [
+    ("cdc_table_version", "gauge", "Committed table version", "version"),
+    ("cdc_table_buckets", "gauge", "Bucket count of the current layout",
+     "n_buckets"),
+    ("cdc_table_bytes", "gauge", "Total data bytes in the current version",
+     "bytes"),
+    ("cdc_alerts_firing", "gauge", "Alert rows firing by the rules CLI",
+     "alerts_firing"),
+]
+
+
+def _prom_escape(v: str) -> str:
+    return str(v).replace("\\", r"\\").replace('"', r"\"").replace("\n", r"\n")
+
+
+def prometheus_exposition(
+    partition_rows: list[dict],
+    table_stats: dict | None = None,
+    job: str = "cdc-engine",
+) -> str:
+    """Render per-partition replication metrics + table-level gauges in the
+    Prometheus text exposition format (the output shape the reference's
+    JMX exporter + ServiceMonitor feed to Prometheus,
+    monitoring/kafka-metrics.yaml, mm2-service-monitor.yaml — so the
+    reference's prometheus-rules.yaml / Grafana dashboards point at this
+    endpoint unchanged in spirit).
+
+    Pure formatting over control-plane rows (per-partition aggregates —
+    bounded by partition count, never O(data)); the caller supplies rows
+    from the metrics table (CLI ``metrics --format prometheus``) or its
+    own aggregation. Missing/None fields are skipped, not zero-filled —
+    absent is honest, zero is a claim.
+    """
+    out: list[str] = []
+    for name, mtype, help_, field in _PROM_METRICS:
+        rows = [r for r in partition_rows if r.get(field) is not None]
+        if not rows:
+            continue
+        out.append(f"# HELP {name} {help_}")
+        out.append(f"# TYPE {name} {mtype}")
+        for r in sorted(rows, key=lambda r: r["partition"]):
+            val = r[field]
+            out.append(
+                f'{name}{{job="{_prom_escape(job)}",'
+                f'partition="{r["partition"]}"}} {val}'
+            )
+    for name, mtype, help_, field in _TABLE_METRICS:
+        if table_stats is None or table_stats.get(field) is None:
+            continue
+        out.append(f"# HELP {name} {help_}")
+        out.append(f"# TYPE {name} {mtype}")
+        out.append(f'{name}{{job="{_prom_escape(job)}"}} {table_stats[field]}')
+    return "\n".join(out) + ("\n" if out else "")

@@ -294,6 +294,88 @@ SQL_CDC_COMPACTION_COUNTS = """
 """
 
 
+def q_cdc_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint audit (operators/constraints.py — the Delta ADD
+    CONSTRAINT / semantic errors.tolerance analogue the apply engine
+    enforces per epoch): per-rule violation counts over the changelog's
+    UPSERT images. Deletes are exempt by mechanism (constraints gate
+    incoming values, not removals); ANSI semantics — a row violates only
+    when the expression is FALSE, NULL passes. Same conditional-aggregate
+    shape at 100 TB: one scan, rules fused into one projection, a hash
+    aggregate over at most n_rules keys."""
+    from .operators.constraints import violation_counts
+
+    rules = {
+        "value_le_200": "value <= 200",
+        "purchase_value_ge_1": "event_type <> 'purchase' OR value >= 1.0",
+    }
+    up = _with_envelope(_events(spark, sf_dir)).filter(F.col("op") != "d")
+    return violation_counts(up, rules)
+
+
+SQL_CDC_CONSTRAINT_AUDIT = """
+    WITH up AS (SELECT * FROM events WHERE event_type <> 'error'),
+    v AS (
+      SELECT 'value_le_200' AS rule, count(*) AS n_violations
+      FROM up WHERE NOT coalesce(value <= 200, TRUE)
+      UNION ALL
+      SELECT 'purchase_value_ge_1', count(*)
+      FROM up WHERE NOT coalesce(event_type <> 'purchase' OR value >= 1.0, TRUE)
+    )
+    SELECT rule, n_violations FROM v WHERE n_violations > 0
+"""
+
+
+def q_cdc_smt_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single Message Transform chain (operators/smt.py — the Kafka Connect
+    `transforms=` surface MM2 flows configure; reference flows are Connect
+    connector configs, docs/es-to-local.md:14-23): Filter, rename, mask,
+    static insert, timestamp conversion and cast, all compiled to pure
+    Column expressions. Catalyst collapses the six steps into ONE map-side
+    projection over the scan — at 100 TB the chain costs a single
+    whole-stage-codegen pass, no UDFs, no extra jobs. The aggregate on top
+    keeps the oracle result compact and proves the masked/inserted/converted
+    values survive end-to-end."""
+    from .operators.smt import apply_smt_chain
+
+    chain = [
+        {"type": "Filter", "predicate": "event_type = 'error'"},
+        {"type": "ReplaceField", "renames": {"props": "properties"}},
+        {"type": "MaskField", "fields": ["properties"], "replacement": "***"},
+        {"type": "InsertField", "static_field": "origin_cluster",
+         "static_value": "source"},
+        {"type": "TimestampConverter", "field": "ts",
+         "target_type": "string", "format": "yyyy-MM-dd"},
+        {"type": "Cast", "spec": {"user_id": "int"}},
+    ]
+    smt = apply_smt_chain(_with_envelope(_events(spark, sf_dir)), chain)
+    return (
+        smt.groupBy(
+            F.col("ts").alias("day"), "event_type", "origin_cluster"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("properties").alias("masked_prop"),
+        )
+    )
+
+
+SQL_CDC_SMT_CHAIN = f"""
+    WITH env AS ({_ENVELOPE_SQL}),
+    smt AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             '***' AS properties, 'source' AS origin_cluster, value
+      FROM env
+      WHERE NOT coalesce(event_type = 'error', FALSE)
+    )
+    SELECT day, event_type, origin_cluster, count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           max(properties) AS masked_prop
+    FROM smt GROUP BY day, event_type, origin_cluster
+"""
+
+
 def q_cdc_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F5: whitelist regex + cluster-prefix rename
     (docs/index.md:42-43, docs/consideration.md:29-35)."""
@@ -1808,6 +1890,8 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_offset_translation": (q_cdc_offset_translation, SQL_CDC_OFFSET_TRANSLATION),
     "cdc_compaction_counts": (q_cdc_compaction_counts, SQL_CDC_COMPACTION_COUNTS),
     "cdc_topic_routing": (q_cdc_topic_routing, SQL_CDC_TOPIC_ROUTING),
+    "cdc_constraint_audit": (q_cdc_constraint_audit, SQL_CDC_CONSTRAINT_AUDIT),
+    "cdc_smt_chain": (q_cdc_smt_chain, SQL_CDC_SMT_CHAIN),
     "cdc_fanin_union": (q_cdc_fanin_union, SQL_CDC_FANIN_UNION),
     "cdc_throughput_1h": (q_cdc_throughput_1h, SQL_CDC_THROUGHPUT_1H),
     "cdc_latency_percentiles": (q_cdc_latency_percentiles, SQL_CDC_LATENCY_PERCENTILES),

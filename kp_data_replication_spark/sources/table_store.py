@@ -845,6 +845,56 @@ class TableStore:
         except FileNotFoundError:
             return False
 
+    # ---------- CHECK constraints (Delta ADD CONSTRAINT analogue) ----------
+    @property
+    def _constraints_dir(self) -> str:
+        return os.path.join(self.root, "_constraints.d")
+
+    def constraints(self) -> dict[str, str]:
+        """Persisted CHECK constraints: {name -> SQL boolean expression over
+        the row's data columns}. Table metadata, so EVERY writer enforces
+        them (mechanism, not convention) — the apply engine unions these
+        with its flow-level ``check_constraints`` each epoch; violations
+        quarantine to the DLQ or fail the batch (strict, no DLQ). See
+        operators/constraints.py for the evaluation semantics."""
+        out: dict[str, str] = {}
+        if os.path.isdir(self._constraints_dir):
+            for fn in os.listdir(self._constraints_dir):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(self._constraints_dir, fn)) as f:
+                        rec = json.load(f)
+                except (OSError, ValueError):
+                    continue  # half-written tmp or concurrent drop
+                out[rec["name"]] = rec["expr"]
+        return out
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Persist one named CHECK constraint (idempotent overwrite on the
+        name). One atomic file per rule under ``_constraints.d/`` — the
+        same concurrency-safe registry shape as :meth:`record_consumer`:
+        two independent ALTERs can never lose each other to a
+        read-modify-write race. The expression is validated lazily at
+        apply time (this store holds no SparkSession); a malformed rule
+        fails the FIRST epoch loudly rather than corrupting state."""
+        os.makedirs(self._constraints_dir, exist_ok=True)
+        path = os.path.join(self._constraints_dir, self._consumer_fname(name))
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "expr": str(expr)}, f)
+        os.replace(tmp, path)
+
+    def drop_constraint(self, name: str) -> bool:
+        """Remove one constraint by name; returns whether it existed."""
+        try:
+            os.remove(
+                os.path.join(self._constraints_dir, self._consumer_fname(name))
+            )
+            return True
+        except FileNotFoundError:
+            return False
+
     def delete_tag(self, name: str) -> None:
         tags = self.tags()
         tags.pop(name, None)

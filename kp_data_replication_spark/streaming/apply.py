@@ -49,8 +49,14 @@ from ..operators.compact import (
     lww_join_winners,
     lww_winners,
 )
+from ..operators.constraints import (
+    ConstraintViolationError,
+    check_envelope,
+    stamp_violated_header,
+)
 from ..operators.dedup_cdc import filter_applied
 from ..operators.filters import DEFAULT_BLACKLIST, select_topics
+from ..operators.smt import SmtError, apply_smt_chain, compile_smt_chain
 from ..schema import DEFAULT_GROUP, MOR_DELETED_COL, MOR_V_COL
 from ..operators.merge import (
     LWW_DELETED_COL,
@@ -226,6 +232,47 @@ class EngineConfig:
     # by payload, so DLQ growth is bounded by redelivery rate, state by
     # neither.
     dlq_dir: str | None = None
+    # flow-level CHECK constraints ({name -> SQL boolean expr over the
+    # row's data columns}, operators/constraints.py — the Delta ADD
+    # CONSTRAINT / semantic errors.tolerance analogue). Each epoch these
+    # are unioned with the TARGET TABLE's persisted constraints
+    # (TableStore.add_constraint — table metadata binds every writer;
+    # flow config wins a name collision). Violating UPSERT images — NULL
+    # passes, FALSE violates, deletes exempt — quarantine to the DLQ with
+    # the failing rule names in headers['_violated']; with no dlq_dir the
+    # batch FAILS before any state is written (strict Delta default).
+    # Zero cost when neither source defines a rule.
+    check_constraints: dict | None = None
+    # schema-change policy at the target (Kafka Connect sink
+    # auto.evolve analogue; the reference's contract is docs/
+    # consideration.md:13-18 — topic config changes propagate source ->
+    # target automatically, which is "evolve"):
+    #   "evolve"  (default) — additive union + type widening
+    #             (merge.widen_fields); a non-widenable change still
+    #             raises (breaking, not evolution).
+    #   "project" — auto.evolve=false: UNKNOWN batch columns are dropped
+    #             (the sink writes the fields the table knows), the
+    #             target schema never changes; a TYPE change still
+    #             raises — silently narrowing data is corruption, not
+    #             projection.
+    #   "freeze"  — production schema freeze: ANY schema difference
+    #             (new column or type change) fails the batch before any
+    #             state is written; the operator evolves the table
+    #             deliberately (run one batch under "evolve") or fixes
+    #             the producer.
+    schema_policy: str = "evolve"
+    # Single Message Transform chain (operators/smt.py — the Kafka Connect
+    # `transforms=` list MM2 flows configure; Debezium convention: unwrap
+    # first, then field-level SMTs — the engine's envelope unpack IS the
+    # unwrap, so the chain runs over unpacked per-record rows BEFORE
+    # last-write-wins compaction, exactly Connect's per-record point: a
+    # Filter that drops the newest record makes the previous one the
+    # survivor). A list of {"type": <Connect class name>, ...params} dicts;
+    # compiled per batch into pure Column expressions that fuse into the
+    # ingest projection (one map-side Project — no extra jobs, no UDFs).
+    # Structure is validated at stream START (fail at PUT like Connect,
+    # not per-record); protected identity columns are refused at compile.
+    smt_chain: list | None = None
 
 
 # fields a hot-reload may change per epoch; identity-bearing fields
@@ -235,8 +282,14 @@ RELOADABLE_FIELDS = {
     "whitelist", "blacklist", "arrow_unpack", "normalize", "metrics",
     "shuffle_partitions", "compact_strategy", "broadcast_threshold",
     "affinity_check", "write_salt_target_keys", "changefeed_files",
-    "dlq_dir",
+    "dlq_dir", "check_constraints", "schema_policy", "smt_chain",
 }
+
+
+class SchemaPolicyError(ValueError):
+    """A batch's row schema differs from the stored schema in a way the
+    configured ``schema_policy`` refuses. Raised BEFORE any state is
+    written; the batch is intact for a retry under a different policy."""
 
 
 @dataclass
@@ -371,12 +424,34 @@ class CdcApplyEngine:
         fresh = filter_applied(events, lineage)
 
         n_dlq = 0
+        # CHECK constraints: table-persisted rules bind EVERY writer (the
+        # point of putting them in table metadata); flow config may add to
+        # them and wins a name collision. Both run at the same exactly-once
+        # point as the malformed split — after the watermark dedup, so a
+        # re-delivered violating row is dropped by its lsn, never
+        # re-quarantined.
+        constraints = dict(self.store.constraints())
+        if config.check_constraints:
+            constraints.update(config.check_constraints)
         if config.dlq_dir:
             # the sequenceable split runs AFTER the watermark dedup, so
             # exactly-once covers the quarantine too: a re-delivered
             # malformed row is dropped by its lsn, never re-captured
             bad = _malformed_envelope_pred()
             quarantined = fresh.filter(bad).unionByName(unseq)
+            fresh = fresh.filter(~bad)
+            if constraints:
+                # semantic rejects quarantine beside the structural ones
+                # (errors.tolerance=all), failing rule names recorded in
+                # headers['_violated'] for repair + replay
+                fresh = check_envelope(fresh, constraints)
+                viol = F.size("_violations") > 0
+                quarantined = quarantined.unionByName(
+                    stamp_violated_header(fresh.filter(viol)).drop(
+                        "_violations"
+                    )
+                )
+                fresh = fresh.filter(~viol).drop("_violations")
             dlq_stats = (
                 quarantined.groupBy("partition")
                 .agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n"))
@@ -392,13 +467,50 @@ class CdcApplyEngine:
                 quarantined.write.mode("overwrite").parquet(
                     os.path.join(config.dlq_dir, f"epoch={epoch}")
                 )
-            fresh = fresh.filter(~bad)
+        elif constraints:
+            # strict mode (Delta's default): no DLQ -> any violation fails
+            # the batch BEFORE a single state byte is written. One extra
+            # aggregation job per epoch, paid only by constraint-bearing
+            # flows.
+            counts = {
+                r["rule"]: r["n"]
+                for r in check_envelope(fresh, constraints)
+                .select(F.explode("_violations").alias("rule"))
+                .groupBy("rule")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if counts:
+                raise ConstraintViolationError(counts)
 
         unpack = unpack_envelope_arrow if config.arrow_unpack else unpack_envelope
         # normalization runs AFTER compaction: only surviving rows pay the
         # Arrow round-trip (strictly fewer rows, identical result — the
         # winner per key is chosen by lsn, not content)
         rows = unpack(fresh, normalize=False)
+        if config.smt_chain:
+            # per-record, pre-compaction (Connect semantics; see
+            # EngineConfig.smt_chain). The chain may not touch the merge
+            # keys or bookkeeping columns (compile-time guard in smt.py);
+            # under LWW it must also leave the conflict stamps alone —
+            # a rewritten/removed stamp would fabricate a total order and
+            # diverge replicas silently, so the fence is static (a chain
+            # that NAMES a stamp column is refused even on a direct-ingest
+            # batch whose rows don't carry stamps yet).
+            if config.conflict_policy == "lww":
+                from ..operators.smt import chain_touches
+
+                bad = chain_touches(
+                    config.smt_chain,
+                    (LWW_TS_COL, LWW_SRC_COL, LWW_DELETED_COL),
+                )
+                if bad:
+                    raise SmtError(
+                        f"smt_chain touches LWW conflict-stamp column(s) "
+                        f"{sorted(bad)}; rewriting the total order would "
+                        "diverge replicas"
+                    )
+            rows = apply_smt_chain(rows, config.smt_chain)
         if config.conflict_policy == "lww":
             # stamp (or carry) the total-order conflict stamp: a cascaded
             # image already holds its ORIGIN stamp as data columns (the
@@ -605,12 +717,26 @@ class CdcApplyEngine:
                 )
                 metrics_thread.start()
 
-            row_schema = self._union_row_schema(compacted)
+            row_schema = self._union_row_schema(
+                compacted, config.schema_policy
+            )
             if dirty:
                 batch_side = batch_source.drop(
                     BUCKET_COL, "_n_fresh", "_bytes_fresh", "_pmin", "_pmax",
                     "_lww_order", "_max_lsn",
                 )
+                if config.schema_policy == "project":
+                    # auto.evolve=false: write only the fields the table
+                    # knows — unknown batch columns are dropped, the
+                    # target schema never changes
+                    known = {f.name for f in row_schema.fields} | {
+                        "op", "partition", "lsn", "ts_ms"
+                    }
+                    extra = [
+                        c for c in batch_side.columns if c not in known
+                    ]
+                    if extra:
+                        batch_side = batch_side.drop(*extra)
                 mor_delta = (
                     config.table_mode == "mor"
                     and bool(self.store._bucket_files(dirty))
@@ -852,13 +978,22 @@ class CdcApplyEngine:
         return sorted(out.values(), key=lambda r: r["partition"])
 
     # ------------------------------------------------------------------ #
-    def _union_row_schema(self, compacted: DataFrame) -> T.StructType:
-        """Additive union of the stored schema and this batch's row schema
-        (S6 — target DDL follows source, docs/consideration.md:13-18), with
-        TYPE WIDENING for columns whose source type grew (int -> long,
-        float -> double; merge.widen_fields). Widening is metadata-only:
-        the manifest schema takes the wider type and Spark's parquet reader
-        upcasts the untouched old files' pages on read — no rewrite."""
+    def _union_row_schema(
+        self, compacted: DataFrame, policy: str = "evolve"
+    ) -> T.StructType:
+        """The row schema this batch commits under, per ``schema_policy``.
+
+        "evolve" (default): additive union of the stored schema and the
+        batch's row schema (S6 — target DDL follows source,
+        docs/consideration.md:13-18), with TYPE WIDENING for columns whose
+        source type grew (int -> long, float -> double;
+        merge.widen_fields). Widening is metadata-only: the manifest
+        schema takes the wider type and Spark's parquet reader upcasts the
+        untouched old files' pages on read — no rewrite.
+
+        "project"/"freeze": the STORED schema, verified compatible —
+        freeze refuses any difference, project tolerates (and the caller
+        drops) unknown columns; both refuse a type change."""
         from ..operators.merge import widen_fields
 
         meta = {"op", "partition", "lsn", "ts_ms", BUCKET_COL,
@@ -869,8 +1004,32 @@ class CdcApplyEngine:
         ]
         stored = self.store.schema()
         if stored is None:
+            # first commit defines the table under every policy
             return T.StructType(batch_fields)
-        return widen_fields(stored, batch_fields)
+        if policy == "evolve":
+            return widen_fields(stored, batch_fields)
+        if policy not in ("project", "freeze"):
+            raise ValueError(f"unknown schema_policy {policy!r}")
+        by_name = {f.name: f.dataType for f in stored.fields}
+        changed = {
+            f.name: (by_name[f.name].simpleString(), f.dataType.simpleString())
+            for f in batch_fields
+            if f.name in by_name and f.dataType != by_name[f.name]
+        }
+        if changed:
+            raise SchemaPolicyError(
+                f"schema_policy={policy!r} refuses type change(s) "
+                f"{changed}; narrowing/rewriting data silently would be "
+                "corruption — evolve deliberately or fix the producer"
+            )
+        new = sorted(f.name for f in batch_fields if f.name not in by_name)
+        if new and policy == "freeze":
+            raise SchemaPolicyError(
+                f"schema_policy='freeze' refuses new column(s) {new}; run "
+                "one batch under schema_policy='evolve' to grow the table "
+                "deliberately, or 'project' to drop unknown fields"
+            )
+        return stored
 
     def _write_metrics(
         self,
@@ -1195,6 +1354,11 @@ class CdcApplyEngine:
         until the cap is crossed, so a batch is bounded by cap + one file).
         With ``available_now`` the query drains all pending input then
         stops — the replay-to-caught-up mode used by tests and bench."""
+        if self.config.smt_chain:
+            # fail at PUT, like Connect config validation: a structurally
+            # bad chain (unknown type, protected column) stops the stream
+            # HERE, not mid-epoch with rows in flight
+            compile_smt_chain(self.config.smt_chain)
         src = spark.readStream.schema(read_schema)
         if max_bytes_per_trigger is not None:
             src = src.option("maxBytesPerTrigger", max_bytes_per_trigger)

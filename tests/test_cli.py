@@ -82,3 +82,27 @@ def test_lookup_and_clone_subcommands(tmp_path):
     key = f"{row['repo']}:{row['path']}"
     lk = json.loads(_run("lookup", tgt, key))
     assert lk["n"] == 1 and lk["rows"][0]["path"] == row["path"]
+
+
+def test_metrics_prometheus_exposition(tmp_path):
+    import re
+
+    cl = str(tmp_path / "cl")
+    tgt = str(tmp_path / "tgt")
+    _run("gen", cl, "--keys", "60", "--versions", "2",
+         "--partitions", "2", "--files", "2")
+    _run("replay", cl, tgt)
+    out = subprocess.run(
+        [sys.executable, "-m", "kp_data_replication_spark.cli", "--cpus", "4",
+         "metrics", tgt, "--format", "prometheus"],
+        capture_output=True, text=True, cwd=REPO, check=True, timeout=300,
+    ).stdout
+    lines = [ln for ln in out.splitlines() if ln and not ln.startswith("# ")]
+    sample = re.compile(r'^[a-z_]+\{job="cdc-engine"(,partition="\d+")?\} ')
+    assert lines and all(sample.match(ln) for ln in lines)
+    # both partitions applied 60 events each; watermark gauge present
+    applied = {ln for ln in lines
+               if ln.startswith("cdc_partition_applied_total")}
+    assert len(applied) == 2
+    assert any(ln.startswith("cdc_partition_applied_lsn") for ln in lines)
+    assert 'cdc_table_version{job="cdc-engine"} 1' in lines

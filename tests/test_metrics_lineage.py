@@ -138,3 +138,47 @@ def test_per_group_lineage_is_independent(spark, tmp_path):
     # a re-delivery to flow-a IS deduped by a's own lineage
     s_a2 = a.apply_batch(df, 1, writer_id="wa")
     assert s_a2["keys_changed"] == 0
+
+
+# --------------------------------------------------------------------- #
+# Prometheus text exposition (monitoring/kafka-metrics.yaml analogue)
+# --------------------------------------------------------------------- #
+def test_prometheus_exposition_format():
+    import re
+
+    from kp_data_replication_spark.operators.metrics import (
+        prometheus_exposition,
+    )
+
+    rows = [
+        {"partition": 1, "n_events": 10, "n_applied": 9, "n_duplicates": 1,
+         "bytes_in": 2048, "applied_lsn": 42,
+         "replication_latency_ms": 12.5},
+        {"partition": 0, "n_events": 5, "n_applied": 5, "n_duplicates": 0,
+         "bytes_in": 1024, "applied_lsn": 7,
+         "replication_latency_ms": None},  # absent, not zero-filled
+    ]
+    text = prometheus_exposition(
+        rows, {"version": 3, "n_buckets": 8, "bytes": 3072}, job="flow-a"
+    )
+    lines = text.strip().splitlines()
+    # every non-comment line is a well-formed sample
+    sample = re.compile(
+        r'^[a-z_]+\{job="flow-a"(,partition="\d+")?\} -?[\d.]+$'
+    )
+    for ln in lines:
+        assert ln.startswith("# ") or sample.match(ln), ln
+    # counters sorted by partition under their HELP/TYPE header
+    i = lines.index("# TYPE cdc_partition_records_total counter")
+    assert lines[i + 1].endswith('partition="0"} 5')
+    assert lines[i + 2].endswith('partition="1"} 10')
+    # None latency row is skipped; partition 1's survives
+    lat = [ln for ln in lines if ln.startswith(
+        "cdc_partition_replication_latency_ms")]
+    assert lat == ['cdc_partition_replication_latency_ms{job="flow-a",'
+                   'partition="1"} 12.5']
+    # table gauges present
+    assert 'cdc_table_version{job="flow-a"} 3' in lines
+    assert 'cdc_table_bytes{job="flow-a"} 3072' in lines
+    # empty input renders empty, not a lone newline
+    assert prometheus_exposition([], None) == ""
