@@ -372,8 +372,15 @@ def _encode_envelope(
         .cast("int")
         .alias("partition"),
         F.col(VERSION_COL).alias("lsn"),
-        F.when(F.col(CHANGE_TYPE_COL) == "insert", F.lit("c"))
-        .when(is_del, F.lit("d"))
+        # is_del FIRST: a tombstone row can be NEW at this source (a delete
+        # applied for a key that was never live here — e.g. it out-raced
+        # the create in a ring), surfacing in the diff as change_type=
+        # 'insert' with the tombstone marker set. Encoding that as op='c'
+        # would pair a create with a NULL after image and the downstream
+        # unpack would apply a live null row (losing the tombstone — the
+        # d.py divergence the three-cluster ring test pins down).
+        F.when(is_del, F.lit("d"))
+        .when(F.col(CHANGE_TYPE_COL) == "insert", F.lit("c"))
         .otherwise(F.lit("u"))
         .alias("op"),
         F.when(is_del, image).alias("before"),
