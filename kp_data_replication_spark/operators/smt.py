@@ -39,6 +39,13 @@ Supported transform types (Connect class names, same param spirit):
   Flatten             delimiter="_" (all struct columns)
   HoistField          field=<struct column name> (wraps data columns)
 
+Value transforms (MaskField, InsertField, RegexRouter) additionally take a
+per-record ``when`` guard (+ ``negate_when``) — the Connect KIP-585
+``predicates=`` mechanism: the step applies only to records matching the
+SQL predicate, others keep their original value; NULL does not match.
+Structural transforms refuse the guard at compile time (a rename/drop/
+cast changes the frame-global schema, which cannot vary per record).
+
 Guard rails (mechanism, not convention): a transform may not rename, drop,
 mask, cast, or overwrite the engine's identity columns — the merge keys
 (schema.KEY_COLS) and the exactly-once bookkeeping columns (op, partition,
@@ -126,17 +133,36 @@ def _replace_field(df: DataFrame, step: dict) -> DataFrame:
     return df
 
 
+def _when_cond(step: dict):
+    """Per-transform predicate (the Connect KIP-585 ``predicates=`` guard):
+    the step applies only to records where ``when`` holds. NULL does not
+    match (the record keeps its original value). Only VALUE transforms may
+    be conditional — a structural transform (rename/drop/cast/flatten)
+    changes the frame-global schema, which cannot vary per record in Spark
+    (Connect's per-record schemas can; the compile check names the
+    difference instead of silently ignoring the guard)."""
+    w = step.get("when")
+    if w is None:
+        return None
+    cond = F.coalesce(F.expr(w), F.lit(False))
+    return ~cond if step.get("negate_when") else cond
+
+
 def _mask_field(df: DataFrame, step: dict) -> DataFrame:
     fields = list(_require(step, "fields"))
     _guard(step, fields)
     repl = step.get("replacement")
+    cond = _when_cond(step)
     types = dict(df.dtypes)
     for c in fields:
         if c not in types:
             raise SmtError(f"SMT MaskField: no such column {c!r}")
         # Connect masks to the type's empty value or a configured literal;
         # here None means a typed null (the honest Spark empty)
-        df = df.withColumn(c, F.lit(repl).cast(types[c]))
+        masked = F.lit(repl).cast(types[c])
+        if cond is not None:
+            masked = F.when(cond, masked).otherwise(F.col(c))
+        df = df.withColumn(c, masked)
     return df
 
 
@@ -159,12 +185,15 @@ def _insert_field(df: DataFrame, step: dict) -> DataFrame:
     if not added:
         raise SmtError(f"SMT InsertField: no *_field param given: {step}")
     _guard(step, [n for n, _ in added])
+    cond = _when_cond(step)
     for name, col in added:
         if name in df.columns:
             raise SmtError(
                 f"SMT InsertField: column {name!r} already exists"
             )
-        df = df.withColumn(name, col)
+        df = df.withColumn(
+            name, col if cond is None else F.when(cond, col)
+        )
     return df
 
 
@@ -189,12 +218,13 @@ def _regex_router(df: DataFrame, step: dict) -> DataFrame:
     _guard(step, [field] if field not in ("source_topic",) else [])
     if field not in df.columns:
         raise SmtError(f"SMT RegexRouter: no such column {field!r}")
-    return df.withColumn(
-        field,
-        F.regexp_replace(
-            F.col(field), _require(step, "regex"), _require(step, "replacement")
-        ),
+    routed = F.regexp_replace(
+        F.col(field), _require(step, "regex"), _require(step, "replacement")
     )
+    cond = _when_cond(step)
+    if cond is not None:
+        routed = F.when(cond, routed).otherwise(F.col(field))
+    return df.withColumn(field, routed)
 
 
 def _filter(df: DataFrame, step: dict) -> DataFrame:
@@ -291,6 +321,11 @@ def _static_cols(t: str, step: dict) -> list:
     return []
 
 
+# step types that may carry a per-record ``when`` guard (KIP-585
+# predicates): VALUE transforms only — a structural transform changes the
+# frame-global schema, which cannot vary per record in Spark
+_CONDITIONABLE = {"MaskField", "InsertField", "RegexRouter"}
+
 # params a step type cannot run without — checked at COMPILE time
 _REQUIRED = {
     "MaskField": ("fields",),
@@ -336,6 +371,14 @@ def compile_smt_chain(chain: list[dict]) -> list:
             )
         for p in _REQUIRED.get(t, ()):
             _require(step, p)
+        if ("when" in step or "negate_when" in step) \
+                and t not in _CONDITIONABLE:
+            raise SmtError(
+                f"SMT step {i}: {t!r} cannot take a 'when' guard — it "
+                "changes the frame-global schema, which cannot vary per "
+                f"record (conditionable: {sorted(_CONDITIONABLE)}; for "
+                "conditional row DROPS use Filter's own predicate)"
+            )
         _guard(step, _static_cols(t, step))
         compiled.append((t, dict(step), _APPLIERS[t]))
     return compiled

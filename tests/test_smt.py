@@ -230,3 +230,42 @@ def test_stream_start_validates_chain(spark, tmp_path):
             spark, str(tmp_path / "log"), str(tmp_path / "cp"),
             CHANGELOG_SCHEMA,
         )
+
+
+# --------------------------------------------------------------------- #
+# per-record `when` guards (Connect KIP-585 predicates)
+# --------------------------------------------------------------------- #
+def test_when_guard_applies_value_transforms_per_record(spark):
+    df = spark.createDataFrame(
+        [Row(lsn=0, partition=0, op="u", kind="pii", email="a@x.io"),
+         Row(lsn=1, partition=0, op="u", kind="public", email="b@x.io"),
+         Row(lsn=2, partition=0, op="u", kind=None, email="c@x.io")]
+    )
+    out = apply_smt_chain(df, [
+        {"type": "MaskField", "fields": ["email"], "replacement": "***",
+         "when": "kind = 'pii'"},
+        {"type": "InsertField", "static_field": "flagged",
+         "static_value": True, "when": "kind = 'pii'"},
+        {"type": "RegexRouter", "field": "email", "regex": "@x.io",
+         "replacement": "@y.io", "when": "kind = 'public'"},
+    ])
+    got = {r["lsn"]: (r["email"], r["flagged"]) for r in out.collect()}
+    assert got[0] == ("***", True)          # matched: masked + flagged
+    assert got[1] == ("b@y.io", None)       # unmatched mask, matched router
+    assert got[2] == ("c@x.io", None)       # NULL predicate -> untouched
+
+
+def test_when_guard_negation_and_structural_refusal(spark):
+    df = spark.createDataFrame([Row(lsn=0, partition=0, op="u", v="x")])
+    out = apply_smt_chain(df, [
+        {"type": "MaskField", "fields": ["v"], "replacement": "-",
+         "when": "op = 'd'", "negate_when": True},
+    ])
+    assert out.collect()[0]["v"] == "-"     # negated non-match applies
+    # structural transforms cannot vary per record
+    with pytest.raises(SmtError, match="cannot take a 'when' guard"):
+        compile_smt_chain([{"type": "ReplaceField",
+                            "renames": {"a": "b"}, "when": "op = 'u'"}])
+    with pytest.raises(SmtError, match="cannot take a 'when' guard"):
+        compile_smt_chain([{"type": "Cast", "spec": {"v": "int"},
+                            "when": "op = 'u'"}])
