@@ -273,6 +273,15 @@ class EngineConfig:
     # Structure is validated at stream START (fail at PUT like Connect,
     # not per-record); protected identity columns are refused at compile.
     smt_chain: list | None = None
+    # Kafka consumer isolation level (operators/txn.py). "read_committed"
+    # delivers a transaction's events to the merge only after its commit
+    # marker (headers['_txn_marker']) arrives — same epoch or any later
+    # one (events stage under <root>/_txn/<group>/ in between); aborted
+    # transactions are dropped. Default "read_uncommitted" = every event
+    # applies as it arrives (the gate is never constructed — zero cost).
+    # NOT hot-reloadable: toggling it off mid-stream would strand staged
+    # in-flight transactions silently.
+    txn_isolation: str = "read_uncommitted"
 
 
 # fields a hot-reload may change per epoch; identity-bearing fields
@@ -422,6 +431,27 @@ class CdcApplyEngine:
             unseq = events.filter(F.col("lsn").isNull())
             events = events.filter(F.col("lsn").isNotNull())
         fresh = filter_applied(events, lineage)
+
+        txn_marks: dict[int, int] = {}
+        txn_counters: dict = {}
+        txn_cleanup = None
+        if config.txn_isolation == "read_committed":
+            # Kafka isolation.level=read_committed (operators/txn.py):
+            # marker rows are consumed here (they carry null images and
+            # must never reach the malformed split), uncommitted
+            # transaction events are staged, committed/released ones flow
+            # on through the NORMAL path — DLQ, constraints, SMT,
+            # compaction — inside this epoch's exactly-once commit.
+            from ..operators.txn import TxnGate
+
+            fresh, txn_marks, txn_counters, txn_cleanup = TxnGate(
+                self.store.root, group
+            ).gate(spark, fresh, epoch, base_version)
+        elif config.txn_isolation != "read_uncommitted":
+            raise ValueError(
+                f"unknown txn_isolation {config.txn_isolation!r} "
+                "(expected 'read_uncommitted' or 'read_committed')"
+            )
 
         n_dlq = 0
         # CHECK constraints: table-persisted rules bind EVERY writer (the
@@ -694,6 +724,16 @@ class CdcApplyEngine:
                         {"applied_lsn": -1, "n_applied": 0, "bytes_in": 0},
                     )
                     m["applied_lsn"] = max(m["applied_lsn"], r["max_lsn"])
+            for p, mx in txn_marks.items():
+                # staged/marker lsns are HANDLED (in staging / consumed),
+                # not pending: advance past them so a source redelivery
+                # can never double-stage (operators/txn.py crash windows)
+                if mx is None:
+                    continue
+                m = marks.setdefault(
+                    p, {"applied_lsn": -1, "n_applied": 0, "bytes_in": 0}
+                )
+                m["applied_lsn"] = max(m["applied_lsn"], mx)
             phases["compact"] = round(_time.time() - t0, 3)
             t0 = _time.time()
 
@@ -868,6 +908,13 @@ class CdcApplyEngine:
                 "write_salt": write_salt,
                 "mor_delta": mor_delta,
             }
+            if txn_cleanup is not None:
+                # AFTER the table commit: drop released/aborted staging and
+                # GC resolved ids; a crash here retries next epoch with the
+                # re-release deduped below the watermark
+                txn_cleanup()
+            if txn_counters:
+                summary["txn"] = txn_counters
             if mor_delta and config.mor_fold_max_layers:
                 # layer-count fold: bound the read-side resolution window
                 # and the per-bucket file count. Pure manifest metadata to

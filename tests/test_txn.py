@@ -1,0 +1,193 @@
+"""read_committed transactional apply (operators/txn.py — the Kafka
+isolation.level surface with LSO semantics): commit/abort markers, the
+per-partition delivery prefix that preserves order across a late commit,
+cross-epoch staging with watermark fencing, and crash-replay idempotence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from kp_data_replication_spark.operators.txn import TxnGate
+from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+from kp_data_replication_spark.sources.table_store import TableStore
+from kp_data_replication_spark.streaming.apply import CdcApplyEngine, EngineConfig
+
+
+def _img(path, content):
+    return Row(repo="org/r", path=path, commit="c0", lang="py", content=content)
+
+
+def _ev(partition, lsn, op, image, txn=None, marker=None):
+    headers = {}
+    if txn is not None:
+        headers["_txn_id"] = txn
+    if marker is not None:
+        headers["_txn_marker"] = marker
+    return Row(partition=partition, lsn=lsn, op=op,
+               before=image if op == "d" else None,
+               after=None if op == "d" else image,
+               ts_ms=None, headers=headers or None, source_topic="repos")
+
+
+def _marker(partition, lsn, txn, marker):
+    return _ev(partition, lsn, "c", None, txn=txn, marker=marker)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, CHANGELOG_SCHEMA)
+
+
+def _mk(tmp_path, **cfg):
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    engine = CdcApplyEngine(
+        store,
+        EngineConfig(metrics=False, txn_isolation="read_committed", **cfg),
+    )
+    return store, engine
+
+
+def _paths(spark, store):
+    return {r["path"]: r["content"] for r in store.read_state(spark).collect()}
+
+
+def _marks(store):
+    return {r["partition"]: r["applied_lsn"] for r in store.read_lineage_rows()}
+
+
+# --------------------------------------------------------------------- #
+def test_same_batch_commit_abort_and_passthrough(spark, tmp_path):
+    store, eng = _mk(tmp_path)
+    s = eng.apply_batch(_batch(spark, [
+        _ev(0, 0, "c", _img("plain.py", "P")),                    # non-txn
+        _ev(0, 1, "c", _img("t1a.py", "A"), txn="T1"),
+        _ev(0, 2, "c", _img("t1b.py", "B"), txn="T1"),
+        _marker(0, 3, "T1", "commit"),
+        _ev(1, 0, "c", _img("t2.py", "X"), txn="T2"),
+        _marker(1, 1, "T2", "abort"),
+    ]), 0)
+    assert s["status"] == "committed"
+    assert s["txn"]["n_aborted_resolved"] == 1
+    assert _paths(spark, store) == {"plain.py": "P", "t1a.py": "A",
+                                    "t1b.py": "B"}
+    # markers + events all watermarked; resolved ids GC'd from state
+    assert _marks(store) == {0: 3, 1: 1}
+    gate = TxnGate(store.root, "cdc-engine")
+    assert gate.state() == {"committed": {}, "aborted": {}}
+
+
+def test_lso_blocks_suffix_until_commit_preserving_order(spark, tmp_path):
+    """The ordering case the naive per-transaction release gets wrong: a
+    NEWER direct write behind an open transaction must not merge before
+    the transaction's OLDER write — read_committed holds the whole suffix
+    at the LSO, then delivers the prefix in lsn order."""
+    store, eng = _mk(tmp_path)
+    s0 = eng.apply_batch(_batch(spark, [
+        _ev(0, 0, "c", _img("k.py", "v1-from-txn"), txn="T1"),
+        _ev(0, 1, "u", _img("k.py", "v2-direct")),        # newer, blocked
+        _ev(1, 0, "c", _img("free.py", "F")),             # other partition
+    ]), 0)
+    # partition 1 unaffected; partition 0 fully withheld behind LSO=0
+    assert _paths(spark, store) == {"free.py": "F"}
+    assert s0["txn"]["n_withheld"] == 2
+    assert s0["txn"]["lso"] == {0: 0}
+    # watermark advanced past WITHHELD lsns too: a redelivery can't re-stage
+    assert _marks(store) == {0: 1, 1: 0}
+
+    s1 = eng.apply_batch(_batch(spark, [_marker(0, 2, "T1", "commit")]), 1)
+    # both released in lsn order inside ONE compacted batch -> v2 wins
+    assert _paths(spark, store)["k.py"] == "v2-direct"
+    assert s1["txn"]["n_withheld"] == 0
+    # pool GC'd down to the drain marker; state empty
+    gate = TxnGate(store.root, "cdc-engine")
+    assert gate.state() == {"committed": {}, "aborted": {}}
+
+
+def test_abort_releases_blocked_suffix_and_drops_txn_rows(spark, tmp_path):
+    store, eng = _mk(tmp_path)
+    eng.apply_batch(_batch(spark, [
+        _ev(0, 0, "c", _img("x.py", "from-aborted-txn"), txn="T1"),
+        _ev(0, 1, "c", _img("y.py", "Y")),                # blocked behind T1
+    ]), 0)
+    assert _paths(spark, store) == {}
+    eng.apply_batch(_batch(spark, [_marker(0, 2, "T1", "abort")]), 1)
+    # the aborted transaction's write never lands; the suffix does
+    assert _paths(spark, store) == {"y.py": "Y"}
+
+
+def test_source_redelivery_is_fenced_by_watermark(spark, tmp_path):
+    store, eng = _mk(tmp_path)
+    rows = [
+        _ev(0, 0, "c", _img("k.py", "txn-write"), txn="T1"),
+        _ev(0, 1, "c", _img("other.py", "O")),
+    ]
+    eng.apply_batch(_batch(spark, rows), 0)
+    gate = TxnGate(store.root, "cdc-engine")
+    snaps_before = gate._snap_versions()
+    # the SAME lsns redelivered in a later epoch: dropped by the lineage
+    # watermark before the gate — no double-staging, no state change
+    s = eng.apply_batch(_batch(spark, rows), 1)
+    assert s["keys_changed"] == 0
+    assert gate._snap_versions() == snaps_before
+    eng.apply_batch(_batch(spark, [_marker(0, 2, "T1", "commit")]), 2)
+    assert _paths(spark, store) == {"k.py": "txn-write", "other.py": "O"}
+
+
+def test_crashed_attempt_replay_is_deterministic(spark, tmp_path):
+    """Simulate a crash AFTER the gate staged the pool but BEFORE the
+    table commit: the replayed epoch reads the pre-attempt snapshot and
+    rewrites the same one; the final state is a single clean apply."""
+    store, eng = _mk(tmp_path)
+    rows = [
+        _ev(0, 0, "c", _img("k.py", "in-txn"), txn="T1"),
+        _ev(0, 1, "c", _img("z.py", "Z")),
+    ]
+    gate = TxnGate(store.root, "cdc-engine")
+    # crashed attempt: gate ran (staged + state written), commit never did
+    out, marks, counters, cleanup = gate.gate(
+        spark, _batch(spark, rows), 0, store.current_version()
+    )
+    out.collect()  # materialize like the engine would
+    assert counters["n_withheld"] == 2
+    # replay of the SAME epoch through the engine
+    eng.apply_batch(_batch(spark, rows), 0)
+    eng.apply_batch(_batch(spark, [_marker(0, 2, "T1", "commit")]), 1)
+    assert _paths(spark, store) == {"k.py": "in-txn", "z.py": "Z"}
+
+
+def test_open_txn_blocks_only_its_partition(spark, tmp_path):
+    store, eng = _mk(tmp_path)
+    for e in range(3):
+        eng.apply_batch(_batch(spark, [
+            _ev(1, e, "c", _img(f"p1-{e}.py", str(e))),
+        ] + ([_ev(0, 0, "c", _img("held.py", "H"), txn="TLONG")]
+             if e == 0 else [])), e)
+    # three epochs of partition-1 traffic flowed while T-LONG stays open
+    got = _paths(spark, store)
+    assert {f"p1-{e}.py" for e in range(3)} <= set(got)
+    assert "held.py" not in got
+
+
+def test_read_uncommitted_default_ignores_txn_headers(spark, tmp_path):
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    eng = CdcApplyEngine(store, EngineConfig(metrics=False))
+    eng.apply_batch(_batch(spark, [
+        _ev(0, 0, "c", _img("a.py", "A"), txn="T1"),   # no marker ever
+    ]), 0)
+    # Kafka read_uncommitted: data records deliver immediately
+    assert _paths(spark, store) == {"a.py": "A"}
+    assert not os.path.isdir(os.path.join(store.root, "_txn"))
+
+
+def test_bad_marker_values_fail_loudly(spark, tmp_path):
+    store, eng = _mk(tmp_path)
+    with pytest.raises(ValueError, match="unknown"):
+        eng.apply_batch(
+            _batch(spark, [_marker(0, 0, "T1", "prepare")]), 0
+        )
+    with pytest.raises(ValueError, match="without"):
+        eng.apply_batch(
+            _batch(spark, [_marker(0, 0, None, "commit")]), 0
+        )
