@@ -191,3 +191,65 @@ def test_bad_marker_values_fail_loudly(spark, tmp_path):
         eng.apply_batch(
             _batch(spark, [_marker(0, 0, None, "commit")]), 0
         )
+
+
+# --------------------------------------------------------------------- #
+# streaming kill/resume: the withheld pool outlives the stream
+# --------------------------------------------------------------------- #
+def _write_file(spark, rows, out_dir, name):
+    import shutil
+
+    df = _batch(spark, rows)
+    tmp = os.path.join(out_dir, "_tmp_" + name)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(f for f in os.listdir(tmp)
+               if f.endswith(".parquet") and not f.startswith("_"))
+    os.replace(os.path.join(tmp, src), os.path.join(out_dir, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_kill_resume_carries_open_transactions(spark, tmp_path):
+    """Kill the stream at an arbitrary point while a transaction is open;
+    the resumed stream (same checkpoint, fresh engine object) must land
+    the same final state: the pool snapshot is keyed by TABLE version, so
+    in-flight transactions survive the restart."""
+    import time
+
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    _write_file(spark, [
+        _ev(0, 0, "c", _img("k.py", "txn-v1"), txn="T1"),
+        _ev(0, 1, "u", _img("k.py", "direct-v2")),       # blocked, newer
+        _ev(1, 0, "c", _img("free.py", "F")),
+    ], log, "b0.parquet")
+    _write_file(spark, [
+        _ev(0, 2, "c", _img("other.py", "O")),           # blocked suffix
+        _ev(1, 1, "c", _img("more.py", "M")),
+    ], log, "b1.parquet")
+    _write_file(spark, [_marker(0, 3, "T1", "commit")], log, "b2.parquet")
+
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    cfg = EngineConfig(metrics=False, txn_isolation="read_committed")
+    cp = str(tmp_path / "cp")
+
+    q = CdcApplyEngine(store, cfg).start_stream(
+        spark, log, cp, CHANGELOG_SCHEMA, max_files_per_trigger=1
+    )
+    time.sleep(10)
+    q.stop()
+    q.awaitTermination()
+    # fresh engine object, same checkpoint + table: resume
+    q2 = CdcApplyEngine(store, cfg).start_stream(
+        spark, log, cp, CHANGELOG_SCHEMA, max_files_per_trigger=1
+    )
+    q2.awaitTermination()
+
+    got = _paths(spark, store)
+    assert got == {
+        "k.py": "direct-v2",   # late commit did not reorder the merge
+        "free.py": "F",
+        "more.py": "M",
+        "other.py": "O",
+    }
+    gate = TxnGate(store.root, "cdc-engine")
+    assert gate.state() == {"committed": {}, "aborted": {}}
