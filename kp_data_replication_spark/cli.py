@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> None:
                         "(--throughput analogue; overrides files cap)")
     s.add_argument("--continuous", action="store_true",
                    help="keep running (default: drain available input and stop)")
+    s.add_argument("--source-format", choices=["parquet", "json"],
+                   default="parquet",
+                   help="changelog file format; json = JSON-lines envelope "
+                        "files (the reference's JSON record shape / Connect "
+                        "JsonConverter)")
     s.add_argument("--dlq-dir", default=None,
                    help="quarantine malformed envelopes here "
                         "(errors.tolerance=all analogue)")
@@ -353,6 +358,7 @@ def main(argv: list[str] | None = None) -> None:
             max_files_per_trigger=args.max_files_per_trigger,
             max_bytes_per_trigger=args.max_bytes_per_trigger,
             available_now=not args.continuous,
+            source_format=args.source_format,
         )
         q.awaitTermination()
         print(json.dumps({"status": "drained", "epoch": engine.store.current_epoch()}))

@@ -1391,6 +1391,7 @@ class CdcApplyEngine:
         max_files_per_trigger: int = 1,
         max_bytes_per_trigger: str | None = None,
         available_now: bool = True,
+        source_format: str = "parquet",
     ):
         """Continuous tail with restart-resume (T1): file-source analogue of
         the MM2 consume loop. Rate throttling (T7, docs/perf-tests.md:166
@@ -1411,7 +1412,22 @@ class CdcApplyEngine:
             src = src.option("maxBytesPerTrigger", max_bytes_per_trigger)
         else:
             src = src.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        src = src.parquet(changelog_path)
+        if source_format == "parquet":
+            src = src.parquet(changelog_path)
+        elif source_format == "json":
+            # JSON-lines changelog files — the reference's wire shape
+            # (records are JSON values, mirror-maker-2/
+            # SendProductToKafka.py:43-54; Kafka Connect's JsonConverter is
+            # the stock serialization). Same file-batch trigger semantics;
+            # the explicit read_schema types every field (no inference
+            # scan), so a malformed document yields nulls that the DLQ
+            # malformed split quarantines instead of poisoning the merge.
+            src = src.json(changelog_path)
+        else:
+            raise ValueError(
+                f"unknown source_format {source_format!r} "
+                "(expected 'parquet' or 'json')"
+            )
         # the checkpoint IS the stream's identity: batch ids are meaningful
         # only within one checkpoint's sequence, and the id survives
         # restarts (same checkpoint -> same writer -> fencing works across
