@@ -269,7 +269,37 @@ def main(argv: list[str] | None = None) -> None:
                          "columns (FALSE violates, NULL passes, deletes "
                          "exempt)")
 
+    tx = sub.add_parser(
+        "txn",
+        help="read_committed transaction status: open/resolved transaction "
+             "counts and pool snapshots per consumer group (Kafka "
+             "LSO/transaction-coordinator ops view)",
+    )
+    tx.add_argument("target")
+
     args = ap.parse_args(argv)
+    if args.cmd == "txn":  # pure metadata op — no Spark session needed
+        import os as _os
+        from urllib.parse import unquote
+
+        from .operators.txn import TxnGate
+
+        txn_root = _os.path.join(args.target, "_txn")
+        groups = sorted(_os.listdir(txn_root)) if _os.path.isdir(txn_root) else []
+        out = {}
+        for g in groups:
+            gate = TxnGate(args.target, unquote(g))
+            st = gate.state()
+            out[unquote(g)] = {
+                "open_txns": sorted(gate.open_txn_ids()),
+                "resolved_pending_gc": {
+                    "committed": sorted(st["committed"]),
+                    "aborted": sorted(st["aborted"]),
+                },
+                "pool_snapshots": gate._snap_versions(),
+            }
+        print(json.dumps(out))
+        return
     if args.cmd == "constraint":  # pure metadata op — no Spark session needed
         store = TableStore(args.target)
         if args.action == "add":
@@ -594,11 +624,22 @@ def main(argv: list[str] | None = None) -> None:
                 d["applied_lsn"] = marks.get(d["partition"])
                 prows.append(d)
             m = store.current_manifest()
+            txn_root = _os.path.join(args.target, "_txn")
+            txn_open = None
+            if _os.path.isdir(txn_root):
+                from .operators.txn import TxnGate
+                from urllib.parse import unquote
+
+                txn_open = sum(
+                    len(TxnGate(args.target, unquote(g)).open_txn_ids())
+                    for g in _os.listdir(txn_root)
+                )
             stats = {
                 "version": store.current_version(),
                 "n_buckets": None if m is None else m["n_buckets"],
                 "bytes": None if m is None else
                 sum(m.get("bucket_bytes", {}).values()),
+                "txn_open": txn_open,
             }
             print(prometheus_exposition(prows, stats), end="")
         else:

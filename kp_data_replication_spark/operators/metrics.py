@@ -150,6 +150,9 @@ _TABLE_METRICS = [
      "bytes"),
     ("cdc_alerts_firing", "gauge", "Alert rows firing by the rules CLI",
      "alerts_firing"),
+    ("cdc_txn_open", "gauge",
+     "Open (unresolved) transactions withheld by the read_committed gate",
+     "txn_open"),
 ]
 
 

@@ -133,6 +133,31 @@ class TxnGate:
             # the latest)
             return None
 
+    def open_txn_ids(self) -> set:
+        """Ids of still-open transactions with withheld rows (ops view —
+        CLI ``txn`` / the ``cdc_txn_open`` gauge). Reads ONLY the headers
+        column of the latest pool snapshot (column-pruned pyarrow,
+        bounded by withheld volume), no Spark session needed."""
+        vers = self._snap_versions()
+        if not vers:
+            return set()
+        import pyarrow.dataset as pads
+
+        try:
+            tbl = pads.dataset(
+                self._snap_dir(max(vers)), format="parquet"
+            ).to_table(columns=["headers"])
+        except Exception:  # noqa: BLE001 - empty drain-marker snapshot
+            return set()
+        ids: set = set()
+        for m in tbl.column("headers").to_pylist():
+            if m:
+                tid = dict(m).get(TXN_ID_HEADER)
+                if tid is not None:
+                    ids.add(tid)
+        st = self.state()
+        return ids - set(st["committed"]) - set(st["aborted"])
+
     # ----------------------------- gate ------------------------------ #
     def gate(
         self, spark: SparkSession, fresh: DataFrame, epoch: int, version: int

@@ -253,3 +253,30 @@ def test_stream_kill_resume_carries_open_transactions(spark, tmp_path):
     }
     gate = TxnGate(store.root, "cdc-engine")
     assert gate.state() == {"committed": {}, "aborted": {}}
+
+
+def test_txn_cli_status(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    store, eng = _mk(tmp_path)
+    eng.apply_batch(_batch(spark, [
+        _ev(0, 0, "c", _img("held.py", "H"), txn="TOPEN"),
+    ]), 0)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "kp_data_replication_spark.cli",
+         "txn", store.root],
+        capture_output=True, text=True, cwd=repo, check=True, timeout=120,
+    ).stdout.strip()
+    st = _json.loads(out)["cdc-engine"]
+    assert st["open_txns"] == ["TOPEN"]
+    assert st["pool_snapshots"] == [0]
+    # empty-store target reports an empty map, not an error
+    empty = subprocess.run(
+        [sys.executable, "-m", "kp_data_replication_spark.cli",
+         "txn", str(tmp_path / "nope")],
+        capture_output=True, text=True, cwd=repo, check=True, timeout=120,
+    ).stdout.strip()
+    assert _json.loads(empty) == {}
