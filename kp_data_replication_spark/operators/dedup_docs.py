@@ -276,3 +276,124 @@ def decontaminate(
         )
         .withColumnRenamed("doc", id_col)
     )
+
+
+# ------------------------------------------------------- substring spans
+def substring_spans(
+    df: DataFrame,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int | None = 256,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING spans across documents — the span-level
+    exact-substring dedup of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"), re-expressed Spark-first: the paper's
+    suffix array (inherently sequential, single-address-space) is replaced
+    by a CONTENT-ANCHORED k-gram digest equi-join, the distributed-friendly
+    form of the same detector.
+
+    Anchoring is the load-bearing choice. Sampling gram positions at a
+    fixed stride looks cheaper but is alignment-BLIND: two documents
+    sharing a run at offsets that differ by a non-multiple of the stride
+    never sample the same gram (a duplicate prefixed by one extra word
+    escapes detection entirely). Anchoring gram starts at CONTENT features
+    — here word starts, the same idea as winnowing (Schleimer et al. 2003)
+    and content-defined chunking — makes both copies of a shared run pick
+    identical in-run positions regardless of where the run sits in each
+    document.
+
+    Plan: per document, generate candidate positions (explode of a
+    sequence — pipelined inside one codegen stage, never materialized),
+    keep word-start anchors (1-char probe, then md5 only for survivors —
+    anchor density ~1/avg-word-len); digest each k-char gram with md5 (the
+    shuffle carries 16-byte digests, never text — and the DuckDB oracle
+    computes the identical digest); cap ubiquitous grams BEFORE the
+    self-join (a gram occurring d times contributes O(d^2) join rows —
+    boilerplate headers/license blocks are the quadratic hot keys at
+    corpus scale, exactly the Jaccard max_df story); self-equi-join on
+    digest (candidate-bounded: only docs sharing an exact k-gram ever
+    meet); then merge overlapping/adjacent hits into MAXIMAL spans with a
+    gaps-and-islands window per (doc_a, doc_b) pair.
+
+    Detection guarantee: every reported span is an exact duplicated
+    substring of length >= k present in both documents (md5 collisions are
+    negligible and would only ADD a span, deterministically on both
+    engines); a shared run is detected once it contains a word start with
+    >= k chars of run remaining — i.e. runs of length >= k + one word.
+    Wordless blobs (base64, DNA) anchor only at position 1; route those
+    through a byte-level anchor upstream if span dedup matters there.
+
+    100-TB shape: the candidate generator streams len rows/doc through one
+    WholeStageCodegen filter (O(corpus bytes) map-side CPU, zero shuffle);
+    only ~len/6 anchored digests reach the exchange; the join fan-out is
+    bounded by max_occurrences; the islands window partitions by
+    (doc_a, doc_b) — millions of independent small groups, no skew pole.
+    Nothing here is O(corpus^2).
+
+    Output: (doc_a, doc_b, span_start, span_end, n_grams), span in doc_a
+    coordinates, 1-based inclusive, doc_a < doc_b.
+    """
+    d = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
+    ).filter(F.length("_t") >= k)
+    pos = F.col("pos")
+    grams = (
+        d.select(
+            "doc",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - (k - 1), F.lit(1))
+            ).alias("pos"),
+            "_t",
+        )
+        # word-start anchor: doc start, or the char before is a space
+        .filter(
+            (pos == 1) | (F.substring(F.col("_t"), pos - 1, F.lit(1)) == " ")
+        )
+        .select(
+            "doc",
+            pos.cast("long").alias("pos"),
+            F.md5(F.substring(F.col("_t"), pos, F.lit(k))).alias("h"),
+        )
+    )
+    if max_occurrences is not None:
+        # cap as an ANTI-join against the HOT set, not a semi-join against
+        # the rare set: at corpus scale almost every gram is rare (the rare
+        # set is ~all grams — unbroadcastable), while the hot set is just
+        # the boilerplate grams — small by construction, so the exclusion
+        # is a broadcast anti-join that never shuffles the gram stream
+        hot = (
+            grams.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") > max_occurrences)
+            .select("h")
+        )
+        grams = grams.join(F.broadcast(hot), "h", "left_anti")
+    a = grams.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
+    b = grams.select(F.col("doc").alias("doc_b"), "h")
+    hits = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a")
+        .distinct()
+    )
+    w = W.partitionBy("doc_a", "doc_b").orderBy("pos_a")
+    # adjacent/overlapping grams (gap <= k) fuse into one island; the two
+    # window functions share partitioning+ordering -> one sort, one pass
+    flagged = hits.withColumn(
+        "_new",
+        F.when(F.col("pos_a") - F.lag("pos_a").over(w) > k, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "_island")
+        .agg(
+            F.min("pos_a").alias("span_start"),
+            (F.max("pos_a") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_a", "doc_b", "span_start", "span_end", "n_grams")
+    )

@@ -89,6 +89,41 @@ SQL_CDC_STATE_LASTWRITE = """
 """
 
 
+def q_cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-bootstrap handoff algebra — the oracle twin of
+    CdcApplyEngine.bootstrap_from_snapshot (Debezium snapshot.mode=initial /
+    MM2 existing-records-first bring-up): compact the log prefix at a
+    mid-log watermark W into a snapshot (tombstones gone, winners keep
+    their ORIGINAL lsn — the position stamp Debezium puts on snapshot
+    reads), union the tail (lsn > W), compact again. Must equal one full
+    LWW replay — the oracle is exactly the full-replay SQL, independently
+    computed. The 1-row cutoff aggregate joins in via broadcast (no
+    shuffle of the event side)."""
+    ev = _with_envelope(_events(spark, sf_dir))
+    cut = ev.agg(F.floor(F.max("lsn") / 2).cast("long").alias("_w"))
+    ev = ev.join(F.broadcast(cut))
+    snapshot = last_write_wins(
+        ev.filter(F.col("lsn") <= F.col("_w")),
+        key_cols=["user_id"],
+        order_col="lsn",
+    ).filter(F.col("op") != "d")
+    tail = ev.filter(F.col("lsn") > F.col("_w"))
+    final = last_write_wins(
+        snapshot.unionByName(tail.select(*snapshot.columns)),
+        key_cols=["user_id"],
+        order_col="lsn",
+    )
+    return final.filter(F.col("op") != "d").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+SQL_CDC_SNAPSHOT_HANDOFF = SQL_CDC_STATE_LASTWRITE
+
+
 def q_cdc_applied_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: per-partition applied-offset high-water marks
     (checkpoint content, docs/consideration.md:39-42)."""
@@ -751,6 +786,7 @@ from .operators.dedup_docs import (  # noqa: E402
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    substring_spans,
 )
 from .operators.clustering import (  # noqa: E402
     SAMPLE_MOD,
@@ -816,6 +852,45 @@ SQL_DEDUP_JACCARD_PAIRS = f"""
     JOIN sizes s1 ON s1.doc = doc1
     JOIN sizes s2 ON s2.doc = doc2
     WHERE inter::DOUBLE / (s1.sz + s2.sz - inter) >= 0.2
+"""
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee et al. 2021 re-expressed as a
+    word-anchored k-gram digest equi-join + gaps-and-islands merge;
+    operators/dedup_docs.substring_spans)."""
+    return substring_spans(_docs(spark, sf_dir), k=64)
+
+
+SQL_DEDUP_SUBSTRING_SPANS = """
+    WITH d AS (
+      SELECT doc_id AS doc, text AS t FROM documents WHERE length(text) >= 64),
+    p AS (
+      SELECT doc, unnest(generate_series(1, length(t) - 63, 1)) AS pos, t
+      FROM d),
+    a AS (
+      SELECT doc, pos, t FROM p
+      WHERE pos = 1 OR substr(t, pos - 1, 1) = ' '),
+    g AS (SELECT doc, pos::BIGINT AS pos, md5(substr(t, pos, 64)) AS h FROM a),
+    rare AS (SELECT h FROM g GROUP BY h HAVING count(*) <= 256),
+    gg AS (SELECT g.doc, g.pos, g.h FROM g JOIN rare USING (h)),
+    hits AS (
+      SELECT DISTINCT ga.doc AS doc_a, gb.doc AS doc_b, ga.pos AS pos_a
+      FROM gg ga JOIN gg gb ON ga.h = gb.h AND ga.doc < gb.doc),
+    flagged AS (
+      SELECT doc_a, doc_b, pos_a,
+             CASE WHEN pos_a - lag(pos_a) OVER
+                    (PARTITION BY doc_a, doc_b ORDER BY pos_a) > 64
+                  THEN 1 ELSE 0 END AS newg
+      FROM hits),
+    islands AS (
+      SELECT doc_a, doc_b, pos_a,
+             sum(newg) OVER (PARTITION BY doc_a, doc_b ORDER BY pos_a
+                             ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged)
+    SELECT doc_a, doc_b, min(pos_a) AS span_start,
+           max(pos_a) + 63 AS span_end, count(*) AS n_grams
+    FROM islands GROUP BY doc_a, doc_b, island
 """
 
 
@@ -1882,6 +1957,7 @@ SQL_TEXT_ROLLING_FINGERPRINT = """
 # --------------------------------------------------------------------- #
 CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_state_lastwrite": (q_cdc_state_lastwrite, SQL_CDC_STATE_LASTWRITE),
+    "cdc_snapshot_handoff": (q_cdc_snapshot_handoff, SQL_CDC_SNAPSHOT_HANDOFF),
     "cdc_applied_watermarks": (q_cdc_applied_watermarks, SQL_CDC_APPLIED_WATERMARKS),
     "cdc_group_checkpoints": (q_cdc_group_checkpoints, SQL_CDC_GROUP_CHECKPOINTS),
     "cdc_replication_latency": (q_cdc_replication_latency, SQL_CDC_REPLICATION_LATENCY),
@@ -1905,6 +1981,9 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     # training-data pipeline operators
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD_PAIRS),
+    "dedup_substring_spans": (
+        q_dedup_substring_spans, SQL_DEDUP_SUBSTRING_SPANS,
+    ),
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh_pairs, SQL_DEDUP_MINHASH_LSH_PAIRS),
     "dedup_incremental_lsh_pairs": (

@@ -1382,6 +1382,138 @@ class CdcApplyEngine:
             out["phases"]["read_plan"] = read_sec
         return out
 
+    def bootstrap_from_snapshot(
+        self,
+        snapshot: DataFrame,
+        watermarks: dict[int, int],
+        writer_id: str = "bootstrap",
+    ) -> dict:
+        """Seed an EMPTY target from a consistent source snapshot, then hand
+        off to the changelog tail — the Debezium ``snapshot.mode=initial``
+        step of replication bring-up (MirrorSourceConnector replicates a
+        topic's EXISTING records before tailing new ones, docs/index.md:17-23;
+        Debezium emits snapshot rows as op='r' reads stamped with the log
+        position the snapshot was taken at — here they enter as op='c', the
+        engine's insert class).
+
+        ``snapshot``: one row per LIVE key, in the target row schema, plus a
+        ``partition`` column (the log partition the key's changes route to —
+        the snapshot producer knows the routing, exactly as Debezium stamps
+        source partition metadata on snapshot records). Deleted keys are
+        simply absent.
+
+        ``watermarks``: {partition -> last lsn INCLUDED in the snapshot} for
+        EVERY log partition — including partitions whose keys are all
+        deleted or that never produced. The handoff contract is "the tail
+        applies strictly above these", and it must hold for empty partitions
+        by MECHANISM: without their watermark, re-pointing the stream at the
+        full changelog would re-apply their prefix (convergent — full-image
+        upserts + tombstones are value-idempotent — but O(history) wasted
+        merges instead of O(tail)).
+
+        Mechanics: snapshot rows run the NORMAL exactly-once apply path
+        (op='c' upserts at lsn = their partition's watermark — DLQ split,
+        constraints, SMT, compaction, bucketed MERGE all see them), then a
+        second LINEAGE-ONLY commit raises every declared partition to its
+        watermark (one atomic version bump, no data write). After that, a
+        stream or replay pointed at the full changelog dedups the
+        pre-snapshot prefix via the standard lineage watermark and pays
+        only O(tail); the oracle twin of this algebra is the
+        ``cdc_snapshot_handoff`` query (snapshot ∪ tail under LWW == full
+        replay).
+
+        Refuses a non-empty target: bootstrap-over-state is a full-resync
+        decision (drop the target first, docs/consideration.md:52-58 —
+        re-sync is replay-from-zero), not something to merge silently.
+        Under ``conflict_policy='lww'`` the snapshot must carry a ``ts_ms``
+        column (the rows' ORIGIN stamps): stamping existing state with
+        bootstrap wall-clock time would beat genuinely newer remote writes.
+        """
+        if self.store.current_version() > 0:
+            # allow RESUMING a bootstrap that crashed between its two
+            # commits: the only committed writer is this one, and the
+            # epoch fencing below makes both commits idempotent
+            writers = (self.store.current_manifest() or {}).get("writers") or {}
+            if set(writers) != {writer_id}:
+                raise ValueError(
+                    "bootstrap_from_snapshot requires an EMPTY target table "
+                    f"(found v{self.store.current_version()}); drop the "
+                    "target or catch it up with replay/stream instead"
+                )
+        if not watermarks:
+            raise ValueError("watermarks must declare every log partition")
+        config = self._effective_config()
+        has_ts = "ts_ms" in snapshot.columns
+        if config.conflict_policy == "lww" and not has_ts:
+            raise ValueError(
+                "conflict_policy='lww' bootstrap needs per-row origin "
+                "stamps: include a ts_ms column in the snapshot"
+            )
+        data_cols = [
+            c for c in snapshot.columns if c not in ("partition", "ts_ms")
+        ]
+        row_schema = T.StructType(
+            [
+                T.StructField(c, snapshot.schema[c].dataType, True)
+                for c in data_cols
+            ]
+        )
+        part = F.col("partition").cast("int")
+        # literal lookup map: one entry per log partition (bounded — the
+        # reference runs tens of partitions, docs/perf-tests.md:15)
+        wm = F.create_map(
+            *[F.lit(x) for p, w in sorted(watermarks.items()) for x in (p, w)]
+        )
+        env = snapshot.select(
+            part.alias("partition"),
+            wm[part].cast("long").alias("lsn"),
+            F.lit("c").alias("op"),
+            F.lit(None).cast(row_schema).alias("before"),
+            F.struct(*[F.col(c) for c in data_cols]).alias("after"),
+            (F.col("ts_ms") if has_ts else F.lit(None)).cast("timestamp")
+            .alias("ts_ms"),
+            F.create_map(F.lit("_snapshot"), F.lit("true")).alias("headers"),
+            F.lit("snapshot").alias("source_topic"),
+        )
+        out = self.apply_batch(env, epoch=0, writer_id=writer_id)
+        # lineage-only commit: raise EVERY declared partition (incl. ones
+        # with no live snapshot rows) to its watermark, monotonically
+        from datetime import datetime, timezone
+
+        group = config.consumer_group
+        now = datetime.now(tz=timezone.utc).replace(tzinfo=None)
+        all_rows = self.store.read_lineage_rows()
+        mine = {
+            r["partition"]: r
+            for r in all_rows
+            if (r.get("consumer_group") or DEFAULT_GROUP) == group
+        }
+        others = [
+            r for r in all_rows
+            if (r.get("consumer_group") or DEFAULT_GROUP) != group
+        ]
+        for p, w in sorted(watermarks.items()):
+            cur = mine.get(p)
+            mine[p] = {
+                "consumer_group": group,
+                "partition": p,
+                "applied_lsn": max(int(w), cur["applied_lsn"] if cur else -1),
+                "epoch": 1,
+                "n_applied": (cur or {}).get("n_applied") or 0,
+                "updated_ts": (cur or {}).get("updated_ts") or now,
+            }
+        version = self.store.commit(
+            None,
+            [],
+            sorted(mine.values(), key=lambda r: r["partition"]) + others,
+            epoch=1,
+            row_schema=self.store.schema() or row_schema,
+            writer_id=writer_id,
+        )
+        out["bootstrap_version"] = version
+        out["watermarks"] = dict(sorted(watermarks.items()))
+        return out
+
     def start_stream(
         self,
         spark: SparkSession,

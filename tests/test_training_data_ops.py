@@ -21,6 +21,7 @@ from kp_data_replication_spark.operators.dedup_docs import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    substring_spans,
 )
 from kp_data_replication_spark.operators.multimodal import (
     decode_image_stub,
@@ -483,3 +484,45 @@ def test_decontaminate_probe_side_is_broadcast(spark):
     probes = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
     docs = spark.createDataFrame([(1, "a b c x")], "doc_id long, text string")
     assert_broadcast_join(decontaminate(docs, probes))
+
+
+def test_substring_spans_detects_and_merges_planted_duplicate(spark):
+    """A long run shared verbatim by two documents at UNALIGNED offsets
+    (121 vs 38 — a fixed-stride sampler would miss it entirely) is reported
+    as ONE maximal span (adjacent k-gram hits merge), positioned exactly in
+    doc_a coordinates; unrelated docs produce no spans."""
+    shared = "".join(f"token{i:04d} " for i in range(40))  # 400 chars, unique
+    a_prefix = "alpha " * 20  # 120 chars before the shared run in doc 1
+    docs = spark.createDataFrame(
+        [
+            (1, a_prefix + shared + "tail one"),
+            (2, "totally different lead-in text here " + shared + "other end"),
+            (3, "no overlap with anything else at all " * 12),
+        ],
+        "doc_id long, text string",
+    )
+    got = substring_spans(docs, k=64).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(1, 2)}
+    [span] = got
+    # word anchors every 10 chars inside the run; grams fit while the
+    # anchor's run offset <= 400-64, so the last one is at offset 330
+    start0 = len(a_prefix) + 1  # 1-based position of the shared run in doc 1
+    assert span.span_start == start0
+    assert span.span_end == start0 + 330 + 63
+    assert span.n_grams == 34
+
+
+def test_substring_spans_occurrence_cap_drops_boilerplate(spark):
+    """A gram occurring in MORE docs than the cap (license-header
+    boilerplate) is excluded before the self-join — the quadratic hot key
+    never reaches the shuffle."""
+    boiler = "x" * 80  # identical 80-char run starting every doc
+    docs = spark.createDataFrame(
+        [(i, boiler + f" unique tail {i} " + "y" * 40) for i in range(6)],
+        "doc_id long, text string",
+    )
+    capped = substring_spans(docs, k=64, max_occurrences=4).collect()
+    assert capped == []
+    uncapped = substring_spans(docs, k=64, max_occurrences=None).collect()
+    assert len(uncapped) == 15  # all C(6,2) pairs share the boilerplate
+    assert all(r.span_start == 1 and r.span_end == 64 for r in uncapped)
