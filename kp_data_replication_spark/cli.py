@@ -100,6 +100,25 @@ def main(argv: list[str] | None = None) -> None:
     rw.add_argument("--sort-keys", action="store_true",
                     help="sort rewritten buckets by key (tight row-group "
                          "min/max for point lookups)")
+    rw.add_argument("--cluster-by", default=None,
+                    help="comma-separated columns to range-cluster files by "
+                         "(tight manifest zonemaps for scan --where)")
+    rw.add_argument("--split-files", type=int, default=1,
+                    help="range slices per bucket when clustering")
+
+    sc = sub.add_parser(
+        "scan",
+        help="predicate scan through manifest zonemap pruning "
+             "(read_state(where=)); prints the prune report + row count",
+    )
+    sc.add_argument("target")
+    sc.add_argument(
+        "--where", action="append", required=True, metavar="COL:OP:VALUE",
+        help="conjunct, op in =,<,<=,>,>=,prefix (repeatable)",
+    )
+    sc.add_argument("--version", type=int, default=None)
+    sc.add_argument("--show", type=int, default=0,
+                    help="print up to N matching rows")
 
     lk = sub.add_parser(
         "lookup",
@@ -426,7 +445,29 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(TableStore(args.target).rebucket(spark, args.n_buckets)))
     elif args.cmd == "rewrite":
         print(json.dumps(TableStore(args.target).rewrite_buckets(
-            spark, min_files=args.min_files, sort_keys=args.sort_keys)))
+            spark, min_files=args.min_files, sort_keys=args.sort_keys,
+            cluster_by=(args.cluster_by.split(",") if args.cluster_by else None),
+            split_files=args.split_files)))
+    elif args.cmd == "scan":
+        store = TableStore(args.target)
+        where = []
+        for w in args.where:
+            col, _, rest = w.partition(":")
+            op, _, val = rest.partition(":")
+            if not val:
+                raise SystemExit(f"--where must be COL:OP:VALUE, got {w!r}")
+            where.append((col, op, val))
+        df = store.read_state(spark, version=args.version, where=where)
+        out = {
+            "prune": store.prune_report(where, version=args.version),
+            "rows": df.count(),
+        }
+        if args.show:
+            out["sample"] = [
+                {c: str(r[c])[:80] for c in r.asDict()}
+                for r in df.limit(args.show).collect()
+            ]
+        print(json.dumps(out))
     elif args.cmd == "lookup":
         store = TableStore(args.target)
         keys = []

@@ -1208,6 +1208,51 @@ SQL_CDC_STATE_MOR = """
 """
 
 
+def q_cdc_scan_pruned(spark, sf_dir):
+    """Predicate-pruned scan over manifest zonemaps (the Iceberg
+    lower_bounds/upper_bounds + SORT ORDER split-planning analogue,
+    sources/table_store.py collect_file_stats / read_state(where=)):
+    replay the shared 3-epoch fixture through the CDC engine, compact with
+    ``rewrite_buckets(cluster_by=["lang"], split_files=4)`` so each file
+    covers a tight lang range, then scan WHERE lang='en' through the
+    pruning path. The query self-audits that file skipping actually fired
+    (prune_report) before returning — hash equality against the plain SQL
+    filter proves pruning is row-exact, never a lossy shortcut. At 10^10
+    rows this is the layer that keeps a selective scan from planning over
+    every data file of the table."""
+    import tempfile
+
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    store = TableStore(tempfile.mkdtemp(prefix="zonemap_scan_"), n_buckets=4)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False))
+    for epoch, batch in enumerate(_incremental_fixture_batches(spark, sf_dir)):
+        engine.apply_batch(batch, epoch)
+    store.rewrite_buckets(
+        spark, min_files=0, cluster_by=["lang"], split_files=4
+    )
+    rep = store.prune_report([("lang", "=", "en")])
+    if rep["files_selected"] == 0 or (
+        rep["files_total"] >= 8
+        and rep["files_selected"] >= rep["files_total"]
+    ):
+        raise RuntimeError(f"zonemap pruning did not fire: {rep}")
+    return store.read_state(spark, where=[("lang", "=", "en")]).select(
+        F.col("path").cast("long").alias("doc_id"),
+        "lang",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+SQL_CDC_SCAN_PRUNED = """
+    SELECT doc_id, lang,
+           sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+             AS content_sha
+    FROM documents WHERE doc_id % 11 != 0 AND lang = 'en'
+"""
+
+
 def q_cdc_offset_failover(spark, sf_dir):
     """J1/S8 at the VERSION level — consumer-group failover translation
     (MM2 RemoteClusterUtils.translateOffsets, docs/consideration.md:37-48).
@@ -1992,6 +2037,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     ),
     "cdc_state_time_travel": (q_cdc_state_time_travel, SQL_CDC_STATE_TIME_TRAVEL),
     "cdc_state_mor": (q_cdc_state_mor, SQL_CDC_STATE_MOR),
+    "cdc_scan_pruned": (q_cdc_scan_pruned, SQL_CDC_SCAN_PRUNED),
     "cdc_acl_sync": (q_cdc_acl_sync, SQL_CDC_ACL_SYNC),
     "cdc_offset_failover": (q_cdc_offset_failover, SQL_CDC_OFFSET_FAILOVER),
     "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),

@@ -92,10 +92,215 @@ def _locked(fn):
     return wrapper
 
 
+# ---------- manifest column statistics (file-level zonemaps) ----------
+#
+# The Iceberg manifest lower_bounds/upper_bounds analogue: per data FILE,
+# per atomic column, a [min, max, null_count] triple harvested from the
+# parquet FOOTER at commit time (a metadata-only read — no data pages are
+# touched, same cost class as the existing per-file getsize). read_state's
+# ``where`` path intersects a conjunct predicate against these bounds and
+# skips whole files before Spark ever opens them. Parquet's own row-group
+# min/max pruning still fires inside the files that survive; this layer is
+# the one ABOVE it that avoids even listing the file in the scan, which at
+# 10^10 rows is the difference between planning over millions of files and
+# planning over the clustered few. Bounds are treated as BOUNDS, never as
+# exact values (the parquet spec allows truncated statistics), so any
+# writer-side truncation stays correct.
+#
+# String bounds are truncated to _STATS_TRUNC code points before they ride
+# the JSON manifest (the Iceberg write.metadata.metrics truncate(16)
+# analogue): a truncated MIN prefix is still a valid lower bound; a
+# truncated MAX must be INCREMENTED past every string it covers
+# (_string_upper_bound) or dropped as unbounded. At real scale the stats
+# map moves from the JSON manifest into Iceberg-style avro manifest files;
+# the pruning algebra is unchanged.
+
+_STATS_TRUNC = 64
+_STATS_SPARK_TYPES = (
+    T.StringType,
+    T.IntegerType,
+    T.LongType,
+    T.ShortType,
+    T.ByteType,
+    T.FloatType,
+    T.DoubleType,
+    T.BooleanType,
+)
+_MAX_CODEPOINT = 0x10FFFF
+
+
+def stat_columns(schema: T.StructType) -> list[str]:
+    """Top-level atomic columns eligible for manifest zonemaps."""
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, _STATS_SPARK_TYPES)
+    ]
+
+
+def _string_upper_bound(s: str) -> str | None:
+    """Smallest practical string > every string having prefix ``s``: take
+    the longest prefix whose last code point can be incremented, increment
+    it, drop the rest. None = unbounded above (all chars at the max code
+    point — pathological, give up rather than guess)."""
+    for i in range(len(s) - 1, -1, -1):
+        cp = ord(s[i])
+        if cp < _MAX_CODEPOINT:
+            return s[:i] + chr(cp + 1)
+    return None
+
+
+def _bound_pair(lo, hi):
+    """JSON-safe, truncation-correct [lower_bound, upper_bound]."""
+    if isinstance(lo, bytes):
+        try:
+            lo = lo.decode("utf-8")
+        except UnicodeDecodeError:
+            lo = None
+    if isinstance(hi, bytes):
+        try:
+            hi = hi.decode("utf-8")
+        except UnicodeDecodeError:
+            hi = None
+    if not isinstance(lo, (str, int, float, bool)) or isinstance(lo, complex):
+        lo = None
+    if not isinstance(hi, (str, int, float, bool)):
+        hi = None
+    if isinstance(lo, str) and len(lo) > _STATS_TRUNC:
+        lo = lo[:_STATS_TRUNC]  # prefix <= original: still a lower bound
+    if isinstance(hi, str) and len(hi) > _STATS_TRUNC:
+        hi = _string_upper_bound(hi[:_STATS_TRUNC])
+    return lo, hi
+
+
+def collect_file_stats(
+    root: str, relpaths: list[str], columns: list[str]
+) -> dict[str, dict]:
+    """Harvest per-file zonemaps from parquet footers (driver-side,
+    metadata-only). At cluster scale this moves into the write tasks —
+    Iceberg's writers report DataFile metrics from the same footers —
+    but the manifest contract is identical. Files whose footer lacks
+    usable statistics get an empty cols map (pruning keeps them)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    want = set(columns)
+    for rel in relpaths:
+        meta = pq.ParquetFile(os.path.join(root, rel)).metadata
+        idx = {
+            meta.schema.column(i).path: i
+            for i in range(meta.num_columns)
+            if meta.schema.column(i).path in want
+        }
+        cols: dict[str, list] = {}
+        for name, ci in idx.items():
+            lo = hi = None
+            nulls = 0
+            usable = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if st is None:
+                    usable = False
+                    break
+                nulls += st.null_count if st.null_count is not None else 0
+                if not st.has_min_max:
+                    # all-null row group writes no min/max — not a failure
+                    if st.null_count == meta.row_group(rg).num_rows:
+                        continue
+                    usable = False
+                    break
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            if not usable:
+                continue
+            lo, hi = _bound_pair(lo, hi)
+            cols[name] = [lo, hi, nulls]
+        out[rel] = {"rows": meta.num_rows, "cols": cols}
+    return out
+
+
+_WHERE_OPS = ("=", "<", "<=", ">", ">=", "prefix")
+
+
+def where_column(where: list[tuple]) -> F.Column:
+    """Compile a conjunct spec [(col, op, value), ...] to one Column. The
+    residual filter applied to every surviving row — file pruning is an
+    optimization UNDER this filter, never a replacement for it."""
+    pred = F.lit(True)
+    for col, op, val in where:
+        c = F.col(col)
+        if op == "=":
+            pred = pred & (c == F.lit(val))
+        elif op == "<":
+            pred = pred & (c < F.lit(val))
+        elif op == "<=":
+            pred = pred & (c <= F.lit(val))
+        elif op == ">":
+            pred = pred & (c > F.lit(val))
+        elif op == ">=":
+            pred = pred & (c >= F.lit(val))
+        elif op == "prefix":
+            pred = pred & c.startswith(str(val))
+        else:
+            raise ValueError(f"unknown where op {op!r}; use one of {_WHERE_OPS}")
+    return pred
+
+
+def _file_may_match(fstats: dict | None, where: list[tuple]) -> bool:
+    """Zonemap intersection test: can ANY row of this file satisfy every
+    conjunct? Missing stats/bounds are conservative (keep). Every
+    supported op is null-rejecting, so an all-null column proves a miss."""
+    if not fstats:
+        return True
+    cols = fstats.get("cols") or {}
+    rows = fstats.get("rows")
+    for col, op, val in where:
+        ent = cols.get(col)
+        if ent is None:
+            continue
+        lo, hi, nulls = ent
+        if lo is None and hi is None:
+            if rows is not None and nulls == rows:
+                return False  # all null: no row can pass a null-rejecting op
+            continue
+        try:
+            if op == "=":
+                if (lo is not None and val < lo) or (hi is not None and val > hi):
+                    return False
+            elif op == "<":
+                if lo is not None and lo >= val:
+                    return False
+            elif op == "<=":
+                if lo is not None and lo > val:
+                    return False
+            elif op == ">":
+                if hi is not None and hi <= val:
+                    return False
+            elif op == ">=":
+                if hi is not None and hi < val:
+                    return False
+            elif op == "prefix":
+                v = str(val)
+                if hi is not None and hi < v:
+                    return False
+                up = _string_upper_bound(v)
+                if lo is not None and up is not None and lo >= up:
+                    return False
+        except TypeError:
+            continue  # mismatched comparison types: keep the file
+    return True
+
+
 class TableStore:
-    def __init__(self, root: str, n_buckets: int = 16):
+    def __init__(
+        self, root: str, n_buckets: int = 16, collect_stats: bool = True
+    ):
         self.root = root
         self._n_buckets = n_buckets
+        # manifest zonemaps (see collect_file_stats): on by default — the
+        # footer read is metadata-only and rides the same per-file loop as
+        # the byte-size stat. Turn off for stat-free ingest benchmarks.
+        self.collect_stats = collect_stats
 
     def _write_lock(self):
         """Exclusive advisory lock serializing all version-advancing ops
@@ -205,6 +410,7 @@ class TableStore:
         version: int | None = None,
         include_deleted: bool = False,
         key_prefilter: F.Column | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """Table state (optionally restricted to some buckets), always
         through the manifest schema so old files are null-padded for columns
@@ -239,6 +445,21 @@ class TableStore:
         read plain and unioned around the window, so the resolution shuffle
         touches only layered rows — after compaction folds the layers,
         reads are back to pure scans.
+
+        ``where``: a conjunct spec ``[(col, op, value), ...]`` with op in
+        ``=, <, <=, >, >=, prefix`` — the predicate-aware scan. Semantics
+        are EXACTLY ``read_state(...).filter(where_column(where))``; the
+        spec form (vs a raw Column) is what lets the store prune whole
+        files against the manifest zonemaps (``collect_file_stats``)
+        before Spark plans the scan. Pruning applies only to plain
+        copy-on-write files, where every row lives in exactly one file so
+        file-level skipping is row-exact; merge-on-read layered buckets
+        are read in full and filtered AFTER last-layer-wins resolution
+        (skipping a delta layer could skip the delete that beats an older
+        row elsewhere). Pairs with ``rewrite_buckets(cluster_by=...)``,
+        which makes the zonemaps tight. All supported ops are
+        null-rejecting, so the residual filter also excludes LWW
+        tombstone data-nulls regardless of ``include_deleted``.
         """
         m = self.current_manifest() if version is None else self.manifest(version)
         schema = None if m is None else T.StructType.fromJson(m["schema"])
@@ -253,11 +474,13 @@ class TableStore:
         mor_sel = [b for b in sel if mor_map.get(b)]
         plain_sel = [b for b in sel if not mor_map.get(b)]
         parts: list[DataFrame] = []
-        plain_files = [
-            os.path.join(self.root, p)
-            for b in plain_sel
-            for p in m["buckets"].get(b, [])
-        ]
+        plain_rel = [p for b in plain_sel for p in m["buckets"].get(b, [])]
+        if where:
+            stats = m.get("stats") or {}
+            plain_rel = [
+                p for p in plain_rel if _file_may_match(stats.get(p), where)
+            ]
+        plain_files = [os.path.join(self.root, p) for p in plain_rel]
         if plain_files:
             d = spark.read.schema(schema).parquet(*plain_files)
             if key_prefilter is not None:
@@ -294,7 +517,8 @@ class TableStore:
             )
             parts.append(d)
         if not parts:
-            return spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], schema)
+            return df.filter(where_column(where)) if where else df
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -302,7 +526,71 @@ class TableStore:
             df = df.filter(
                 ~F.coalesce(F.col(LWW_DELETED_COL), F.lit(False))
             )
+        if where:
+            # one residual filter over the union: Catalyst pushes it through
+            # to the plain parquet scan (PushedFilters — parquet row-group
+            # min/max then prunes inside surviving files) and correctly
+            # keeps it ABOVE the MoR resolution window
+            df = df.filter(where_column(where))
         return df
+
+    def _refresh_stats(
+        self,
+        manifest: dict,
+        prev: dict,
+        new_relpaths: list[str],
+        schema_json: dict,
+    ) -> None:
+        """Carry zonemaps forward by relpath (data files are immutable, so
+        an inherited entry can never go stale), harvest the new files,
+        drop entries for files no longer referenced."""
+        stats = dict(prev.get("stats", {}))
+        if self.collect_stats and new_relpaths:
+            stats.update(
+                collect_file_stats(
+                    self.root,
+                    new_relpaths,
+                    stat_columns(T.StructType.fromJson(schema_json)),
+                )
+            )
+        live = {p for fs in manifest["buckets"].values() for p in fs}
+        stats = {p: s for p, s in stats.items() if p in live}
+        if stats:
+            manifest["stats"] = stats
+        else:
+            manifest.pop("stats", None)
+
+    def prune_report(
+        self, where: list[tuple], version: int | None = None
+    ) -> dict:
+        """What the zonemaps buy for a predicate — pure manifest metadata
+        (no file opened). ``files_total``/``files_selected`` count plain
+        copy-on-write files (the prunable set); ``mor_files`` are layered
+        files always scanned; ``rows_skipped_max`` sums the row counts of
+        skipped files (exact skip size where stats carry rows)."""
+        m = self.current_manifest() if version is None else self.manifest(version)
+        if m is None:
+            return {"files_total": 0, "files_selected": 0, "mor_files": 0,
+                    "rows_skipped_max": 0}
+        mor_map: dict[str, int] = m.get("mor") or {}
+        stats = m.get("stats") or {}
+        total = sel = mor_n = skipped_rows = 0
+        for b, files in m["buckets"].items():
+            if mor_map.get(b):
+                mor_n += len(files)
+                continue
+            for p in files:
+                total += 1
+                if _file_may_match(stats.get(p), where):
+                    sel += 1
+                else:
+                    skipped_rows += (stats.get(p) or {}).get("rows") or 0
+        return {
+            "files_total": total,
+            "files_selected": sel,
+            "mor_files": mor_n,
+            "rows_skipped_max": skipped_rows,
+        }
 
     def read_lineage_rows(self) -> list[dict]:
         """Lineage as plain Python rows, read driver-side via pyarrow.
@@ -502,6 +790,7 @@ class TableStore:
         epoch_rel = f"data/v{version}"
         epoch_dir = os.path.join(self.root, epoch_rel)
         mor_counts: dict[str, int] = dict(prev.get("mor", {})) if prev else {}
+        new_stats: dict[str, dict] = dict(prev.get("stats", {})) if prev else {}
         if merged_dirty is not None and dirty_buckets:
             shutil.rmtree(epoch_dir, ignore_errors=True)  # idempotent re-delivery
             # cluster rows by bucket before the dynamic-partition write: one
@@ -558,6 +847,14 @@ class TableStore:
                 )
                 for b, fs in written.items()
             }
+            if self.collect_stats:
+                new_stats.update(
+                    collect_file_stats(
+                        self.root,
+                        [f for fs in written.values() for f in fs],
+                        stat_columns(row_schema),
+                    )
+                )
             if mor:
                 # delta layer: APPEND to each dirty bucket's file list
                 for b, fs in written.items():
@@ -623,6 +920,10 @@ class TableStore:
             manifest["mor"] = mor_counts
         if changes_rel is not None:
             manifest["changes"] = changes_rel
+        live = {p for fs in buckets_map.values() for p in fs}
+        new_stats = {p: s for p, s in new_stats.items() if p in live}
+        if new_stats:
+            manifest["stats"] = new_stats
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
@@ -983,6 +1284,12 @@ class TableStore:
             # borrowed delta layers resolve exactly as at the source — the
             # stamps live in the (absolute-referenced) files themselves
             manifest["mor"] = dict(m["mor"])
+        if m.get("stats"):
+            # zonemaps re-keyed to the clone's absolute refs: pruning works
+            # on the clone without touching a single borrowed footer
+            manifest["stats"] = {
+                _abs(p): s for p, s in m["stats"].items()
+            }
         # NOT carried: the source version's change-file pointer — the
         # clone's v1 is a creation snapshot, not that version's delta
         # (same reasoning as rewrite_buckets).
@@ -1018,6 +1325,8 @@ class TableStore:
         min_files: int = 2,
         buckets: list[int] | None = None,
         sort_keys: bool = False,
+        cluster_by: list[str] | None = None,
+        split_files: int = 1,
     ) -> dict:
         """Small-file compaction (Iceberg ``rewrite_data_files`` analogue).
 
@@ -1043,9 +1352,25 @@ class TableStore:
         and :func:`~..operators.changefeed.table_changes` across the rewrite
         is empty (rows compare equal).
 
+        ``cluster_by`` + ``split_files``: range-clustered compaction — the
+        Iceberg SORT ORDER *with split planning* analogue, and what makes
+        the manifest zonemaps (``collect_file_stats``) actually prune. Each
+        rewritten bucket's rows are range-sliced into ``split_files`` files
+        ordered by ``cluster_by`` (ntile over the bucket, so slices are
+        equal-height regardless of value skew), giving every file a tight,
+        mostly-disjoint [min,max] on the cluster columns; a
+        ``read_state(where=[("lang","=",...)])`` then skips the
+        non-matching slices entirely. Key-hash bucketing scatters every
+        non-key predicate across all buckets, so WITHOUT this pass a
+        predicate column's zonemap per bucket file spans the whole domain
+        and pruning is a no-op — cluster on what you filter by.
+        ``cluster_by`` overrides ``sort_keys``'s order when both are set.
+
         Scale shape: one distributed job per pass — read only the fat
-        buckets, one shuffle to cluster rows by bucket, one file per bucket
-        out (at real scale Iceberg's target-file-size splitting takes over).
+        buckets, one shuffle to cluster rows by bucket (× slice), one file
+        per task out (at real scale Iceberg's target-file-size splitting
+        takes over). The ntile window sorts within each bucket — the same
+        in-task sort ``sort_keys`` already pays, plus a slice exchange.
         Same single-maintainer caveat as :meth:`vacuum`: don't run
         concurrently with a writer's commit window. Returns
         ``{"rewritten_buckets": [...], "files_before": n, "version": v}``.
@@ -1078,11 +1403,25 @@ class TableStore:
         df = self.read_state(
             spark, buckets=sel, include_deleted=True
         ).withColumn(BUCKET_COL, bucket_expr(m["n_buckets"]))
-        df = df.repartition(len(sel), F.col(BUCKET_COL))
-        if sort_keys:
-            # in-task sort only: the bucket shuffle above already placed
-            # each bucket in one task, so this adds no exchange
-            df = df.sortWithinPartitions(*KEY_COLS)
+        order = cluster_by or (KEY_COLS if sort_keys else None)
+        if order and split_files > 1:
+            # range-clustered split planning: RangePartitioner samples
+            # (bucket, cluster-cols) and cuts contiguous ranges, so each
+            # task/file covers a tight, mostly-disjoint cluster-column
+            # interval — no hash collisions merging distant slices, and no
+            # per-bucket sort window; the sample pass is how Spark already
+            # plans global sorts
+            df = df.repartitionByRange(
+                len(sel) * split_files,
+                F.col(BUCKET_COL),
+                *[F.col(c) for c in order],
+            ).sortWithinPartitions(*order)
+        else:
+            df = df.repartition(len(sel), F.col(BUCKET_COL))
+            if order:
+                # in-task sort only: the bucket shuffle above already
+                # placed each bucket in one task, so this adds no exchange
+                df = df.sortWithinPartitions(*order)
         (
             df
             .write.mode("overwrite")
@@ -1106,6 +1445,12 @@ class TableStore:
             **m, "version": version, "buckets": buckets_map,
             "bucket_bytes": bucket_bytes,
         }
+        self._refresh_stats(
+            manifest,
+            m,
+            [f for b in sel for f in buckets_map[str(b)]],
+            m["schema"],
+        )
         # a rewrite is a LOGICAL no-op: it must not inherit the previous
         # version's change-file pointer (a fast-path changefeed reader
         # would re-emit that version's changes for this one)
@@ -1224,6 +1569,12 @@ class TableStore:
             "buckets": buckets_map,
             "bucket_bytes": bucket_bytes,
         }
+        self._refresh_stats(
+            manifest,
+            m,
+            [f for fs in buckets_map.values() for f in fs],
+            m["schema"],
+        )
         manifest.pop("changes", None)  # logical no-op: see rewrite_buckets
         manifest.pop("mor", None)  # full rewrite folds every delta layer
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
@@ -1314,6 +1665,12 @@ class TableStore:
             # re-emitted as a batch of deletes by a cascade
             "changefeed_skip": True,
         }
+        self._refresh_stats(
+            manifest,
+            m,
+            [f for b in sel for f in buckets_map[str(b)]],
+            m["schema"],
+        )
         manifest.pop("changes", None)
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
         with open(mpath + ".tmp", "w") as f:
