@@ -105,6 +105,10 @@ def main(argv: list[str] | None = None) -> None:
                          "(tight manifest zonemaps for scan --where)")
     rw.add_argument("--split-files", type=int, default=1,
                     help="range slices per bucket when clustering")
+    rw.add_argument("--cluster-strategy", default="linear",
+                    choices=["linear", "zorder"],
+                    help="zorder interleaves >=2 cluster columns so scan "
+                         "--where prunes on any of them")
 
     sc = sub.add_parser(
         "scan",
@@ -447,7 +451,8 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(TableStore(args.target).rewrite_buckets(
             spark, min_files=args.min_files, sort_keys=args.sort_keys,
             cluster_by=(args.cluster_by.split(",") if args.cluster_by else None),
-            split_files=args.split_files)))
+            split_files=args.split_files,
+            cluster_strategy=args.cluster_strategy)))
     elif args.cmd == "scan":
         store = TableStore(args.target)
         where = []

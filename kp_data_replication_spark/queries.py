@@ -931,24 +931,30 @@ SQL_DEDUP_MINHASH_LSH_PAIRS = f"""
 """
 
 
-def _incremental_fixture_batches(spark, sf_dir):
+def _incremental_fixture_batches(spark, sf_dir, with_doc_len=False):
     """The shared 3-epoch insert/update/delete changelog fixture the
     incremental-index family replays (deterministic in both engines):
       epoch 0  insert docs with doc_id % 3 != 2
       epoch 1  insert the rest; every doc with doc_id % 7 == 0 gets
                text || ' v2' (new docs arrive with it, old docs update)
       epoch 2  delete docs with doc_id % 11 == 0
+    ``with_doc_len`` adds a numeric ``doc_len`` image field (length of the
+    image's own content) — a second, independent filter dimension for the
+    multi-column clustering queries.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def env(sel, op_col, text_expr, lsn_base, is_delete=False):
-        img = F.struct(
+        fields = [
             F.lit("corpus").alias("repo"),
             F.col("doc_id").cast("string").alias("path"),
             F.lit("c0").alias("commit"),
             F.col("lang").alias("lang"),
             text_expr.alias("content"),
-        )
+        ]
+        if with_doc_len:
+            fields.append(F.length(text_expr).cast("long").alias("doc_len"))
+        img = F.struct(*fields)
         is_del = F.lit(is_delete)
         return sel.select(
             F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("partition"),
@@ -1250,6 +1256,58 @@ SQL_CDC_SCAN_PRUNED = """
            sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
              AS content_sha
     FROM documents WHERE doc_id % 11 != 0 AND lang = 'en'
+"""
+
+
+def q_cdc_scan_pruned_zorder(spark, sf_dir):
+    """Z-order clustered scan (the Delta OPTIMIZE ZORDER BY analogue,
+    sources/table_store.py _zvalue / rewrite_buckets(cluster_strategy=
+    "zorder")): replay the 3-epoch fixture carrying a numeric ``doc_len``
+    image field, z-order-cluster on (lang, doc_len), then scan on the
+    SECOND cluster dimension alone — the predicate linear lexicographic
+    clustering cannot prune (within each lang slice doc_len spans its
+    whole domain). The self-audit requires file skipping to have fired on
+    the doc_len-only predicate; hash equality against the plain SQL filter
+    proves the z layout is row-exact. At 10^10 rows this is what makes a
+    second (and third) filter dimension cheap without duplicating the
+    table per sort order."""
+    import tempfile
+
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    store = TableStore(tempfile.mkdtemp(prefix="zorder_scan_"), n_buckets=4)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False))
+    batches = _incremental_fixture_batches(spark, sf_dir, with_doc_len=True)
+    for epoch, batch in enumerate(batches):
+        engine.apply_batch(batch, epoch)
+    store.rewrite_buckets(
+        spark,
+        min_files=0,
+        cluster_by=["lang", "doc_len"],
+        split_files=4,
+        cluster_strategy="zorder",
+    )
+    where = [("doc_len", ">=", 400)]
+    rep = store.prune_report(where)
+    if not (0 < rep["files_selected"] < rep["files_total"]):
+        raise RuntimeError(f"zorder pruning did not fire: {rep}")
+    return store.read_state(spark, where=where).select(
+        F.col("path").cast("long").alias("doc_id"),
+        "lang",
+        "doc_len",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+SQL_CDC_SCAN_PRUNED_ZORDER = """
+    SELECT doc_id, lang, doc_len, sha256(t) AS content_sha FROM (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS t,
+               CAST(length(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                ELSE text END) AS BIGINT) AS doc_len
+        FROM documents WHERE doc_id % 11 != 0
+    ) WHERE doc_len >= 400
 """
 
 
@@ -2038,6 +2096,10 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_state_time_travel": (q_cdc_state_time_travel, SQL_CDC_STATE_TIME_TRAVEL),
     "cdc_state_mor": (q_cdc_state_mor, SQL_CDC_STATE_MOR),
     "cdc_scan_pruned": (q_cdc_scan_pruned, SQL_CDC_SCAN_PRUNED),
+    "cdc_scan_pruned_zorder": (
+        q_cdc_scan_pruned_zorder,
+        SQL_CDC_SCAN_PRUNED_ZORDER,
+    ),
     "cdc_acl_sync": (q_cdc_acl_sync, SQL_CDC_ACL_SYNC),
     "cdc_offset_failover": (q_cdc_offset_failover, SQL_CDC_OFFSET_FAILOVER),
     "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),

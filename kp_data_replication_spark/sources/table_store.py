@@ -291,6 +291,78 @@ def _file_may_match(fstats: dict | None, where: list[tuple]) -> bool:
     return True
 
 
+# ---------- Z-order clustering (multi-column data skipping) ----------
+#
+# Lexicographic cluster_by gives tight zonemaps only on the LEADING
+# cluster column: within one lang slice the second column still spans its
+# whole domain, so a predicate on it alone prunes nothing. Z-ordering
+# (the Delta OPTIMIZE ZORDER BY / Iceberg z-order rewrite strategy
+# analogue) interleaves the bits of per-column quantile-cell ids so that
+# rows close in z are close in EVERY cluster dimension — each output file
+# then covers a tight hyper-rectangle, and the per-column [min,max]
+# zonemaps the manifest already carries become selective for predicates
+# on ANY subset of the cluster columns. The pruning side
+# (_file_may_match) is untouched: z-order only changes WHICH rows share a
+# file, never what the bounds mean.
+#
+# Cell assignment needs per-column quantile boundaries. Spark's own
+# global-sort planning solves the same problem with a sample pass; here
+# the sample is a deterministic hash-mod filter over the key columns
+# (the same primitive corpus_sample_stratified uses), sized from the
+# manifest's row counts so the driver collects ~_Z_SAMPLE_ROWS values per
+# column — bounded regardless of table size, and reproducible (no RNG).
+
+_Z_SAMPLE_ROWS = 4096
+_Z_BITS = 6  # 64 cells per column; z space = 64^n_cols
+
+
+def _z_boundaries(vals: list, cells: int) -> list:
+    """Quantile cut points (ascending, deduped) splitting the sampled
+    values into ≤ ``cells`` equal-height cells. len(result) ≤ cells-1."""
+    vs = sorted(v for v in vals if v is not None)
+    if not vs:
+        return []
+    cuts = []
+    for i in range(1, cells):
+        c = vs[min(len(vs) - 1, (i * len(vs)) // cells)]
+        if not cuts or c > cuts[-1]:
+            cuts.append(c)
+    return cuts
+
+
+def _z_cell(col: F.Column, cuts: list, bits: int = _Z_BITS) -> F.Column:
+    """Cell id in [0, 2**bits) — the number of cut points ≤ value (one
+    bounded fold over a literal array; null → cell 0, so nulls cluster at
+    the low edge and non-null ranges stay tight), SCALED to span the full
+    bit range. Without the scaling a low-cardinality column (few deduped
+    cuts) would only ever set its LOW z bits, the interleave's high bits
+    would be owned entirely by the other columns, and coarse file splits
+    (few files per bucket cut on the top z bits) would not separate its
+    values at all."""
+    if not cuts:
+        return F.lit(0)
+    arr = F.array(*[F.lit(c) for c in cuts])
+    raw = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, cut: acc + F.when(col >= cut, 1).otherwise(0),
+    )
+    return F.floor(raw * (2**bits - 1) / F.lit(len(cuts))).cast("int")
+
+
+def _zvalue(cell_cols: list[F.Column], bits: int = _Z_BITS) -> F.Column:
+    """Interleave ``bits`` low bits of each cell id round-robin:
+    bit i of column j lands at z bit (i * n_cols + j). Pure JVM
+    shift/mask expressions — bits × n_cols terms, no UDF."""
+    n = len(cell_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, cell in enumerate(cell_cols):
+            bit = F.shiftright(cell.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
 class TableStore:
     def __init__(
         self, root: str, n_buckets: int = 16, collect_stats: bool = True
@@ -1327,6 +1399,7 @@ class TableStore:
         sort_keys: bool = False,
         cluster_by: list[str] | None = None,
         split_files: int = 1,
+        cluster_strategy: str = "linear",
     ) -> dict:
         """Small-file compaction (Iceberg ``rewrite_data_files`` analogue).
 
@@ -1366,6 +1439,17 @@ class TableStore:
         and pruning is a no-op — cluster on what you filter by.
         ``cluster_by`` overrides ``sort_keys``'s order when both are set.
 
+        ``cluster_strategy="zorder"`` (multi-column ``cluster_by`` only —
+        the Delta OPTIMIZE ZORDER BY analogue): linear range clustering
+        makes zonemaps tight only on the LEADING cluster column; z-order
+        interleaves per-column quantile-cell bits (:func:`_zvalue`) so
+        every file covers a tight hyper-rectangle and predicates on ANY
+        cluster column prune. Costs one extra bounded sample job (the
+        per-column boundary estimate, ~`_Z_SAMPLE_ROWS` collected values
+        per column — the same sample pass Spark's own global sort plans);
+        the clustered write itself is the identical
+        repartitionByRange-by-(bucket, _z) shuffle.
+
         Scale shape: one distributed job per pass — read only the fat
         buckets, one shuffle to cluster rows by bucket (× slice), one file
         per task out (at real scale Iceberg's target-file-size splitting
@@ -1404,7 +1488,58 @@ class TableStore:
             spark, buckets=sel, include_deleted=True
         ).withColumn(BUCKET_COL, bucket_expr(m["n_buckets"]))
         order = cluster_by or (KEY_COLS if sort_keys else None)
-        if order and split_files > 1:
+        if cluster_strategy not in ("linear", "zorder"):
+            raise ValueError(
+                f"cluster_strategy must be 'linear' or 'zorder', "
+                f"got {cluster_strategy!r}"
+            )
+        if cluster_strategy == "zorder":
+            if not cluster_by or len(cluster_by) < 2:
+                raise ValueError(
+                    "cluster_strategy='zorder' needs cluster_by with >= 2 "
+                    "columns (one column: use linear — same zonemaps, no "
+                    "interleave overhead)"
+                )
+            # bounded deterministic sample for per-column quantile cells:
+            # hash-mod over the key columns (reproducible, no RNG), K sized
+            # from the manifest's row counts so the driver collect stays
+            # ~_Z_SAMPLE_ROWS rows no matter the table size
+            stats = m.get("stats") or {}
+            n_rows = sum(
+                (stats.get(p) or {}).get("rows") or 0
+                for b in sel
+                for p in m["buckets"][str(b)]
+            ) or df.count()
+            k = max(1, n_rows // _Z_SAMPLE_ROWS)
+            samp = (
+                df.filter(
+                    F.pmod(
+                        F.xxhash64(F.lit("_zorder_sample"), *KEY_COLS),
+                        F.lit(k),
+                    )
+                    == 0
+                )
+                .select(*cluster_by)
+                .collect()
+            )
+            cells = [
+                _z_cell(
+                    F.col(c),
+                    _z_boundaries([r[c] for r in samp], 2**_Z_BITS),
+                )
+                for c in cluster_by
+            ]
+            df = df.withColumn("_z", _zvalue(cells))
+            df = (
+                df.repartitionByRange(
+                    max(len(sel), len(sel) * split_files),
+                    F.col(BUCKET_COL),
+                    F.col("_z"),
+                )
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif order and split_files > 1:
             # range-clustered split planning: RangePartitioner samples
             # (bucket, cluster-cols) and cuts contiguous ranges, so each
             # task/file covers a tight, mostly-disjoint cluster-column

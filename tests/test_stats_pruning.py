@@ -180,6 +180,82 @@ def test_stats_survive_rebucket_and_clone(spark):
     )
 
 
+def test_zorder_prunes_on_second_cluster_column(spark):
+    """The Delta OPTIMIZE ZORDER BY analogue: linear lexicographic
+    clustering on (lang, path) leaves path spanning its whole domain
+    inside every lang slice, so a path-only predicate prunes (almost)
+    nothing; z-order interleaving makes each file a tight
+    hyper-rectangle so the SAME predicate skips files — and the scan
+    stays row-exact on every dimension."""
+    where = [("path", "prefix", "1")]  # second cluster column only
+    lin = _store(spark)
+    lin.rewrite_buckets(
+        spark, min_files=0, cluster_by=["lang", "path"], split_files=4
+    )
+    rep_lin = lin.prune_report(where)
+    z = _store(spark)
+    z.rewrite_buckets(
+        spark,
+        min_files=0,
+        cluster_by=["lang", "path"],
+        split_files=4,
+        cluster_strategy="zorder",
+    )
+    rep_z = z.prune_report(where)
+    assert 0 < rep_z["files_selected"] < rep_z["files_total"]
+    assert rep_z["files_selected"] < rep_lin["files_selected"]
+    # leading-column pruning still fires under zorder
+    rep_lang = z.prune_report([("lang", "=", "python")])
+    assert rep_lang["files_selected"] < rep_lang["files_total"]
+    # exactness on any predicate mix, pruned or not
+    for w in (
+        where,
+        [("lang", "=", "go")],
+        [("lang", "=", "rust"), ("path", "prefix", "2")],
+    ):
+        got = z.read_state(spark, where=w)
+        exp = z.read_state(spark).filter(where_column(w))
+        assert _rows(got) == _rows(exp)
+
+
+def test_zorder_requires_multiple_cluster_columns(spark):
+    store = _store(spark, n=40)
+    with pytest.raises(ValueError, match="zorder"):
+        store.rewrite_buckets(
+            spark,
+            min_files=0,
+            cluster_by=["lang"],
+            cluster_strategy="zorder",
+        )
+    with pytest.raises(ValueError, match="cluster_strategy"):
+        store.rewrite_buckets(spark, min_files=0, cluster_strategy="hilbert")
+
+
+def test_z_boundaries_and_interleave_algebra(spark):
+    from kp_data_replication_spark.sources.table_store import (
+        _z_boundaries,
+        _z_cell,
+        _zvalue,
+    )
+
+    # equal-height cuts, deduped, ascending; nulls dropped
+    cuts = _z_boundaries([5, 1, 3, None, 3, 9, 7], 4)
+    assert cuts == sorted(set(cuts)) and len(cuts) <= 3
+    assert _z_boundaries([], 8) == []
+    assert _z_boundaries([2] * 50, 8) == [2]
+    # interleave: bit i of column j lands at z bit i*n + j
+    df = spark.range(1).select(
+        _zvalue([F.lit(0b11).cast("int"), F.lit(0b01).cast("int")]).alias(
+            "z"
+        ),
+        _z_cell(F.lit(None).cast("int"), [1, 2, 3]).alias("null_cell"),
+    )
+    row = df.collect()[0]
+    # col0 bits {0,1} -> z bits {0,2}; col1 bit {0} -> z bit {1}
+    assert row["z"] == 0b111
+    assert row["null_cell"] == 0  # nulls cluster at the low edge
+
+
 def test_string_upper_bound_algebra():
     assert _string_upper_bound("abc") == "abd"
     assert _string_upper_bound("ab" + chr(0x10FFFF)) == "ac"
