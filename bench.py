@@ -56,6 +56,7 @@ LLM_QUERIES = [
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_ivf_trained",
+    "ann_cosine_topk_sq8",
     # NOT here: ann_cosine_topk_ivf_incremental / agg_view_incremental /
     # dedup_incremental_lsh_pairs / dedup_clusters_incremental — those
     # driver queries exist for the CORRECTNESS gate and spend ~90% of their

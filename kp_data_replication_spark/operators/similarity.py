@@ -437,3 +437,136 @@ def cosine_to_query_numpy(v: pd.Series, q: pd.Series) -> pd.Series:
     num = mat @ qv
     den = np.linalg.norm(mat, axis=1) * np.linalg.norm(qv)
     return pd.Series(num / den)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: the memory/IO-bound scale path for vector search.
+#
+# At 10^10 vectors the corpus scan is IO-bound: float32x(dim) rows dominate
+# the read. Scalar int8 quantization stores one byte per dimension (4x less
+# IO, integer SIMD in the scan) and scores candidates against DEQUANTIZED
+# codes; only the top rerank_factor*k candidates per query are re-scored
+# with exact float cosine. Reference analogue: the perf-test concern of
+# docs/perf-tests.md (throughput at replicated-volume scale) applied to the
+# embedding column — same recall/latency trade IVF makes, but on the
+# per-dimension representation instead of the candidate set.
+#
+# Everything is deterministic double arithmetic (explicit op order), so the
+# whole pipeline carries an exact DuckDB oracle (queries.py
+# SQL_ANN_COSINE_TOPK_SQ8). Recall vs brute force is asserted in tests.
+# ---------------------------------------------------------------------------
+
+
+def sq8_stats(corpus: DataFrame, vec_col: str = "embedding") -> tuple[list[float], list[float]]:
+    """Per-dimension (min, span) of the corpus in double precision.
+
+    One posexplode aggregate; the collect is codebook-sized (dim rows, e.g.
+    64 doubles — same driver-bounded class as the IVF centroid collect).
+    At re-train time this is a single scan; stats are then FROZEN with the
+    stored codes (recomputing them per query batch would re-quantize the
+    world)."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .select("pos", F.col("x").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mn = [r["mn"] for r in rows]
+    span = [r["mx"] - r["mn"] for r in rows]
+    return mn, span
+
+
+def _lit_arr(vals: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def sq8_encode(vec_col, mn: list[float], span: list[float]) -> F.Column:
+    """Quantize an array<float> column to array<int> codes in [0,255].
+
+    code_j = floor(((x_j - mn_j) / span_j) * 256), clamped; constant
+    dimensions (span 0) encode as 0. Pure JVM transform — at ingest this is
+    the map-side projection that writes the stored code column."""
+    mn_a, sp_a = _lit_arr(mn), _lit_arr(span)
+    return F.transform(
+        vec_col,
+        lambda x, j: F.when(F.element_at(sp_a, j + 1) == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        ((x.cast("double") - F.element_at(mn_a, j + 1))
+                         / F.element_at(sp_a, j + 1)) * 256.0
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+
+
+def sq8_decode(code_col, mn: list[float], span: list[float]) -> F.Column:
+    """Dequantize codes to bucket midpoints: mn_j + ((c_j+0.5)*span_j)/256."""
+    mn_a, sp_a = _lit_arr(mn), _lit_arr(span)
+    return F.transform(
+        code_col,
+        lambda c, j: F.element_at(mn_a, j + 1)
+        + ((c.cast("double") + 0.5) * F.element_at(sp_a, j + 1)) / 256.0,
+    )
+
+
+def cosine_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Top-k cosine via int8-quantized candidate scoring + exact re-rank.
+
+    Phase 1 scores every corpus row against the (broadcast) query set using
+    the DEQUANTIZED code array — at scale the scan reads array<tinyint>
+    codes instead of array<float> vectors (4x less IO; here the codes are
+    derived inline from the same scan for oracle parity). Phase 2 re-scores
+    only the top rerank_factor*k candidates per query with exact float
+    cosine, reading full vectors for that bounded set alone. Determinism:
+    explicit double op order, ties broken by neighbor id at both ranks.
+    """
+    if stats is None:
+        stats = sq8_stats(corpus, vec_col)
+    mn, span = stats
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm_expr(F.col(vec_col)).alias("_cn"),
+        sq8_decode(sq8_encode(F.col(vec_col), mn, span), mn, span).alias("_dq"),
+    ).withColumn("_dqn", norm_expr(F.col("_dq")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
+    )
+    approx = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "_ascore",
+            dot_expr(F.col("_qvec"), F.col("_dq")) / (F.col("_qn") * F.col("_dqn")),
+        )
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.col("_ascore").desc(), F.col("neighbor_id"))
+    cand = approx.withColumn("_arank", F.row_number().over(w1)).filter(
+        F.col("_arank") <= rerank_factor * k
+    )
+    rer = cand.withColumn(
+        "cos", dot_expr(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank")
+    )

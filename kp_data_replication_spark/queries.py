@@ -1907,6 +1907,75 @@ SQL_MULTIMODAL_META = """
 """
 
 
+def q_ann_cosine_topk_sq8(spark, sf_dir):
+    """Scalar-int8-quantized ANN: candidates scored against DEQUANTIZED
+    codes (at scale the scan reads array<tinyint> — 4x less IO than
+    float32), exact float re-rank of the top 4k per query
+    (operators/similarity.py:cosine_topk_sq8). Every step is deterministic
+    double arithmetic with explicit op order, so the oracle reproduces the
+    quantizer, the approx ranking, and the re-rank exactly. Recall vs
+    brute force is additionally asserted in tests."""
+    from .operators.similarity import cosine_topk_sq8
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_sq8(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# the quantizer mirrored exactly: code = floor(((x-mn)/span)*256) clamped to
+# [0,255]; dequant = mn + ((code+0.5)*span)/256 — same op order as
+# similarity.sq8_encode/sq8_decode, double precision end to end
+_SQ8_STATS_SQL = """
+    dims AS (
+      SELECT pos, min(x) AS mn, max(x) - min(x) AS span FROM (
+        SELECT unnest(range(len(embedding))) AS pos,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings)
+      GROUP BY pos),
+    st AS (SELECT list(mn ORDER BY pos) AS mn,
+                  list(span ORDER BY pos) AS span FROM dims)
+"""
+
+_SQ8_DQ_SQL = (
+    "list_transform(range(len({v})), j -> CASE WHEN span[j+1] = 0 THEN"
+    " mn[j+1] + ((0 + 0.5) * span[j+1]) / 256.0 ELSE"
+    " mn[j+1] + ((LEAST(255, GREATEST(0,"
+    " FLOOR((({v}[j+1]::DOUBLE - mn[j+1]) / span[j+1]) * 256.0)::INT))"
+    " + 0.5) * span[j+1]) / 256.0 END)"
+)
+
+_DOT_SQL = "list_sum(list_transform(range(len({a})), j -> {a}[j+1]::DOUBLE * {b}[j+1]::DOUBLE))"
+_NORM_SQL = "sqrt(list_sum(list_transform(range(len({a})), j -> {a}[j+1]::DOUBLE * {a}[j+1]::DOUBLE)))"
+
+SQL_ANN_COSINE_TOPK_SQ8 = f"""
+    WITH {_SQ8_STATS_SQL},
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                 {_NORM_SQL.format(a="embedding")} AS cn,
+                 {_SQ8_DQ_SQL.format(v="embedding")} AS dq
+          FROM embeddings, st),
+    c2 AS (SELECT *, {_NORM_SQL.format(a="dq")} AS dqn FROM c),
+    q AS (SELECT vec_id AS query_id, embedding AS qv,
+                 {_NORM_SQL.format(a="embedding")} AS qn
+          FROM embeddings WHERE vec_id < 10),
+    approx AS (
+      SELECT query_id, neighbor_id, cv, qv, qn, cn,
+             {_DOT_SQL.format(a="qv", b="dq")} / (qn * dqn) AS ascore
+      FROM c2, q WHERE neighbor_id <> query_id),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) AS arank
+        FROM approx) WHERE arank <= 20),
+    rer AS (
+      SELECT query_id, neighbor_id,
+             {_DOT_SQL.format(a="qv", b="cv")} / (qn * cn) AS cos
+      FROM cand)
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM rer) WHERE rank <= 5
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup PAIRS -> duplicate CLUSTERS (connected components, pointer
     jumping) -> canonical-keep flag; the op that turns pair detection into
@@ -2114,6 +2183,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
         q_ann_cosine_topk_ivf_incremental,
         SQL_ANN_COSINE_TOPK_IVF_INCREMENTAL,
     ),
+    "ann_cosine_topk_sq8": (q_ann_cosine_topk_sq8, SQL_ANN_COSINE_TOPK_SQ8),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_incremental": (
         q_dedup_clusters_incremental,

@@ -526,3 +526,60 @@ def test_substring_spans_occurrence_cap_drops_boilerplate(spark):
     uncapped = substring_spans(docs, k=64, max_occurrences=None).collect()
     assert len(uncapped) == 15  # all C(6,2) pairs share the boilerplate
     assert all(r.span_start == 1 and r.span_end == 64 for r in uncapped)
+
+
+def test_sq8_encode_decode_roundtrip_bounds(spark, emb):
+    """Codes land in [0,255]; dequantized midpoints sit within half a
+    quantization step of the original value on every dimension."""
+    from kp_data_replication_spark.operators.similarity import (
+        sq8_decode,
+        sq8_encode,
+        sq8_stats,
+    )
+
+    mn, span = sq8_stats(emb)
+    enc = emb.select(
+        "vec_id",
+        sq8_encode(F.col("embedding"), mn, span).alias("code"),
+        sq8_decode(sq8_encode(F.col("embedding"), mn, span), mn, span).alias("dq"),
+        "embedding",
+    )
+    rows = enc.collect()
+    for r in rows:
+        assert all(0 <= c <= 255 for c in r.code)
+        for j, (x, d) in enumerate(zip(r.embedding, r.dq)):
+            step = span[j] / 256.0
+            assert abs(float(x) - d) <= step / 2 + 1e-9, (r.vec_id, j)
+
+
+def test_cosine_topk_sq8_recall_vs_bruteforce(spark, emb):
+    """SQ8 + exact re-rank recovers the true top-k on the test corpus:
+    every returned (query, neighbor) carries the EXACT brute-force cosine
+    (re-rank is exact by construction), and recall@3 is perfect here —
+    16 dims x 256 levels quantizes this corpus nearly losslessly."""
+    from kp_data_replication_spark.operators.similarity import cosine_topk_sq8
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    got = cosine_topk_sq8(emb, queries, k=3).collect()
+    assert len(got) == len(brute)
+    hits = sum(1 for r in got if brute[(r.query_id, r.rank)] == r.neighbor_id)
+    assert hits / len(brute) >= 0.9
+    # planted near-copy survives quantization
+    q0 = [r.neighbor_id for r in got if r.query_id == 0 and r.rank == 1]
+    assert q0 == [40]
+
+
+def test_sq8_constant_dimension_is_stable(spark):
+    """A constant dimension (span 0) encodes as code 0 and dequantizes to
+    the constant itself — no division-by-zero NaN poisoning the scores."""
+    from kp_data_replication_spark.operators.similarity import cosine_topk_sq8
+
+    rows = [(i, [float(i % 7), 3.25, float((i * 3) % 5)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_topk_sq8(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    assert len(got) == 3
+    assert all(r.cos_sim == r.cos_sim for r in got)  # no NaN
