@@ -70,6 +70,7 @@ LLM_QUERIES = [
     "text_stats",
     "text_repetition",
     "text_rolling_fingerprint",
+    "text_pii_scrub",
     "multimodal_meta",
 ]
 

@@ -236,3 +236,57 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             fingerprint_sha(c).alias("fingerprint_sha"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the curation stage every shared training corpus runs
+# before anything else (the reference treats payloads as opaque documents,
+# docs/consideration.md:60; this is the value-add scrub over that surface).
+#
+# The rule table is the single source of truth for BOTH engines: Spark
+# applies the rules with regexp_replace/regexp_count, and the DuckDB oracle
+# is generated from the same (pattern, replacement) strings, so scrub +
+# match counts are hash-exact. Patterns deliberately use only constructs
+# with identical semantics in java.util.regex and RE2 (character classes,
+# bounded/greedy quantifiers, \b, non-capturing groups — no lookaround, no
+# backreferences, which RE2 lacks).
+# ---------------------------------------------------------------------------
+
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Apply every PII rule in declared order (order matters: an SSN-shaped
+    span inside a longer phone match must see the same rule first on both
+    engines). Pure JVM regexp_replace chain — one codegen stage, no UDF."""
+    out = col
+    for _, pattern, repl in PII_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Per-rule match counts over the ORIGINAL text (audit trail: how much
+    was redacted), aliased n_<rule>."""
+    return [
+        F.regexp_count(col, F.lit(pattern)).alias(f"n_{name}")
+        for name, pattern, _ in PII_RULES
+    ]
+
+
+def scrub_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII from a documents table: per-rule counts + scrubbed text +
+    its sha256 (the invariant a downstream consumer checks). Map-side only —
+    no shuffle; at 100 TB this pipelines with the scan."""
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        *pii_counts(c),
+        scrub_pii(c).alias("scrubbed"),
+        F.sha2(scrub_pii(c), 256).alias("scrubbed_sha"),
+    )

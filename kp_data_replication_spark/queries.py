@@ -1976,6 +1976,58 @@ SQL_ANN_COSINE_TOPK_SQ8 = f"""
 """
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction over the documents table (functions/text.py:PII_RULES
+    — email/IPv4/SSN/phone), per-rule audit counts + scrubbed sha256. The
+    corpus is synthetic, so deterministic PII is INJECTED first (same
+    expression in both engines); the rule table is the single source of
+    truth — the oracle SQL below is GENERATED from PII_RULES, so Spark and
+    DuckDB scrub with literally identical patterns. Map-side only: at
+    100 TB this pipelines with the scan, no shuffle."""
+    from .functions.text import PII_RULES, scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@example.org at 10."),
+        F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+        F.lit(".0.1 ssn 123-45-6789 tel 555-010-0042"),
+    )
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(injected, F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat, _ in PII_RULES
+        ],
+        scrub_pii(injected).alias("scrubbed"),
+        F.sha2(scrub_pii(injected), 256).alias("scrubbed_sha"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from .functions.text import PII_RULES
+
+    inj = (
+        "text || ' reach user' || doc_id::VARCHAR || '@example.org at 10.'"
+        " || (doc_id % 200)::VARCHAR || '.0.1 ssn 123-45-6789 tel 555-010-0042'"
+    )
+    scrub = inj
+    for _, pat, repl in PII_RULES:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all({inj}, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    return (
+        f"SELECT doc_id, {counts}, {scrub} AS scrubbed,"
+        f" sha256({scrub}) AS scrubbed_sha FROM documents"
+    )
+
+
+SQL_TEXT_PII_SCRUB = _pii_scrub_sql()
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup PAIRS -> duplicate CLUSTERS (connected components, pointer
     jumping) -> canonical-keep flag; the op that turns pair detection into
@@ -2184,6 +2236,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
         SQL_ANN_COSINE_TOPK_IVF_INCREMENTAL,
     ),
     "ann_cosine_topk_sq8": (q_ann_cosine_topk_sq8, SQL_ANN_COSINE_TOPK_SQ8),
+    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_incremental": (
         q_dedup_clusters_incremental,

@@ -583,3 +583,41 @@ def test_sq8_constant_dimension_is_stable(spark):
     got = cosine_topk_sq8(df, df.filter(F.col("vec_id") == 0), k=3).collect()
     assert len(got) == 3
     assert all(r.cos_sim == r.cos_sim for r in got)  # no NaN
+
+
+def test_scrub_pii_rules(spark):
+    """Each rule redacts its shape; rule ORDER is deterministic (SSN-shaped
+    span wins over phone when both could match); counts audit the original."""
+    from kp_data_replication_spark.functions.text import scrub_documents
+
+    rows = [
+        (0, "mail bob.smith+x@corp.example.com now"),
+        (1, "host 192.168.001.1 up"),
+        (2, "ssn 123-45-6789 leaked"),
+        (3, "call 555-010-0042 today"),
+        (4, "clean document with no identifiers"),
+        (5, "two mails a@b.io and c@d.org plus 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_documents(df).collect()}
+    assert got[0].scrubbed == "mail <EMAIL> now" and got[0].n_email == 1
+    assert got[1].scrubbed == "host <IP> up" and got[1].n_ipv4 == 1
+    assert got[2].scrubbed == "ssn <SSN> leaked" and got[2].n_ssn == 1
+    assert got[3].scrubbed == "call <PHONE> today" and got[3].n_phone == 1
+    assert got[4].scrubbed == rows[4][1]
+    assert got[5].n_email == 2 and got[5].n_ipv4 == 1
+    assert "<EMAIL>" in got[5].scrubbed and "@" not in got[5].scrubbed
+
+
+def test_scrub_pii_is_idempotent(spark):
+    """Scrubbing a scrubbed document changes nothing: replacements never
+    look like PII, so the pipeline can re-run the stage safely."""
+    from kp_data_replication_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "x a@b.io 1.2.3.4 123-45-6789 555-010-0042 y")],
+        "doc_id long, text string",
+    )
+    once = df.select(scrub_pii(F.col("text")).alias("s"))
+    twice = once.select(scrub_pii(F.col("s")).alias("s"))
+    assert once.first().s == twice.first().s
