@@ -1976,6 +1976,165 @@ SQL_ANN_COSINE_TOPK_SQ8 = f"""
 """
 
 
+def q_hll_user_registers(spark, sf_dir):
+    """Mergeable HyperLogLog register table per event_type over the events
+    table (operators/sketches.py): md5-derived register index (8 bits) and
+    leading-zero rank (next 52 bits) — O(256) distinct-count state per
+    group at any corpus size. Deterministic hash, so DuckDB recomputes the
+    registers exactly; mergeability and estimate accuracy are asserted in
+    tests/test_sketches.py."""
+    from .operators.sketches import hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_registers(ev, ["event_type"], "user_id")
+
+
+_HLL_V = "user_id::VARCHAR"
+_HLL_REG_SQL = "(('0x'||substring(md5({v}),1,2))::BIGINT)::INT"
+_HLL_RANK_SQL = (
+    "(CASE WHEN ('0x'||substring(md5({v}),3,13))::BIGINT = 0 THEN 53"
+    " ELSE 53 - length(bin(('0x'||substring(md5({v}),3,13))::BIGINT)) END)::INT"
+)
+
+SQL_HLL_USER_REGISTERS = f"""
+    WITH h AS (
+      SELECT event_type,
+             {_HLL_REG_SQL.format(v=_HLL_V)} AS reg,
+             {_HLL_RANK_SQL.format(v=_HLL_V)} AS rank
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT event_type, reg, max(rank)::INT AS max_rank
+    FROM h GROUP BY 1, 2
+"""
+
+
+def q_hll_distinct_estimate(spark, sf_dir):
+    """Raw HLL distinct estimate per event_type next to the exact count.
+    The estimate is ONE float division of exact integers (register sum of
+    2^(53-rank) is an order-independent bigint), so it is deterministic and
+    oracle-checkable; the ln-corrected estimate (the one to use at low
+    cardinality) is tested for accuracy in tests/test_sketches.py."""
+    from .operators.sketches import hll_estimate_raw, hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    est = hll_estimate_raw(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type")
+
+
+def _hll_estimate_sql() -> str:
+    from .operators.sketches import HLL_EST_K
+
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             {_HLL_REG_SQL.format(v=_HLL_V)} AS reg,
+             {_HLL_RANK_SQL.format(v=_HLL_V)} AS rank
+      FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT event_type, reg, max(rank) AS max_rank FROM h GROUP BY 1, 2),
+    t AS (SELECT event_type,
+                 sum(1::BIGINT << (53 - max_rank)) AS s_present,
+                 count(*) AS n_registers
+          FROM r GROUP BY 1)
+    SELECT t.event_type, t.n_registers,
+           round({HLL_EST_K!r} / (t.s_present
+                 + (256 - t.n_registers) * (1::BIGINT << 53))::DOUBLE,
+                 4) AS distinct_est_raw,
+           x.n_exact
+    FROM t JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+                 FROM events GROUP BY 1) x USING (event_type)
+"""
+
+
+SQL_HLL_DISTINCT_ESTIMATE = _hll_estimate_sql()
+
+
+def q_hll_sketch_incremental(spark, sf_dir):
+    """Changefeed-maintained HLL sketch == batch recompute over every value
+    observed at an update() boundary (operators/sketches.py
+    IncrementalHllSketch — O(touched groups x 256) per epoch, never a
+    table rescan). Replays the events table through the CDC engine as a
+    3-epoch insert/update/delete fixture, advancing the sketch after every
+    epoch; deletes are IGNORED by design (distinct-seen semantics — HLL
+    can union but never subtract; agg_view's multiset-backed
+    count_distinct is the exact/retractable twin).
+
+    Fixture (deterministic in both engines):
+      epoch 0  insert events with event_id % 3 != 2 (original user_id)
+      epoch 1  insert the rest; events with event_id % 7 == 0 get
+               user_id + 1000000 (as update where already live)
+      epoch 2  delete events with event_id % 11 == 0 (no effect)
+    Observed = original user_id of every event EXCEPT those first seen
+    already-perturbed (%3==2 AND %7==0), plus user_id+1000000 for %7==0."""
+    import tempfile
+
+    from .operators.sketches import IncrementalHllSketch
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid1 = F.when(
+        F.col("event_id") % 7 == 0, F.col("user_id") + F.lit(1_000_000)
+    ).otherwise(F.col("user_id"))
+
+    def env(sel, op_col, uid_expr, lsn_base, is_delete=False):
+        img = F.struct(
+            F.lit("events").alias("repo"),
+            F.col("event_id").cast("string").alias("path"),
+            F.col("event_type").alias("event_type"),
+            uid_expr.cast("long").alias("user_id"),
+        )
+        is_del = F.lit(is_delete)
+        return sel.select(
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("event_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            op_col.alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    b0 = env(ev.filter(F.col("event_id") % 3 != 2), F.lit("c"), F.col("user_id"), 0)
+    b1 = env(
+        ev.filter((F.col("event_id") % 3 == 2) | (F.col("event_id") % 7 == 0)),
+        F.when(F.col("event_id") % 3 == 2, F.lit("c")).otherwise(F.lit("u")),
+        uid1, 1_000_000,
+    )
+    b2 = env(ev.filter(F.col("event_id") % 11 == 0), F.lit("d"),
+             F.col("user_id"), 2_000_000, is_delete=True)
+
+    src = TableStore(tempfile.mkdtemp(prefix="hll_inc_src_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    sk = IncrementalHllSketch(
+        tempfile.mkdtemp(prefix="hll_inc_sk_"), ["event_type"], "user_id",
+        n_buckets=4,
+    )
+    for epoch, batch in enumerate((b0, b1, b2)):
+        engine.apply_batch(batch, epoch)
+        sk.update(spark, src)
+    return sk.read(spark)
+
+
+SQL_HLL_SKETCH_INCREMENTAL = f"""
+    WITH obs AS (
+      SELECT event_type, user_id AS v FROM events
+      WHERE NOT (event_id % 3 = 2 AND event_id % 7 = 0)
+      UNION ALL
+      SELECT event_type, user_id + 1000000 FROM events WHERE event_id % 7 = 0),
+    h AS (
+      SELECT event_type,
+             {_HLL_REG_SQL.format(v="v::VARCHAR")} AS reg,
+             {_HLL_RANK_SQL.format(v="v::VARCHAR")} AS rank
+      FROM obs WHERE v IS NOT NULL)
+    SELECT event_type, reg, max(rank)::INT AS max_rank
+    FROM h GROUP BY 1, 2
+"""
+
+
 def q_text_pii_scrub(spark, sf_dir):
     """PII redaction over the documents table (functions/text.py:PII_RULES
     — email/IPv4/SSN/phone), per-rule audit counts + scrubbed sha256. The
@@ -2237,6 +2396,12 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     ),
     "ann_cosine_topk_sq8": (q_ann_cosine_topk_sq8, SQL_ANN_COSINE_TOPK_SQ8),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
+    "hll_user_registers": (q_hll_user_registers, SQL_HLL_USER_REGISTERS),
+    "hll_distinct_estimate": (q_hll_distinct_estimate, SQL_HLL_DISTINCT_ESTIMATE),
+    "hll_sketch_incremental": (
+        q_hll_sketch_incremental,
+        SQL_HLL_SKETCH_INCREMENTAL,
+    ),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_incremental": (
         q_dedup_clusters_incremental,

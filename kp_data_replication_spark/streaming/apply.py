@@ -163,6 +163,15 @@ class EngineConfig:
     agg_view_group_cols: tuple = ()
     agg_view_measures: tuple = ()
     agg_view_buckets: int = 8
+    # approximate distinct-count sketch (operators/sketches.py): a
+    # changefeed-maintained HLL register table advanced in the same epoch
+    # loop — O(touched groups x 256) per epoch, O(256) state per group,
+    # distinct-SEEN semantics (deletes never retract; use agg_view's
+    # count_distinct for the exact/retractable form)
+    hll_sketch_dir: str | None = None
+    hll_sketch_group_cols: tuple = ()
+    hll_sketch_value_expr: str = ""
+    hll_sketch_buckets: int = 8
     # automatic bucket-count growth (MM2 Manager partition-count
     # propagation analogue, docs/perf-tests.md:15): when set, every commit
     # probes the manifest's per-bucket byte totals and DOUBLES n_buckets
@@ -1588,6 +1597,16 @@ class CdcApplyEngine:
                 index,
                 n_buckets=self.config.cluster_index_buckets,
             )
+        hll_sketch = None
+        if self.config.hll_sketch_dir:
+            from ..operators.sketches import IncrementalHllSketch
+
+            hll_sketch = IncrementalHllSketch(
+                self.config.hll_sketch_dir,
+                list(self.config.hll_sketch_group_cols),
+                self.config.hll_sketch_value_expr,
+                n_buckets=self.config.hll_sketch_buckets,
+            )
         agg_view = None
         if self.config.agg_view_dir:
             from ..operators.agg_view import IncrementalAggView
@@ -1614,6 +1633,10 @@ class CdcApplyEngine:
             if agg_view is not None:
                 # same contract: O(changed rows) catch-up to the new head
                 agg_view.update(df.sparkSession, self.store)
+            if hll_sketch is not None:
+                # monotone register max — a replayed range is harmless AND
+                # fenced; kill/resume covers table + sketch together
+                hll_sketch.update(df.sparkSession, self.store)
 
         writer = (
             src.writeStream.foreachBatch(_apply)
