@@ -1259,6 +1259,71 @@ SQL_CDC_SCAN_PRUNED = """
 """
 
 
+def q_cdc_lookup_bloom(spark, sf_dir):
+    """Bloom-pruned point probes (the Parquet bloom_filter pages / Delta
+    BLOOMFILTER index analogue, sources/table_store.py:_bloom_build /
+    _file_may_match): the table is range-clustered on LANG, so file
+    zonemaps on PATH span ~the whole key domain and cannot prune a path
+    point probe — the per-file bloom on path can, and the query
+    self-audits that it skips files the zonemaps alone would keep before
+    returning. Hash equality against the plain SQL filter proves the skip
+    is exact (bloom false positives cost a scan, never a row)."""
+    import tempfile
+
+    from .sources.table_store import TableStore, _file_may_match
+
+    store = TableStore(tempfile.mkdtemp(prefix="bloom_lookup_"), n_buckets=4,
+                       bloom_cols=["path"])
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False))
+    for epoch, batch in enumerate(_incremental_fixture_batches(spark, sf_dir)):
+        engine.apply_batch(batch, epoch)
+    store.rewrite_buckets(
+        spark, min_files=0, cluster_by=["lang"], split_files=4
+    )
+    keys = ["5", "38", "49", "100"]
+    m = store.current_manifest()
+    stats = m.get("stats") or {}
+    nobloom = {
+        p: {"rows": s.get("rows"), "cols": s.get("cols")}
+        for p, s in stats.items()
+    }
+    for key in keys:
+        where = [("path", "=", key)]
+        with_bloom = sum(
+            1 for fs in m["buckets"].values() for p in fs
+            if _file_may_match(stats.get(p), where)
+        )
+        zonemap_only = sum(
+            1 for fs in m["buckets"].values() for p in fs
+            if _file_may_match(nobloom.get(p), where)
+        )
+        if with_bloom >= zonemap_only:
+            raise RuntimeError(
+                f"bloom pruning did not fire for path={key}: "
+                f"{with_bloom} vs zonemap-only {zonemap_only}"
+            )
+    out = None
+    for key in keys:
+        part = store.read_state(spark, where=[("path", "=", key)])
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "lang",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+SQL_CDC_LOOKUP_BLOOM = """
+    SELECT doc_id, lang,
+           sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+             AS content_sha
+    FROM documents
+    WHERE doc_id % 11 != 0 AND doc_id IN (5, 38, 49, 100)
+"""
+
+
 def q_cdc_scan_pruned_zorder(spark, sf_dir):
     """Z-order clustered scan (the Delta OPTIMIZE ZORDER BY analogue,
     sources/table_store.py _zvalue / rewrite_buckets(cluster_strategy=
@@ -2376,6 +2441,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_state_time_travel": (q_cdc_state_time_travel, SQL_CDC_STATE_TIME_TRAVEL),
     "cdc_state_mor": (q_cdc_state_mor, SQL_CDC_STATE_MOR),
     "cdc_scan_pruned": (q_cdc_scan_pruned, SQL_CDC_SCAN_PRUNED),
+    "cdc_lookup_bloom": (q_cdc_lookup_bloom, SQL_CDC_LOOKUP_BLOOM),
     "cdc_scan_pruned_zorder": (
         q_cdc_scan_pruned_zorder,
         SQL_CDC_SCAN_PRUNED_ZORDER,

@@ -173,14 +173,70 @@ def _bound_pair(lo, hi):
     return lo, hi
 
 
+# ---------- per-file bloom filters (point-predicate data skipping) ----------
+#
+# Zonemaps prune RANGE predicates on clustered columns; they are useless
+# for equality probes on a high-cardinality column the layout does not
+# sort by (every file's [min,max] spans essentially the whole domain, so
+# nothing skips). The standard lakehouse answer is a per-file bloom
+# filter on the probe column (Parquet's own bloom_filter pages / Iceberg
+# puffin blobs / Delta's BLOOMFILTER index): _BLOOM_BITS bits per file per
+# column in the manifest (512 hex chars at 2048 bits — budget-bounded, it
+# rides the same stats map), k=_BLOOM_K positions per value derived from
+# one md5 via Kirsch-Mitzenmacher double hashing. An equality conjunct
+# whose value misses any set bit PROVES the file cannot contain it; a hit
+# keeps the file (false positives only cost a scan, never correctness).
+# 2048 bits / 4 hashes holds ~150 distinct values per file at <1% false-
+# positive rate — size it to the file's expected distinct count at real
+# scale. Harvest reads ONLY the bloom column of NEW files (column-pruned
+# single read per commit); at cluster scale it moves into the write task
+# exactly like the footer stats (the writer has the values in hand).
+# Opt-in per table via TableStore(bloom_cols=[...]).
+
+_BLOOM_BITS = 2048
+_BLOOM_K = 4
+
+
+def _bloom_positions(value) -> list[int]:
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    h1 = int(h[:8], 16)
+    h2 = int(h[8:16], 16) | 1
+    return [(h1 + i * h2) % _BLOOM_BITS for i in range(_BLOOM_K)]
+
+
+def _bloom_build(values) -> str:
+    bits = 0
+    for v in values:
+        if v is None:
+            continue
+        for p in _bloom_positions(v):
+            bits |= 1 << p
+    return format(bits, "x")
+
+
+def _bloom_may_contain(hexstr: str, value) -> bool:
+    bits = int(hexstr, 16)
+    return all((bits >> p) & 1 for p in _bloom_positions(value))
+
+
 def collect_file_stats(
-    root: str, relpaths: list[str], columns: list[str]
+    root: str,
+    relpaths: list[str],
+    columns: list[str],
+    bloom_cols: list[str] | None = None,
 ) -> dict[str, dict]:
     """Harvest per-file zonemaps from parquet footers (driver-side,
     metadata-only). At cluster scale this moves into the write tasks —
     Iceberg's writers report DataFile metrics from the same footers —
     but the manifest contract is identical. Files whose footer lacks
-    usable statistics get an empty cols map (pruning keeps them)."""
+    usable statistics get an empty cols map (pruning keeps them).
+
+    ``bloom_cols``: additionally build a per-file bloom filter over each
+    listed column's values (a column-pruned read of the new file — the
+    only stats path that touches data pages; see the bloom block above
+    for the scale story)."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -215,7 +271,20 @@ def collect_file_stats(
                 continue
             lo, hi = _bound_pair(lo, hi)
             cols[name] = [lo, hi, nulls]
-        out[rel] = {"rows": meta.num_rows, "cols": cols}
+        ent: dict = {"rows": meta.num_rows, "cols": cols}
+        present_blooms = [
+            c for c in (bloom_cols or [])
+            if c in {meta.schema.column(i).path for i in range(meta.num_columns)}
+        ]
+        if present_blooms:
+            tbl = pq.read_table(
+                os.path.join(root, rel), columns=present_blooms
+            )
+            ent["bloom"] = {
+                c: _bloom_build(set(tbl.column(c).to_pylist()))
+                for c in present_blooms
+            }
+        out[rel] = ent
     return out
 
 
@@ -253,8 +322,13 @@ def _file_may_match(fstats: dict | None, where: list[tuple]) -> bool:
     if not fstats:
         return True
     cols = fstats.get("cols") or {}
+    blooms = fstats.get("bloom") or {}
     rows = fstats.get("rows")
     for col, op, val in where:
+        if op == "=":
+            bl = blooms.get(col)
+            if bl is not None and not _bloom_may_contain(bl, val):
+                return False  # definite miss: no value in the file hashes here
         ent = cols.get(col)
         if ent is None:
             continue
@@ -365,7 +439,8 @@ def _zvalue(cell_cols: list[F.Column], bits: int = _Z_BITS) -> F.Column:
 
 class TableStore:
     def __init__(
-        self, root: str, n_buckets: int = 16, collect_stats: bool = True
+        self, root: str, n_buckets: int = 16, collect_stats: bool = True,
+        bloom_cols: list[str] | None = None,
     ):
         self.root = root
         self._n_buckets = n_buckets
@@ -373,6 +448,10 @@ class TableStore:
         # footer read is metadata-only and rides the same per-file loop as
         # the byte-size stat. Turn off for stat-free ingest benchmarks.
         self.collect_stats = collect_stats
+        # per-file bloom filters for equality probes on high-cardinality
+        # unclustered columns (see the bloom block above collect_file_stats)
+        # — opt-in: harvesting reads the listed columns of each NEW file
+        self.bloom_cols = list(bloom_cols or [])
 
     def _write_lock(self):
         """Exclusive advisory lock serializing all version-advancing ops
@@ -623,6 +702,7 @@ class TableStore:
                     self.root,
                     new_relpaths,
                     stat_columns(T.StructType.fromJson(schema_json)),
+                    bloom_cols=self.bloom_cols,
                 )
             )
         live = {p for fs in manifest["buckets"].values() for p in fs}
@@ -925,6 +1005,7 @@ class TableStore:
                         self.root,
                         [f for fs in written.values() for f in fs],
                         stat_columns(row_schema),
+                        bloom_cols=self.bloom_cols,
                     )
                 )
             if mor:

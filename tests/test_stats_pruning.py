@@ -288,3 +288,87 @@ def test_file_may_match_bounds_algebra():
     )
     # type confusion keeps the file rather than guessing
     assert _file_may_match(st, [("lang", "=", 7)])
+
+
+# ---------- per-file bloom filters (point-predicate skipping) ----------
+
+
+def _bloom_store(spark, n=400, n_buckets=4):
+    """Hash-bucketed layout: every file spans ~the whole path domain, so
+    zonemaps are USELESS for a path point probe — the bloom's exact job."""
+    store = TableStore(
+        tempfile.mkdtemp(prefix="bloom_"), n_buckets=n_buckets,
+        bloom_cols=["path"],
+    )
+    store.commit(
+        _corpus(spark, n).withColumn(BUCKET_COL, bucket_expr(n_buckets)),
+        list(range(n_buckets)),
+        [],
+        epoch=1,
+        row_schema=ROW_SCHEMA,
+    )
+    return store
+
+
+def test_bloom_harvested_into_manifest(spark):
+    store = _bloom_store(spark)
+    stats = store.current_manifest()["stats"]
+    for ent in stats.values():
+        assert "bloom" in ent and "path" in ent["bloom"]
+        assert int(ent["bloom"]["path"], 16) != 0
+
+
+def test_bloom_prunes_point_probe_where_zonemaps_cannot(spark):
+    store = _bloom_store(spark)
+    where = [("path", "=", "137")]
+    rep = store.prune_report(where)
+    # the key lives in exactly one bucket file; blooms must skip most of
+    # the rest (false positives allowed, certainty of the hit required)
+    assert rep["files_selected"] < rep["files_total"]
+    got = _rows(store.read_state(spark, where=where))
+    exp = _rows(store.read_state(spark).filter(where_column(where)))
+    assert got == exp == [("corpus", "137")]
+
+    # zonemap-only twin CANNOT prune this probe (hash layout spans domain)
+    plain = TableStore(store.root, n_buckets=store.n_buckets)
+    m = store.current_manifest()
+    nobloom = {
+        p: {"rows": s["rows"], "cols": s["cols"]}
+        for p, s in m["stats"].items()
+    }
+    kept = sum(
+         1 for fs in m["buckets"].values() for p in fs
+         if _file_may_match(nobloom.get(p), where)
+    )
+    assert kept > rep["files_selected"]
+
+
+def test_bloom_absent_value_prunes_everything_exactly(spark):
+    store = _bloom_store(spark)
+    where = [("path", "=", "no-such-key")]
+    got = _rows(store.read_state(spark, where=where))
+    assert got == []
+    # and the report shows the skip (bloom may false-positive a file or
+    # two, but most of the table is provably skipped)
+    rep = store.prune_report(where)
+    assert rep["files_selected"] <= rep["files_total"] // 2
+
+
+def test_bloom_carries_through_rewrite_and_more_commits(spark):
+    store = _bloom_store(spark, n=200)
+    # second commit appends new keys -> new files get their own blooms
+    extra = _corpus(spark, 400).filter(F.col("path").cast("long") >= 200)
+    store.commit(
+        store.read_state(spark).unionByName(extra)
+        .withColumn(BUCKET_COL, bucket_expr(store.n_buckets)),
+        list(range(store.n_buckets)),
+        [],
+        epoch=2,
+        row_schema=ROW_SCHEMA,
+    )
+    for key in ("5", "399"):
+        where = [("path", "=", key)]
+        got = _rows(store.read_state(spark, where=where))
+        assert got == [("corpus", key)]
+    stats = store.current_manifest()["stats"]
+    assert all("bloom" in ent for ent in stats.values())
