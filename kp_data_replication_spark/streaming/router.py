@@ -39,11 +39,33 @@ def _safe_dirname(topic: str) -> str:
 
 @dataclass
 class TopicRouter:
-    """Routes a changelog carrying MANY topics into one TableStore per topic."""
+    """Routes a changelog carrying MANY topics into one TableStore per topic.
+
+    ``use_catalog=True``: after the per-topic table commits of an epoch,
+    publish ONE atomic catalog version mapping every topic to its new
+    table version (sources/catalog.py) — readers resolving through the
+    catalog can never observe a torn cross-topic snapshot (topic A at the
+    new epoch, topic B at the old one), which is exactly the consistency
+    Kafka cannot give a consumer of several replicated topics. Crash
+    anywhere inside the epoch: the catalog still points at the previous
+    consistent snapshot; the resumed epoch fences the committed tables to
+    noops, finishes the rest, and the catalog advances once."""
 
     root: str
     config: EngineConfig = field(default_factory=EngineConfig)
     n_buckets: int = 16
+    use_catalog: bool = False
+
+    @property
+    def catalog(self):
+        from ..sources.catalog import Catalog
+
+        return Catalog(os.path.join(self.root, "_catalog"))
+
+    def read_consistent(self, spark, topic: str, version: int | None = None):
+        """Open a topic's table AS OF the catalog snapshot (never its own
+        head) — the torn-read-free path."""
+        return self.catalog.read(spark, self.store_for(topic), topic, version)
 
     def store_for(self, topic: str) -> TableStore:
         return TableStore(
@@ -73,6 +95,15 @@ class TopicRouter:
                 replace(self.config, whitelist=f"^{re.escape(t)}$"),
             )
             out[t] = engine.apply_batch(batch, epoch, writer_id=f"{writer_id}:{t}")
+        if self.use_catalog and topics:
+            # one atomic snapshot publish AFTER every table commit of the
+            # epoch; fenced per (writer, epoch) so a replayed epoch whose
+            # table halves all no-op doesn't re-advance the catalog
+            out["_catalog_version"] = self.catalog.commit(
+                {t: self.store_for(t).current_version() for t in topics},
+                writer_id=writer_id,
+                epoch=epoch,
+            )
         return out
 
     def start_stream(

@@ -65,3 +65,92 @@ def test_router_creates_target_per_topic_and_discovers_new_ones(spark, tmp_path)
 
     # a blacklisted/internal topic never materializes a target
     assert "mm2-configs.source.internal" not in router.topics_seen()
+
+
+def test_catalog_gives_torn_read_free_cross_topic_snapshots(spark, tmp_path):
+    """use_catalog=True: readers resolving through the catalog never see a
+    cross-topic snapshot that mixes epochs, even when a crash lands between
+    one topic's table commit and the next (the window Kafka consumers of
+    multiple replicated topics are exposed to)."""
+    import re
+    from dataclasses import replace as dc_replace
+
+    from kp_data_replication_spark.streaming.apply import CdcApplyEngine
+
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=40, versions_per_key=2, n_partitions=2, files=2,
+                      dup_every=0),
+    )
+    base = spark.read.option("mergeSchema", "true").parquet(d)
+    repos_only = base.filter(F.col("source_topic") == "repos")
+    two = repos_only.unionByName(
+        repos_only.withColumn("source_topic", F.lit("repos-forks"))
+    )
+    router = TopicRouter(
+        str(tmp_path / "targets"),
+        EngineConfig(metrics=False, whitelist="^repos"),
+        n_buckets=4,
+        use_catalog=True,
+    )
+
+    # epoch 0: both topics commit, catalog publishes one snapshot
+    # (split by lsn RANGE — ordered delivery within every partition)
+    med = two.approxQuantile("lsn", [0.5], 0.0)[0]
+    half = two.filter(F.col("lsn") <= F.lit(med))
+    out0 = router.apply_batch(half, 0)
+    cat_v0 = out0["_catalog_version"]
+    snap0 = router.catalog.snapshot()
+    assert set(snap0) == {"repos", "repos-forks"}
+    rows0 = {
+        t: sorted(r["path"] for r in router.read_consistent(spark, t).collect())
+        for t in snap0
+    }
+    assert rows0["repos"] == rows0["repos-forks"]
+
+    # crash window: epoch 1 commits topic 'repos' TABLE only (simulating a
+    # crash before 'repos-forks' and before the catalog publish)
+    rest = two.filter(F.col("lsn") > F.lit(med))
+    engine = CdcApplyEngine(
+        router.store_for("repos"),
+        dc_replace(router.config, whitelist=f"^{re.escape('repos')}$"),
+    )
+    engine.apply_batch(rest, 1, writer_id="default:repos")
+    # the table head moved, but the CATALOG still serves the old snapshot
+    assert router.catalog.current_version() == cat_v0
+    torn_free = sorted(
+        r["path"] for r in router.read_consistent(spark, "repos").collect()
+    )
+    assert torn_free == rows0["repos"]  # stale but CONSISTENT with forks
+    head = sorted(
+        r["path"]
+        for r in router.store_for("repos").read_state(spark).collect()
+    )
+    assert len(head) >= len(torn_free)  # the head really is ahead
+
+    # resume: the full epoch replays — repos fences to a noop, forks
+    # commits, the catalog advances exactly once to a consistent snapshot
+    out1 = router.apply_batch(rest, 1)
+    assert out1["repos"]["status"] == "fenced"
+    assert out1["repos-forks"]["status"] == "committed"
+    assert router.catalog.current_version() == cat_v0 + 1
+    rows1 = {
+        t: sorted(r["path"] for r in router.read_consistent(spark, t).collect())
+        for t in ("repos", "repos-forks")
+    }
+    assert rows1["repos"] == rows1["repos-forks"]
+    exp = compute_expected_state_pandas(d)
+    assert len(rows1["repos"]) == len(exp)
+
+    # replayed epoch: every table fences, the catalog does NOT re-advance
+    out2 = router.apply_batch(rest, 1)
+    assert out2["_catalog_version"] == cat_v0 + 1
+    assert router.catalog.current_version() == cat_v0 + 1
+
+    # time travel: the old catalog version still reads the old snapshot
+    old = sorted(
+        r["path"]
+        for r in router.read_consistent(spark, "repos", version=cat_v0).collect()
+    )
+    assert old == rows0["repos"]
