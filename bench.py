@@ -520,6 +520,83 @@ def bench_incremental_agg_view(spark, sf_dir: str, work_dir: str) -> dict:
     return out
 
 
+def bench_incremental_hll(spark, sf_dir: str, work_dir: str) -> dict:
+    """O(batch) evidence for the changefeed-maintained HLL sketch: full
+    sketch build over the replicated events corpus, then an epoch touching
+    ~1% of rows — the epoch update shuffles at most (touched groups x 256)
+    register rows, never the corpus. The O(table) alternative (exact
+    countDistinct rescan per refresh) is timed alongside; at 100 TB that
+    leg reads the whole table per refresh while the sketch reads only the
+    epoch's changefeed."""
+    from pyspark.sql import functions as F
+
+    from kp_data_replication_spark.operators.sketches import IncrementalHllSketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    ).cache()
+    n_events = ev.count()
+    img = F.struct(
+        F.lit("events").alias("repo"),
+        F.col("event_id").cast("string").alias("path"),
+        F.col("event_type").alias("event_type"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+
+    def envelope(sel, op, lsn_base):
+        is_del = F.lit(op == "d")
+        return sel.select(
+            F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("partition"),
+            (F.col("event_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            F.lit(op).alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    src = TableStore(os.path.join(work_dir, "hll_src"), n_buckets=64)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    sk = IncrementalHllSketch(
+        os.path.join(work_dir, "hll_sk"), ["event_type"], "user_id",
+        n_buckets=8,
+    )
+    engine.apply_batch(envelope(ev, "c", 0), 0)
+    t0 = time.time()
+    sk.update(spark, src)
+    full_sec = time.time() - t0
+
+    changed = ev.filter(F.col("event_id") % 100 == 0).withColumn(
+        "user_id", F.col("user_id") + F.lit(10_000_000)
+    )
+    engine.apply_batch(envelope(changed, "u", 100_000_000), 1)
+    t0 = time.time()
+    out_inc = sk.update(spark, src)
+    inc_sec = time.time() - t0
+
+    t0 = time.time()
+    n_groups = (
+        src.read_state(spark)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .count()
+    )
+    recompute_sec = time.time() - t0
+    ev.unpersist()
+    out = {
+        "n_events": n_events,
+        "full_build_sec": round(full_sec, 3),
+        "epoch_update_sec": round(inc_sec, 3),
+        "exact_recompute_sec": round(recompute_sec, 3),
+        "n_register_updates_epoch": out_inc["n_register_updates"],
+        "dirty_buckets": out_inc["dirty_buckets"],
+        "n_groups": n_groups,
+    }
+    log(f"incremental hll sketch: {out}")
+    return out
+
+
 def bench_mor_write(spark, work_dir: str) -> dict:
     """Write-amplification evidence for merge-on-read (EngineConfig.
     table_mode='mor'): same base table (BENCH_MOR_BASE rows x ~1 KB, 64
@@ -645,6 +722,9 @@ def main() -> None:
             bench_incremental_agg_view(spark, sf_dir, work_dir)
             if llm_on else None
         )
+        hll_inc = (
+            bench_incremental_hll(spark, sf_dir, work_dir) if llm_on else None
+        )
         mor = (
             bench_mor_write(spark, work_dir)
             if os.environ.get("BENCH_MOR", "1") != "0" else None
@@ -669,6 +749,8 @@ def main() -> None:
             out["ann_incremental"] = ann_inc
         if aggv_inc is not None:
             out["agg_view_incremental"] = aggv_inc
+        if hll_inc is not None:
+            out["hll_incremental"] = hll_inc
         if mor is not None:
             out["mor_write"] = mor
         print(json.dumps(out), flush=True)

@@ -300,7 +300,35 @@ def main(argv: list[str] | None = None) -> None:
     )
     tx.add_argument("target")
 
+    ct = sub.add_parser(
+        "catalog",
+        help="cross-topic consistent snapshot: the router catalog's "
+             "table->version map (time travel with --version)",
+    )
+    ct.add_argument("router_root")
+    ct.add_argument("--version", type=int, default=None)
+
+    sk = sub.add_parser(
+        "sketch",
+        help="HLL distinct-count sketch view: per-group corrected estimate "
+             "over the persisted register table",
+    )
+    sk.add_argument("sketch_root")
+    sk.add_argument("--group-cols", default="event_type",
+                    help="comma-separated group columns (must match the view)")
+
     args = ap.parse_args(argv)
+    if args.cmd == "catalog":  # pure metadata op — no Spark session needed
+        import os as _os
+
+        from .sources.catalog import Catalog
+
+        cat = Catalog(_os.path.join(args.router_root, "_catalog"))
+        print(json.dumps({
+            "catalog_version": args.version or cat.current_version(),
+            "tables": cat.snapshot(args.version),
+        }))
+        return
     if args.cmd == "txn":  # pure metadata op — no Spark session needed
         import os as _os
         from urllib.parse import unquote
@@ -691,6 +719,13 @@ def main(argv: list[str] | None = None) -> None:
         else:
             for r in rows:
                 print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "sketch":
+        from .operators.sketches import IncrementalHllSketch
+
+        groups = [c for c in args.group_cols.split(",") if c]
+        sk = IncrementalHllSketch(args.sketch_root, groups, "")
+        for r in sk.estimate(spark).orderBy(*groups).collect():
+            print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "lag":
         from pyspark.sql import functions as F
 

@@ -337,3 +337,48 @@ def test_cdf_changefeed_is_manifest_pruned_single_join(spark, tmp_path):
 
     ops = Counter(r["_change_type"] for r in ch.collect())
     assert ops["update_preimage"] == ops["update_postimage"]
+
+
+def test_sq8_plan_broadcasts_queries_and_stays_jvm(spark, tmp_path):
+    """SQ8 ANN: the candidate scoring is ONE broadcast (nested-loop) join
+    of the corpus scan against the tiny query side, the quantize/dequant/
+    dot expressions are pure JVM array transforms (no Python anywhere),
+    and the two rank stages add no extra shuffle beyond the two windows."""
+    from kp_data_replication_spark.operators.similarity import cosine_topk_sq8
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_sq8(emb, emb.filter(F.col("vec_id") < 3), k=3)
+    s = plan_string(out)
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+    assert_no_row_python(out)
+
+
+def test_pii_scrub_is_map_side_only(spark, tmp_path):
+    """The scrub is a regexp_replace chain over the scan: ZERO exchanges
+    (at 100 TB it pipelines with the read), no Python."""
+    from kp_data_replication_spark.functions.text import scrub_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} a@b.io") for i in range(20)], "doc_id long, text string"
+    )
+    out = scrub_documents(docs)
+    assert count_exchanges(out) == 0
+    assert_no_row_python(out)
+
+
+def test_hll_registers_single_exchange_partial_agg(spark):
+    """The register table is one grouped max: exactly one shuffle, carrying
+    at most (groups x 256) partially-aggregated rows — the map side combines
+    before the exchange (partial HashAggregate below it)."""
+    from kp_data_replication_spark.operators.sketches import hll_registers
+
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}", i * 17) for i in range(500)],
+        "event_id long, event_type string, user_id long",
+    )
+    out = hll_registers(df, ["event_type"], "user_id")
+    assert count_exchanges(out) == 1
+    s = plan_string(out)
+    assert s.count("HashAggregate") >= 2  # partial + final around the exchange
+    assert_no_row_python(out)
