@@ -88,6 +88,7 @@ HEADLINE_QUERIES = [
     "cdc_sha_invariant",
     "cdc_smt_chain",
     "agg_pricing_summary",
+    "events_sessionize",
     "join_segment_revenue",
     "window_topk_orders",
     "antijoin_orphans",

@@ -1,0 +1,79 @@
+"""Gap-based sessionization over event streams — the classic event-
+analytics rollup a consumer of the reference's replicated topics builds
+next to the data (docs/index.md:32-52 — mirrored topics feeding local
+analytics; the events here are the timestamped-producer payloads of
+SURVEY §2.1 S2).
+
+Semantics match Spark's own session_window / BigQuery-style gap sessions:
+a user's events sorted by time split into a new session whenever the gap
+to the previous event exceeds ``gap``; per-session stats aggregate the
+member events. Everything is deterministic (microsecond-exact gap compare
+via unix_micros, (ts, event_id) tiebreak for equal timestamps), so the
+whole rollup carries an exact DuckDB oracle.
+
+Scale shape at 10^10 events:
+  * ONE shuffle on the user key; the lag/cumsum window and the final
+    per-session aggregate share that partitioning (the groupBy keys are
+    a superset of the window partition key, so no second exchange).
+  * Per-user work is a linear scan of that user's events in time order —
+    the same cost any sessionizer pays; a pathological single hot user
+    serializes into one task, which is inherent to gap semantics (the
+    split points are a running dependency), not to this plan. Bound it
+    upstream with a per-user event cap if the domain allows.
+  * For CONTINUOUS sessionization use Structured Streaming's
+    ``session_window`` with a watermark; this operator is the batch/
+    backfill twin over the replicated table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Label every event with its (user, session_id): session_id is the
+    running count of gap-exceeding boundaries, 1-based per user."""
+    w = W.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    # parquet TIMESTAMP_NTZ + UTC session tz (session.py pins it): the cast
+    # is wall-clock identity, unix_micros is then the naive epoch — exactly
+    # DuckDB's epoch_us over the same naive value
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > gap_minutes * 60_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn("session_id", F.sum(new_session).over(wc).cast("long"))
+
+
+def session_stats(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-session rollup: bounds, event/type counts, value total, exact
+    microsecond duration. One exchange total (see module docstring)."""
+    s = sessionize(df, gap_minutes, user_col, ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        s.groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(type_col).alias("n_event_types"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+    )

@@ -2041,6 +2041,41 @@ SQL_ANN_COSINE_TOPK_SQ8 = f"""
 """
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events table (operators/sessions.py
+    — 30-minute gap, microsecond-exact boundaries, (ts, event_id)
+    tiebreak): per-session bounds, counts, value total, duration. One
+    shuffle on the user key; the lag/cumsum window and the session
+    aggregate share it."""
+    from .operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_minutes=30)
+
+
+SQL_EVENTS_SESSIONIZE = """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o)
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_event_types,
+           round(sum(value), 4) AS total_value,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+    FROM s GROUP BY 1, 2
+"""
+
+
 def q_hll_user_registers(spark, sf_dir):
     """Mergeable HyperLogLog register table per event_type over the events
     table (operators/sketches.py): md5-derived register index (8 bits) and
@@ -2462,6 +2497,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     ),
     "ann_cosine_topk_sq8": (q_ann_cosine_topk_sq8, SQL_ANN_COSINE_TOPK_SQ8),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "hll_user_registers": (q_hll_user_registers, SQL_HLL_USER_REGISTERS),
     "hll_distinct_estimate": (q_hll_distinct_estimate, SQL_HLL_DISTINCT_ESTIMATE),
     "hll_sketch_incremental": (

@@ -244,3 +244,44 @@ def test_latency_stats_percentiles(spark):
     row = latency_stats(df).collect()[0]
     assert row.n == 100 and row.min_ms == 1.0 and row.max_ms == 100.0
     assert abs(row.p50_ms - 50.5) < 1e-9 and abs(row.avg_ms - 50.5) < 1e-9
+
+
+def test_sessionize_gap_semantics(spark):
+    """Gap-based sessions: a 30-min+ gap starts a new session; equal
+    timestamps break ties by event_id; stats are per (user, session)."""
+    from datetime import datetime
+
+    from kp_data_replication_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    rows = [
+        # user 1: 3 events tight, then a 40-min gap, then 1 event
+        (0, t(0), 1, "a", 1.0),
+        (1, t(5), 1, "b", 2.0),
+        (2, t(10), 1, "a", 3.0),
+        (3, t(50), 1, "c", 4.0),
+        # user 2: exactly 30-min gap is NOT a new session (> rule)
+        (4, t(0), 2, "a", 1.0),
+        (5, t(30), 2, "a", 1.0),
+        # user 2: 30 min + 1s IS
+        (6, t(0, 1) if False else datetime(2024, 1, 1, 1, 0, 1), 2, "a", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double"
+    )
+    lab = {(r.user_id, r.event_id): r.session_id
+           for r in sessionize(df, 30).collect()}
+    assert lab[(1, 0)] == lab[(1, 1)] == lab[(1, 2)] == 1
+    assert lab[(1, 3)] == 2
+    assert lab[(2, 4)] == lab[(2, 5)] == 1  # exactly 30 min: same session
+    assert lab[(2, 6)] == 2                 # 30:01 after: new session
+
+    stats = {(r.user_id, r.session_id): r for r in session_stats(df, 30).collect()}
+    s11 = stats[(1, 1)]
+    assert s11.n_events == 3 and s11.n_event_types == 2
+    assert s11.total_value == 6.0
+    assert s11.duration_us == 10 * 60 * 1_000_000
