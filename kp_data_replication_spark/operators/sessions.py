@@ -4,10 +4,11 @@ next to the data (docs/index.md:32-52 — mirrored topics feeding local
 analytics; the events here are the timestamped-producer payloads of
 SURVEY §2.1 S2).
 
-Semantics match Spark's own session_window / BigQuery-style gap sessions:
-a user's events sorted by time split into a new session whenever the gap
-to the previous event exceeds ``gap``; per-session stats aggregate the
-member events. Everything is deterministic (microsecond-exact gap compare
+Semantics match Spark's own session_window exactly: a user's events
+sorted by time split into a new session whenever the inactivity since the
+previous event reaches ``gap`` (diff >= gap — an event landing exactly on
+the boundary starts a new session, the same rule session_window applies);
+per-session stats aggregate the member events. Everything is deterministic (microsecond-exact gap compare
 via unix_micros, (ts, event_id) tiebreak for equal timestamps), so the
 whole rollup carries an exact DuckDB oracle.
 
@@ -48,7 +49,7 @@ def sessionize(
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev = F.lag(us).over(w)
     new_session = F.when(
-        prev.isNull() | ((us - prev) > gap_minutes * 60_000_000), F.lit(1)
+        prev.isNull() | ((us - prev) >= gap_minutes * 60_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return df.withColumn("session_id", F.sum(new_session).over(wc).cast("long"))
@@ -75,5 +76,59 @@ def session_stats(
             F.countDistinct(type_col).alias("n_event_types"),
             F.round(F.sum(value_col), 4).alias("total_value"),
             (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+    )
+
+
+def session_stream(
+    spark,
+    events_path: str,
+    read_schema,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin: native ``session_window`` + watermark over an event
+    tail — the CONTINUOUS sessionizer (T9 late-data handling: events later
+    than the watermark are dropped from the rollup; state for a session is
+    evicted once the watermark passes its close, so months of streaming
+    hold only the trailing horizon).
+
+    Append-mode contract: a session row emits ONCE, when the watermark
+    passes its close (window end = last event + gap, so
+    ``session_end = window.end - gap`` is the last event time — the exact
+    batch ``session_stats`` value). Parity with the batch twin is asserted
+    in tests; ``countDistinct`` is not available in streaming, so the type
+    count is ``size(collect_set(...))`` — identical values, bounded by the
+    type cardinality.
+    """
+    src = spark.readStream.schema(read_schema)
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = src.parquet(events_path)
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        events.withColumn("_ts", ts)
+        .withWatermark("_ts", watermark)
+        .groupBy(F.session_window(F.col("_ts"), gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.size(F.collect_set(type_col)).alias("n_event_types"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+            F.min("_ts").alias("session_start"),
+            F.max("_ts").alias("session_end"),
+        )
+        .select(
+            user_col,
+            "session_start",
+            "session_end",
+            F.col("session_window.end").alias("session_close"),
+            "n_events",
+            "n_event_types",
+            "total_value",
         )
     )

@@ -2044,7 +2044,8 @@ SQL_ANN_COSINE_TOPK_SQ8 = f"""
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events table (operators/sessions.py
     — 30-minute gap, microsecond-exact boundaries, (ts, event_id)
-    tiebreak): per-session bounds, counts, value total, duration. One
+    tiebreak, session_window-exact >= gap rule): per-session bounds,
+    counts, value total, duration. One
     shuffle on the user key; the lag/cumsum window and the session
     aggregate share it."""
     from .operators.sessions import session_stats
@@ -2057,7 +2058,7 @@ SQL_EVENTS_SESSIONIZE = """
     WITH o AS (
       SELECT user_id, ts, event_id, event_type, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

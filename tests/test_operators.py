@@ -263,11 +263,11 @@ def test_sessionize_gap_semantics(spark):
         (1, t(5), 1, "b", 2.0),
         (2, t(10), 1, "a", 3.0),
         (3, t(50), 1, "c", 4.0),
-        # user 2: exactly 30-min gap is NOT a new session (> rule)
+        # user 2: 29:59 gap is NOT a new session; exactly 30 min IS
+        # (diff >= gap — the session_window boundary rule)
         (4, t(0), 2, "a", 1.0),
-        (5, t(30), 2, "a", 1.0),
-        # user 2: 30 min + 1s IS
-        (6, t(0, 1) if False else datetime(2024, 1, 1, 1, 0, 1), 2, "a", 1.0),
+        (5, t(29, 59), 2, "a", 1.0),
+        (6, t(59, 59), 2, "a", 1.0),
     ]
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp_ntz, user_id long, "
@@ -277,11 +277,75 @@ def test_sessionize_gap_semantics(spark):
            for r in sessionize(df, 30).collect()}
     assert lab[(1, 0)] == lab[(1, 1)] == lab[(1, 2)] == 1
     assert lab[(1, 3)] == 2
-    assert lab[(2, 4)] == lab[(2, 5)] == 1  # exactly 30 min: same session
-    assert lab[(2, 6)] == 2                 # 30:01 after: new session
+    assert lab[(2, 4)] == lab[(2, 5)] == 1  # 29:59: same session
+    assert lab[(2, 6)] == 2                 # exactly 30:00 later: new
 
     stats = {(r.user_id, r.session_id): r for r in session_stats(df, 30).collect()}
     s11 = stats[(1, 1)]
     assert s11.n_events == 3 and s11.n_event_types == 2
     assert s11.total_value == 6.0
     assert s11.duration_us == 10 * 60 * 1_000_000
+
+
+def test_session_stream_matches_batch_for_closed_sessions(spark, tmp_path):
+    """The streaming sessionizer (session_window + watermark, append mode)
+    emits each finalized session exactly once, with the SAME stats the
+    batch twin computes; a watermark-advancing sentinel in a later trigger
+    flushes the real sessions."""
+    import glob
+    import shutil
+    from datetime import datetime, timedelta
+
+    from kp_data_replication_spark.operators.sessions import (
+        session_stats,
+        session_stream,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(3):
+        t = base + timedelta(minutes=u * 3)
+        for s in range(2):                      # 2 sessions per user
+            for k in range(3 + u):              # 3..5 events per session
+                rows.append((eid, t, u, f"e{k % 2}", float(k + 1)))
+                eid += 1
+                t += timedelta(minutes=7, seconds=13)
+            t += timedelta(minutes=45)          # gap > 30min: next session
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double")
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+
+    def put(name, data):
+        tmp = str(tmp_path / ("_w_" + name))
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    str(ev_dir / (name + ".parquet")))
+
+    put("f0", rows)
+    # sentinel 10 days later: advances the watermark past every real
+    # session on the SECOND trigger so append mode finalizes them
+    put("f1", [(9999, base + timedelta(days=10), 99, "e0", 0.0)])
+
+    q = (
+        session_stream(spark, str(ev_dir), spark.createDataFrame([], schema).schema,
+                       max_files_per_trigger=1)
+        .writeStream.format("memory").queryName("sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.n_event_types,
+                                       r.total_value, r.session_end)
+        for r in spark.sql("select * from sess").collect()
+        if r.user_id != 99
+    }
+    batch = spark.createDataFrame(rows, schema)
+    exp = {
+        (r.user_id, r.session_start): (r.n_events, r.n_event_types,
+                                       r.total_value, r.session_end)
+        for r in session_stats(batch, 30).collect()
+    }
+    assert got == exp and len(got) == 6
