@@ -65,6 +65,7 @@ LLM_QUERIES = [
     # bench_incremental_* sections below, same as the other index queries.
     "dedup_clusters",
     "corpus_sample_stratified",
+    "corpus_mixture_weights",
     "pack_chunks",
     "pack_greedy",
     "text_stats",

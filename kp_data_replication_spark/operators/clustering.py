@@ -298,3 +298,32 @@ def pack_greedy(
         )
 
     return base.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+
+
+def mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-pretraining
+    alpha-sampling rule: sample source s with probability proportional to
+    p_s^alpha, alpha<1 upweights small sources): per-source counts ->
+    rate_s = (p_s^alpha) / max_s(p_s^alpha), normalized so the largest
+    source keeps rate 1.0 and every other source's rate is the keep
+    probability to feed :func:`sample_stratified`.
+
+    Scale shape: ONE count aggregate over the corpus (map-side combined);
+    the normalization windows run over the aggregated per-source table —
+    source-cardinality-sized, never the corpus. Output: (source, n, pct,
+    sample_rate)."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    w_all = W.partitionBy()
+    p = F.col("n").cast("double") / F.sum("n").over(w_all)
+    wgt = F.pow(p, F.lit(alpha))
+    return counts.select(
+        source_col,
+        "n",
+        F.round(p, 6).alias("pct"),
+        F.round(wgt / F.max(wgt).over(w_all), 4).alias("sample_rate"),
+    )

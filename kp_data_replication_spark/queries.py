@@ -2041,6 +2041,30 @@ SQL_ANN_COSINE_TOPK_SQ8 = f"""
 """
 
 
+def q_corpus_mixture_weights(spark, sf_dir):
+    """Temperature-based mixture weights over the documents table
+    (operators/clustering.py:mixture_weights — the alpha-sampling rule
+    multilingual pretraining uses to upweight small sources): per-source
+    counts, corpus share, and the normalized keep-rate to feed the
+    deterministic hash-mod sampler. The normalization windows run over the
+    per-source aggregate (source-cardinality rows), never the corpus."""
+    from .operators.clustering import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir), alpha=0.3)
+
+
+SQL_CORPUS_MIXTURE_WEIGHTS = """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    s AS (SELECT source, n,
+                 n::DOUBLE / sum(n) OVER () AS p,
+                 power(n::DOUBLE / sum(n) OVER (), 0.3) AS w
+          FROM c)
+    SELECT source, n, round(p, 6) AS pct,
+           round(w / max(w) OVER (), 4) AS sample_rate
+    FROM s
+"""
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events table (operators/sessions.py
     — 30-minute gap, microsecond-exact boundaries, (ts, event_id)
@@ -2498,6 +2522,9 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     ),
     "ann_cosine_topk_sq8": (q_ann_cosine_topk_sq8, SQL_ANN_COSINE_TOPK_SQ8),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
+    "corpus_mixture_weights": (
+        q_corpus_mixture_weights, SQL_CORPUS_MIXTURE_WEIGHTS
+    ),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "hll_user_registers": (q_hll_user_registers, SQL_HLL_USER_REGISTERS),
     "hll_distinct_estimate": (q_hll_distinct_estimate, SQL_HLL_DISTINCT_ESTIMATE),

@@ -621,3 +621,31 @@ def test_scrub_pii_is_idempotent(spark):
     once = df.select(scrub_pii(F.col("text")).alias("s"))
     twice = once.select(scrub_pii(F.col("s")).alias("s"))
     assert once.first().s == twice.first().s
+
+
+def test_mixture_weights_alpha_sampling(spark):
+    """alpha<1 upweights small sources: the largest source keeps rate 1.0,
+    a 100x smaller source gets a rate ~ (1/100)^alpha (not 1/100); alpha=1
+    degrades to proportional; rates feed sample_stratified directly."""
+    from kp_data_replication_spark.operators.clustering import (
+        mixture_weights,
+        sample_stratified,
+    )
+
+    rows = [(i, "big" if i < 1000 else "small", i) for i in range(1010)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    w = {r.source: r for r in mixture_weights(df, alpha=0.3, source_col="source").collect()}
+    assert w["big"].sample_rate == 1.0
+    assert abs(w["small"].sample_rate - (10 / 1000) ** 0.3) < 1e-3
+    assert w["small"].sample_rate > 10 / 1000  # upweighted vs proportional
+
+    w1 = {r.source: r.sample_rate
+          for r in mixture_weights(df, alpha=1.0, source_col="source").collect()}
+    assert abs(w1["small"] - 10 / 1000) < 1e-6
+
+    rates = {r.source: r.sample_rate
+             for r in mixture_weights(df, alpha=0.3, source_col="source").collect()}
+    kept = sample_stratified(df, rates, stratum_col="source", id_col="doc_id")
+    n_kept = kept.groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in n_kept}
+    assert got["big"] == 1000  # rate 1.0 keeps everything
