@@ -72,6 +72,7 @@ LLM_QUERIES = [
     "text_repetition",
     "text_rolling_fingerprint",
     "text_pii_scrub",
+    "text_compression_ratio",
     "multimodal_meta",
 ]
 

@@ -290,3 +290,28 @@ def scrub_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         scrub_pii(c).alias("scrubbed"),
         F.sha2(scrub_pii(c), 256).alias("scrubbed_sha"),
     )
+
+
+@F.pandas_udf(T.DoubleType())
+def compression_ratio(s: pd.Series) -> pd.Series:
+    """zlib compressed/raw byte ratio — the classic redundancy quality
+    signal (boilerplate/spam compresses far below prose; extremely high
+    ratios flag binary-ish noise). Gopher/CCNet-class pipelines filter on
+    exactly this before training.
+
+    Arrow-vectorized pandas UDF (per BATCH python call, zlib is C);
+    per-value cost is linear in the text — the same class as the rolling
+    hash. No SQL twin exists (DuckDB has no zlib surface), so correctness
+    is pinned by a python-twin test instead of the DuckDB oracle, and the
+    driver query is declared rows-only."""
+    import zlib
+
+    def ratio(t: str | None) -> float | None:
+        if t is None:
+            return None
+        raw = t.encode("utf-8")
+        if not raw:
+            return None
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    return s.map(ratio)

@@ -2041,6 +2041,22 @@ SQL_ANN_COSINE_TOPK_SQ8 = f"""
 """
 
 
+def q_text_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal per document
+    (functions/text.py:compression_ratio — Arrow-vectorized, C-speed zlib
+    per batch). ROWS-ONLY by declared design: DuckDB exposes no zlib, so
+    the exact values are pinned by the python-twin test
+    (tests/test_training_data_ops.py) instead of the SQL oracle — the same
+    honest boundary as ann_cosine_topk_ivf_trained."""
+    from .functions.text import compression_ratio
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(compression_ratio(F.col("text")), 6).alias("zlib_ratio"),
+    )
+
+
 def q_corpus_mixture_weights(spark, sf_dir):
     """Temperature-based mixture weights over the documents table
     (operators/clustering.py:mixture_weights — the alpha-sampling rule
@@ -2522,6 +2538,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     ),
     "ann_cosine_topk_sq8": (q_ann_cosine_topk_sq8, SQL_ANN_COSINE_TOPK_SQ8),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
+    "text_compression_ratio": (q_text_compression_ratio, None),
     "corpus_mixture_weights": (
         q_corpus_mixture_weights, SQL_CORPUS_MIXTURE_WEIGHTS
     ),

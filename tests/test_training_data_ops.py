@@ -649,3 +649,29 @@ def test_mixture_weights_alpha_sampling(spark):
     n_kept = kept.groupBy("source").count().collect()
     got = {r.source: r["count"] for r in n_kept}
     assert got["big"] == 1000  # rate 1.0 keeps everything
+
+
+def test_compression_ratio_python_twin_and_signal(spark):
+    """Values equal python zlib exactly; redundant text scores well below
+    prose; empty/null are null."""
+    import zlib
+
+    from kp_data_replication_spark.functions.text import compression_ratio
+
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam spam spam" * 20),
+        (1, "The quick brown fox jumps over the lazy dog while a "
+            "sudden storm rolled across the valley, scattering leaves."),
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.ratio for r in df.select(
+        "doc_id", compression_ratio(F.col("text")).alias("ratio")).collect()}
+    for i, t in rows:
+        if not t:
+            assert got[i] is None
+        else:
+            raw = t.encode()
+            assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
+    assert got[0] < 0.1 < got[1]  # boilerplate vs prose separation
