@@ -560,7 +560,11 @@ def bench_incremental_hll(spark, sf_dir: str, work_dir: str) -> dict:
         )
 
     src = TableStore(os.path.join(work_dir, "hll_src"), n_buckets=64)
-    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    # changefeed_files: the sketch's table_changes(use_change_files=True)
+    # fast path then reads the persisted per-version change set instead of
+    # falling back to a full state diff — the shape the epoch cost claim
+    # is about
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False, changefeed_files=True))
     sk = IncrementalHllSketch(
         os.path.join(work_dir, "hll_sk"), ["event_type"], "user_id",
         n_buckets=8,
