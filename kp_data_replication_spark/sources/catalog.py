@@ -84,15 +84,44 @@ class Catalog:
         return int(self._doc().get("writers", {}).get(writer_id, -1))
 
     # ---------- commit ----------
+    def _write_lock(self):
+        """Exclusive advisory lock serializing catalog commits — the same
+        mechanism (and the same multi-host caveat) as TableStore's: two
+        concurrent publishers would otherwise both read version N, both
+        write v(N+1).json, and the last pointer swap silently drops the
+        other's table updates. Readers never take it."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _lock():
+            os.makedirs(self.root, exist_ok=True)
+            fd = os.open(os.path.join(self.root, "_lock"), os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _lock()
+
     def commit(
         self, updates: dict[str, int], writer_id: str = "default",
         epoch: int | None = None,
     ) -> int:
         """Publish a new catalog version: listed tables move to their given
         versions, every other table carries forward. Atomic (write-then-
-        rename, same as the table pointer); fenced per writer when
-        ``epoch`` is given (a replayed epoch returns the current version
-        without writing)."""
+        rename, same as the table pointer), SERIALIZED under the catalog
+        write lock (concurrent publishers of different tables compose
+        instead of clobbering); fenced per writer when ``epoch`` is given
+        (a replayed epoch returns the current version without writing)."""
+        with self._write_lock():
+            return self._commit_locked(updates, writer_id, epoch)
+
+    def _commit_locked(
+        self, updates: dict[str, int], writer_id: str, epoch: int | None
+    ) -> int:
         cur = self.current_version()
         doc = self._doc(cur)
         if epoch is not None and epoch <= int(
