@@ -104,6 +104,16 @@ class TopicRouter:
                 writer_id=writer_id,
                 epoch=epoch,
             )
+            # pin by MECHANISM: register the catalog as a consumer of the
+            # exact table version its new snapshot serves, so an aggressive
+            # per-table vacuum can never expire a version the live catalog
+            # still resolves (the crash window where the catalog trails a
+            # table's head is then retention-safe, not retention-lucky)
+            snap = self.catalog.snapshot()
+            for t, tv in snap.items():
+                self.store_for(t).record_consumer(
+                    f"catalog:{os.path.abspath(self.root)}", tv
+                )
         return out
 
     def start_stream(

@@ -181,3 +181,54 @@ def test_catalog_concurrent_commits_compose_not_clobber(tmp_path):
     assert snap == {"a": 50, "b": 50}
     # every intermediate version file is still readable (no overwrites)
     assert cat.snapshot(1) in ({"a": 1}, {"b": 1})
+
+
+def test_catalog_pin_survives_aggressive_vacuum(spark, tmp_path):
+    """The catalog registers as a consumer of the table versions its live
+    snapshot serves, so vacuum(keep_versions=1) during the crash window
+    (table head ahead of the catalog) cannot expire the snapshot's version
+    — read_consistent keeps working instead of failing a full resync."""
+    import re
+    from dataclasses import replace as dc_replace
+
+    from kp_data_replication_spark.streaming.apply import CdcApplyEngine
+
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=30, versions_per_key=2, n_partitions=2, files=2,
+                      dup_every=0),
+    )
+    base = spark.read.option("mergeSchema", "true").parquet(d)
+    repos_only = base.filter(F.col("source_topic") == "repos")
+    router = TopicRouter(
+        str(tmp_path / "targets"),
+        EngineConfig(metrics=False, whitelist="^repos"),
+        n_buckets=4,
+        use_catalog=True,
+    )
+    med = repos_only.approxQuantile("lsn", [0.5], 0.0)[0]
+    router.apply_batch(repos_only.filter(F.col("lsn") <= F.lit(med)), 0)
+    before = sorted(
+        r["path"] for r in router.read_consistent(spark, "repos").collect()
+    )
+
+    # crash window: table advances WITHOUT a catalog publish
+    engine = CdcApplyEngine(
+        router.store_for("repos"),
+        dc_replace(router.config, whitelist=f"^{re.escape('repos')}$"),
+    )
+    engine.apply_batch(
+        repos_only.filter(F.col("lsn") > F.lit(med)), 1,
+        writer_id="default:repos",
+    )
+    store = router.store_for("repos")
+    cat_v = router.catalog.table_version("repos")
+    assert store.current_version() > cat_v
+
+    # aggressive vacuum would expire cat_v without the pin
+    store.vacuum(keep_versions=1)
+    got = sorted(
+        r["path"] for r in router.read_consistent(spark, "repos").collect()
+    )
+    assert got == before  # the pinned snapshot version survived
