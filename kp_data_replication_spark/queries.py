@@ -2117,6 +2117,57 @@ SQL_EVENTS_SESSIONIZE = """
 """
 
 
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the events table
+    (operators/sessions.py:funnel — each step strictly after the previous,
+    first qualifying occurrence): per-step reached-user counts. One user-key
+    exchange + a tiny rollup; the per-user step walk is pure array
+    expressions over sorted per-step time lists."""
+    from .operators.sessions import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, _FUNNEL_STEPS)
+
+
+def _funnel_sql(steps: list[str]) -> str:
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    per_cols = ", ".join(
+        f"list_sort(list(us) FILTER (WHERE step = '{s}')) AS ts_{i}"
+        for i, s in enumerate(steps)
+    )
+    walks = ["w0 AS (SELECT *, ts_0[1] AS t0 FROM per)"]
+    for i in range(1, len(steps)):
+        walks.append(
+            f"w{i} AS (SELECT *, list_filter(ts_{i}, x -> x > t{i - 1})[1] "
+            f"AS t{i} FROM w{i - 1})"
+        )
+    last = f"w{len(steps) - 1}"
+    depth = " + ".join(
+        f"(CASE WHEN t{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(steps))
+    )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i + 1} AS step, '{s}' AS step_name, "
+        f"count(*) AS n_users FROM d WHERE depth >= {i + 1}"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+    WITH typed AS (
+      SELECT user_id, event_type AS step, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ({in_list})),
+    per AS (SELECT user_id, {per_cols} FROM typed GROUP BY 1),
+    {", ".join(walks)},
+    d AS (SELECT user_id, {depth} AS depth FROM {last})
+    {unions}
+"""
+
+
+SQL_EVENTS_FUNNEL = _funnel_sql(_FUNNEL_STEPS)
+
+
 def q_hll_user_registers(spark, sf_dir):
     """Mergeable HyperLogLog register table per event_type over the events
     table (operators/sketches.py): md5-derived register index (8 bits) and
@@ -2543,6 +2594,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
         q_corpus_mixture_weights, SQL_CORPUS_MIXTURE_WEIGHTS
     ),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "hll_user_registers": (q_hll_user_registers, SQL_HLL_USER_REGISTERS),
     "hll_distinct_estimate": (q_hll_distinct_estimate, SQL_HLL_DISTINCT_ESTIMATE),
     "hll_sketch_incremental": (

@@ -349,3 +349,31 @@ def test_session_stream_matches_batch_for_closed_sessions(spark, tmp_path):
         for r in session_stats(batch, 30).collect()
     }
     assert got == exp and len(got) == 6
+
+
+def test_funnel_ordered_semantics(spark):
+    """Each step must be STRICTLY AFTER the previous one: out-of-order
+    completions don't count; re-occurrences pick the first qualifying
+    time; depth counts contiguous completed steps."""
+    from datetime import datetime
+
+    from kp_data_replication_spark.operators.sessions import funnel
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel a->b->c
+        (0, t(0), 1, "a", 0.0), (1, t(1), 1, "b", 0.0), (2, t(2), 1, "c", 0.0),
+        # user 2: b BEFORE a -> only reaches step 1 (needs b after a)
+        (3, t(0), 2, "b", 0.0), (4, t(1), 2, "a", 0.0),
+        # user 3: a, then c, then b, then c-again -> reaches 3 via the
+        # SECOND c (first qualifying after b)
+        (5, t(0), 3, "a", 0.0), (6, t(1), 3, "c", 0.0),
+        (7, t(2), 3, "b", 0.0), (8, t(3), 3, "c", 0.0),
+        # user 4: never starts
+        (9, t(0), 4, "x", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double")
+    got = {r.step: r.n_users for r in funnel(df, ["a", "b", "c"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 2}
