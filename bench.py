@@ -92,6 +92,7 @@ HEADLINE_QUERIES = [
     "agg_pricing_summary",
     "events_sessionize",
     "events_funnel",
+    "events_retention",
     "join_segment_revenue",
     "window_topk_orders",
     "antijoin_orphans",

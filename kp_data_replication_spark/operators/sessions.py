@@ -195,3 +195,35 @@ def funnel(
     for r in rows[1:]:
         res = res.unionByName(r)
     return res
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 7 * 86400 * 1_000_000,
+) -> DataFrame:
+    """Cohort retention: users grouped by their FIRST active period (epoch
+    week by default), counted in every later period they return — the
+    classic retention triangle. Integer period arithmetic end-to-end
+    (``div`` on microseconds), so the oracle is exact.
+
+    Scale shape: distinct (user, period) first (map-side combined — the
+    shuffle carries user-periods, not events), then the cohort label is a
+    per-user window MIN sharing that partitioning, then one rollup on
+    (cohort, offset) — period-cardinality-squared rows at most."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    acts = (
+        df.select(F.col(user_col).alias("_u"), us.alias("_us"))
+        .select("_u", F.expr(f"_us div {period_us}").alias("_wk"))
+        .distinct()
+    )
+    w = W.partitionBy("_u")
+    labeled = acts.withColumn("cohort_week", F.min("_wk").over(w))
+    return (
+        labeled.groupBy(
+            "cohort_week",
+            (F.col("_wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("_u").cast("long").alias("n_users"))
+    )

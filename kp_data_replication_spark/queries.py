@@ -2168,6 +2168,30 @@ def _funnel_sql(steps: list[str]) -> str:
 SQL_EVENTS_FUNNEL = _funnel_sql(_FUNNEL_STEPS)
 
 
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention triangle over the events table
+    (operators/sessions.py:retention_cohorts): users bucketed by first
+    active epoch-week, counted in each later week they return. Integer
+    microsecond//week arithmetic both engines."""
+    from .operators.sessions import retention_cohorts
+
+    return retention_cohorts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+    WITH a AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+      FROM events),
+    c AS (SELECT *, min(wk) OVER (PARTITION BY user_id) AS cohort_week
+          FROM a)
+    SELECT cohort_week, wk - cohort_week AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM c GROUP BY 1, 2
+"""
+
+
 def q_hll_user_registers(spark, sf_dir):
     """Mergeable HyperLogLog register table per event_type over the events
     table (operators/sketches.py): md5-derived register index (8 bits) and
@@ -2595,6 +2619,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     ),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "hll_user_registers": (q_hll_user_registers, SQL_HLL_USER_REGISTERS),
     "hll_distinct_estimate": (q_hll_distinct_estimate, SQL_HLL_DISTINCT_ESTIMATE),
     "hll_sketch_incremental": (

@@ -377,3 +377,37 @@ def test_funnel_ordered_semantics(spark):
               "event_type string, value double")
     got = {r.step: r.n_users for r in funnel(df, ["a", "b", "c"]).collect()}
     assert got == {1: 3, 2: 2, 3: 2}
+
+
+def test_retention_cohorts_triangle(spark):
+    """Users bucket by first active week; returning users count in their
+    offset week; a user active twice in one week counts once."""
+    from datetime import datetime, timedelta
+
+    from kp_data_replication_spark.operators.sessions import retention_cohorts
+
+    w0 = datetime(2024, 1, 4)  # inside some epoch week W
+    rows = [
+        # u1: weeks W, W+1, W+2 ; u2: W only (twice) ; u3: W+1, W+3
+        (0, w0, 1, "a", 0.0),
+        (1, w0 + timedelta(days=7), 1, "a", 0.0),
+        (2, w0 + timedelta(days=14), 1, "a", 0.0),
+        (3, w0, 2, "a", 0.0),
+        (4, w0 + timedelta(hours=2), 2, "a", 0.0),
+        (5, w0 + timedelta(days=7), 3, "a", 0.0),
+        (6, w0 + timedelta(days=21), 3, "a", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double")
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in retention_cohorts(df).collect()}
+    weeks = sorted({k[0] for k in got})
+    wA = weeks[0]          # u1+u2's cohort
+    wB = wA + 1            # u3's cohort
+    assert got[(wA, 0)] == 2      # u1, u2 (u2's two events count once)
+    assert got[(wA, 1)] == 1      # u1 returned
+    assert got[(wA, 2)] == 1      # u1 returned
+    assert got[(wB, 0)] == 1      # u3
+    assert got[(wB, 2)] == 1      # u3 at W+3 = offset 2 from its cohort
+    assert (wA, 3) not in got
