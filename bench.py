@@ -93,6 +93,7 @@ HEADLINE_QUERIES = [
     "events_sessionize",
     "events_funnel",
     "events_retention",
+    "events_sessionize_scalable",
     "join_segment_revenue",
     "window_topk_orders",
     "antijoin_orphans",

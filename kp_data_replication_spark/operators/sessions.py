@@ -17,10 +17,10 @@ Scale shape at 10^10 events:
     per-session aggregate share that partitioning (the groupBy keys are
     a superset of the window partition key, so no second exchange).
   * Per-user work is a linear scan of that user's events in time order —
-    the same cost any sessionizer pays; a pathological single hot user
-    serializes into one task, which is inherent to gap semantics (the
-    split points are a running dependency), not to this plan. Bound it
-    upstream with a per-user event cap if the domain allows.
+    the same cost any sessionizer pays. A pathological single hot user
+    serializes into one task here — use :func:`session_stats_scalable`
+    (two-phase: parallel within time slices, O(sessions) stitch) when one
+    user's event count is itself task-sized.
   * For CONTINUOUS sessionization use Structured Streaming's
     ``session_window`` with a watermark; this operator is the batch/
     backfill twin over the replicated table.
@@ -226,4 +226,97 @@ def retention_cohorts(
             (F.col("_wk") - F.col("cohort_week")).alias("week_offset"),
         )
         .agg(F.countDistinct("_u").cast("long").alias("n_users"))
+    )
+
+
+def session_stats_scalable(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    slice_minutes: int = 1440,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Two-phase sessionization — the hot-user scale path.
+
+    The direct sessionizer serializes each user into one task (gap splits
+    are a running dependency over that user's FULL event sequence). This
+    variant breaks the dependency chain at coarse time-slice boundaries:
+
+      phase 1  sessionize within (user, slice) — slices are independent,
+               so a user with 10^8 events parallelizes across
+               events/slice-width tasks; emits one mergeable summary row
+               per LOCAL session (bounds, count, value sum, type set).
+      phase 2  stitch across consecutive slices with the SAME >= gap rule
+               applied to session bounds — a per-user sequential pass, but
+               over SESSION rows (orders of magnitude fewer than events),
+               then merge stitched groups.
+
+    Exactly equal to :func:`session_stats` by construction (a session
+    crossing a slice boundary is split locally and re-joined in phase 2;
+    equal timestamps share a slice, so the tiebreak order is preserved) —
+    the driver oracle asserts hash equality against the SAME SQL the
+    direct form uses. ``slice_minutes`` must be >= ``gap_minutes``."""
+    if slice_minutes < gap_minutes:
+        raise ValueError("slice must be at least the gap wide")
+    gap_us = gap_minutes * 60_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        us.alias("_us"),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_tiebreak).alias("_tb"),
+        F.col(value_col).alias("_v"),
+        F.col(type_col).alias("_t"),
+    ).withColumn("_slice", F.expr(f"_us div {slice_minutes * 60_000_000}"))
+
+    # phase 1: local sessions inside each (user, slice)
+    w1 = W.partitionBy("_u", "_slice").orderBy("_ts", "_tb")
+    prev = F.lag("_us").over(w1)
+    new_local = F.when(
+        prev.isNull() | ((F.col("_us") - prev) >= gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    w1c = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = (
+        ev.withColumn("_ls", F.sum(new_local).over(w1c))
+        .groupBy("_u", "_slice", "_ls")
+        .agg(
+            F.min("_us").alias("_start_us"),
+            F.max("_us").alias("_end_us"),
+            F.min("_ts").alias("_start_ts"),
+            F.max("_ts").alias("_end_ts"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_v").alias("_sum_v"),
+            F.collect_set("_t").alias("_types"),
+        )
+    )
+
+    # phase 2: stitch — the same gap rule over SESSION rows per user
+    w2 = W.partitionBy("_u").orderBy("_start_us", "_slice", "_ls")
+    prev_end = F.lag("_end_us").over(w2)
+    new_global = F.when(
+        prev_end.isNull() | ((F.col("_start_us") - prev_end) >= gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w2c = w2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    stitched = local.withColumn("_gs", F.sum(new_global).over(w2c))
+    return (
+        stitched.groupBy("_u", "_gs")
+        .agg(
+            F.min("_start_ts").alias("session_start"),
+            F.max("_end_ts").alias("session_end"),
+            F.sum("_n").cast("long").alias("n_events"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("_types"))))
+            .cast("long").alias("n_event_types"),
+            F.round(F.sum("_sum_v"), 4).alias("total_value"),
+            (F.max("_end_us") - F.min("_start_us")).alias("duration_us"),
+        )
+        .select(
+            F.col("_u").alias(user_col),
+            F.col("_gs").alias("session_id"),
+            "session_start", "session_end", "n_events", "n_event_types",
+            "total_value", "duration_us",
+        )
     )

@@ -2192,6 +2192,20 @@ SQL_EVENTS_RETENTION = """
 """
 
 
+def q_events_sessionize_scalable(spark, sf_dir):
+    """The TWO-PHASE sessionizer (operators/sessions.py:
+    session_stats_scalable — local sessions per (user, time-slice) in
+    parallel, then an O(sessions) per-user stitch): same result set as
+    events_sessionize BY CONSTRUCTION, proven by sharing its SQL oracle —
+    hash equality here is a plan-equivalence proof, the reason the hot-user
+    scale path can be trusted as a drop-in."""
+    from .operators.sessions import session_stats_scalable
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # slice = 6h on a 30-min gap: many boundary stitches at sf0.01
+    return session_stats_scalable(ev, gap_minutes=30, slice_minutes=360)
+
+
 def q_hll_user_registers(spark, sf_dir):
     """Mergeable HyperLogLog register table per event_type over the events
     table (operators/sketches.py): md5-derived register index (8 bits) and
@@ -2620,6 +2634,9 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
+    "events_sessionize_scalable": (
+        q_events_sessionize_scalable, SQL_EVENTS_SESSIONIZE
+    ),
     "hll_user_registers": (q_hll_user_registers, SQL_HLL_USER_REGISTERS),
     "hll_distinct_estimate": (q_hll_distinct_estimate, SQL_HLL_DISTINCT_ESTIMATE),
     "hll_sketch_incremental": (

@@ -411,3 +411,52 @@ def test_retention_cohorts_triangle(spark):
     assert got[(wB, 0)] == 1      # u3
     assert got[(wB, 2)] == 1      # u3 at W+3 = offset 2 from its cohort
     assert (wA, 3) not in got
+
+
+def test_two_phase_sessionize_equals_direct(spark):
+    """The hot-user scale path (local sessions per (user, slice) + session
+    stitch) equals the direct sessionizer EXACTLY — including sessions
+    crossing one or several slice boundaries, boundary-adjacent events,
+    and per-user session numbering."""
+    from datetime import datetime, timedelta
+
+    from kp_data_replication_spark.operators.sessions import (
+        session_stats,
+        session_stats_scalable,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user 1: one long session of events every 20 min for 5 hours —
+    # crosses FOUR 1-hour slices and must stitch back into ONE session
+    t = base
+    for _ in range(16):
+        rows.append((eid, t, 1, f"e{eid % 3}", 1.5)); eid += 1
+        t += timedelta(minutes=20)
+    # user 2: sessions separated by exactly the gap at a slice boundary
+    rows.append((eid, base + timedelta(minutes=55), 2, "a", 2.0)); eid += 1
+    rows.append((eid, base + timedelta(minutes=85), 2, "b", 3.0)); eid += 1
+    # user 3: single event
+    rows.append((eid, base + timedelta(hours=9), 3, "a", 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double")
+
+    def canon(res):
+        return sorted(
+            (r.user_id, r.session_id, r.session_start, r.session_end,
+             r.n_events, r.n_event_types, r.total_value, r.duration_us)
+            for r in res.collect()
+        )
+
+    direct = canon(session_stats(df, 30))
+    twophase = canon(session_stats_scalable(df, 30, slice_minutes=60))
+    assert twophase == direct
+    # the long session really did cross slices and stitch to one row
+    u1 = [r for r in direct if r[0] == 1]
+    assert len(u1) == 1 and u1[0][4] == 16
+    # exactly-gap pair split into two sessions in both forms
+    assert len([r for r in direct if r[0] == 2]) == 2
+
+    with __import__("pytest").raises(ValueError, match="slice"):
+        session_stats_scalable(df, 30, slice_minutes=10)
