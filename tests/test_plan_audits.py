@@ -382,3 +382,19 @@ def test_hll_registers_single_exchange_partial_agg(spark):
     s = plan_string(out)
     assert s.count("HashAggregate") >= 2  # partial + final around the exchange
     assert_no_row_python(out)
+
+
+def test_sessionize_rollup_reuses_the_window_exchange(spark):
+    """Direct sessionization is ONE exchange total: the gap window hashes
+    on the user key and the per-(user, session) aggregate reuses that
+    partitioning (its keys are a superset)."""
+    from kp_data_replication_spark.operators.sessions import session_stats
+
+    df = spark.createDataFrame(
+        [(i, None, i % 5, "a", 1.0) for i in range(50)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 600).cast("timestamp_ntz"))
+    out = session_stats(df, 30)
+    assert count_exchanges(out) == 1
+    assert_no_row_python(out)
