@@ -865,8 +865,16 @@ class TableStore:
         changes: DataFrame | None = None,
         expected_version: int | None = None,
         mor: bool = False,
+        publish: bool = True,
     ) -> int:
         """Atomically publish a new version: dirty-bucket data + lineage.
+
+        ``publish=False`` stages the version instead (write-audit-publish,
+        the Iceberg WAP pattern): data + manifest are durable but the
+        pointer does not move — audit with :meth:`read_staged`, then
+        :meth:`publish_staged` (one pointer swap exposes the EXACT audited
+        bytes) or :meth:`abort_staged`. At most one staged version exists;
+        commit and vacuum refuse while it is pending.
 
         ``merged_dirty`` must contain BUCKET_COL; only rows of
         ``dirty_buckets`` may be present. ``lineage`` may be a DataFrame or
@@ -918,6 +926,13 @@ class TableStore:
         """
         if epoch <= self.writer_epoch(writer_id):
             return self.current_version()  # fenced: this writer already committed it
+        if self.staged_version() is not None:
+            # a pending WAP version owns current+1; committing over it
+            # would silently overwrite the audited-but-unpublished data
+            raise ValueError(
+                "a staged (write-audit-publish) version is pending: "
+                "publish_staged() or abort_staged() before committing"
+            )
         if (
             expected_version is not None
             and self.current_version() != expected_version
@@ -1082,11 +1097,79 @@ class TableStore:
             json.dump(manifest, f)
         os.replace(mpath + ".tmp", mpath)
 
+        if not publish:
+            # write-audit-publish: everything is durable (data + manifest)
+            # but the pointer does NOT move — readers stay on the previous
+            # version; the auditor reads the staged version explicitly
+            # (read_staged) and then publish_staged() swaps the pointer to
+            # the EXACT audited bytes, or abort_staged() discards them
+            with open(self._staged_path + ".tmp", "w") as f:
+                json.dump({"version": version, "writer": writer_id,
+                           "epoch": epoch}, f)
+            os.replace(self._staged_path + ".tmp", self._staged_path)
+            return version
+
         # the transaction point: everything before this line is invisible
         with open(self.pointer_path + ".tmp", "w") as f:
             json.dump({"version": version}, f)
         os.replace(self.pointer_path + ".tmp", self.pointer_path)
         return version
+
+    # ---------- write-audit-publish (Iceberg WAP analogue) ----------
+    @property
+    def _staged_path(self) -> str:
+        return os.path.join(self.root, "_staged")
+
+    def staged_version(self) -> int | None:
+        """The pending WAP version, or None. At most one may be staged —
+        commit/vacuum refuse while it exists (it owns current+1)."""
+        try:
+            with open(self._staged_path) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            return None
+
+    def read_staged(self, spark, **kwargs):
+        """Audit read: the staged version's state, via the normal
+        versioned read path (the manifest exists; only the pointer
+        doesn't reference it yet)."""
+        sv = self.staged_version()
+        if sv is None:
+            raise ValueError("no staged version")
+        return self.read_state(spark, version=sv, **kwargs)
+
+    @_locked
+    def publish_staged(self) -> int:
+        """Atomically expose the staged version — the audited bytes ARE
+        the published bytes (no recompute between audit and publish,
+        the WAP property). One pointer swap, then the marker clears."""
+        sv = self.staged_version()
+        if sv is None:
+            raise ValueError("no staged version")
+        with open(self.pointer_path + ".tmp", "w") as f:
+            json.dump({"version": sv}, f)
+        os.replace(self.pointer_path + ".tmp", self.pointer_path)
+        os.remove(self._staged_path)
+        return sv
+
+    @_locked
+    def abort_staged(self) -> dict:
+        """Discard the staged version: drop its manifest and data
+        directory (nothing references them — readers never saw the
+        version). The writer map never activated either, so the SAME
+        (writer, epoch) can legitimately re-commit a corrected batch."""
+        sv = self.staged_version()
+        if sv is None:
+            raise ValueError("no staged version")
+        mpath = os.path.join(self.root, "manifests", f"v{sv}.json")
+        if os.path.exists(mpath):
+            os.remove(mpath)
+        shutil.rmtree(os.path.join(self.root, f"data/v{sv}"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(self.root, f"lineage/v{sv}.parquet"), ignore_errors=True
+        )
+        os.remove(self._staged_path)
+        return {"aborted_version": sv}
 
     # ---------- tags (named version refs) ----------
     @property
@@ -1913,6 +1996,13 @@ class TableStore:
         manifest is treated as a crash orphan — re-delivery of that epoch
         rewrites it from scratch anyway.
         """
+        if self.staged_version() is not None:
+            # a staged WAP version IS an above-current manifest by design —
+            # vacuum would destroy the audited-but-unpublished data
+            raise ValueError(
+                "a staged (write-audit-publish) version is pending: "
+                "publish_staged() or abort_staged() before vacuum"
+            )
         current = self.current_version()
         if current == 0:
             return {"removed_files": 0, "removed_manifests": 0}
