@@ -59,6 +59,39 @@ def changed_buckets(store: TableStore, v_from: int, v_to: int) -> list[int]:
     return sorted(out)
 
 
+def narrow_versions(store: TableStore, v_from: int, v_to: int) -> tuple[int, int]:
+    """Shrink a changefeed range across row-preserving maintenance
+    versions (``rebucket`` / ``rewrite_buckets`` tag their manifests
+    ``row_preserving``: state(v) == state(v-1) row-for-row, tombstones
+    included), replacing either endpoint by its representative on the
+    other side of the maintenance commit. Pure manifest metadata — O(1)
+    reads per narrowed version, no data files touched.
+
+    This is what keeps the one version pair spanning a REBUCKET from
+    degrading to a full-table row diff: bucket ids are not comparable
+    across layouts, so :func:`changed_buckets` would return every bucket;
+    narrowing removes the rebucket from the range edge, and the remaining
+    endpoints share a layout again (a maintenance-only range collapses to
+    p == q — an empty diff over zero files). Only a rebucket strictly
+    inside a range with real changes on BOTH sides still pays the full
+    diff, and that pair never arises for a version-by-version tailer.
+    """
+    def _preserving(v: int) -> bool:
+        try:
+            return bool((store.manifest(v) or {}).get("row_preserving"))
+        except FileNotFoundError:
+            # vacuumed intermediate manifest: can't prove preservation —
+            # stop narrowing; the endpoint reads below validate retention
+            return False
+
+    p, q = v_from, v_to
+    while p < q and _preserving(p + 1):
+        p += 1
+    while q > p and _preserving(q):
+        q -= 1
+    return p, q
+
+
 def diff_states(
     old: DataFrame,
     new: DataFrame,
@@ -218,14 +251,15 @@ def table_changes(
         fast = _changes_from_files(spark, store, v_from, v_to, key_cols)
         if fast is not None:
             return fast
-    dirty = changed_buckets(store, v_from, v_to)
+    p, q = narrow_versions(store, v_from, v_to)
+    dirty = changed_buckets(store, p, q)
     # include_deleted: a persisted LWW tombstone is a state transition like
     # any other — the diff must see it so its stamp travels downstream (a
     # row becoming a tombstone surfaces as an update whose post-image is
     # the tombstone; _encode_envelope re-encodes that as op='d' with the
     # stamp in the before image). Tables without the column are unaffected.
-    old = store.read_state(spark, buckets=dirty, version=v_from, include_deleted=True)
-    new = store.read_state(spark, buckets=dirty, version=v_to, include_deleted=True)
+    old = store.read_state(spark, buckets=dirty, version=p, include_deleted=True)
+    new = store.read_state(spark, buckets=dirty, version=q, include_deleted=True)
     return diff_states(old, new, key_cols).withColumn(
         VERSION_COL, F.lit(v_to).cast("long")
     )
@@ -258,9 +292,10 @@ def table_changes_cdf(
         v_to = store.current_version()
     if v_to < v_from:
         raise ValueError(f"v_to={v_to} < v_from={v_from}")
-    dirty = changed_buckets(store, v_from, v_to)
-    old = store.read_state(spark, buckets=dirty, version=v_from)
-    new = store.read_state(spark, buckets=dirty, version=v_to)
+    p, q = narrow_versions(store, v_from, v_to)
+    dirty = changed_buckets(store, p, q)
+    old = store.read_state(spark, buckets=dirty, version=p)
+    new = store.read_state(spark, buckets=dirty, version=q)
     return diff_states(old, new, key_cols, emit_preimages=True).withColumn(
         VERSION_COL, F.lit(v_to).cast("long")
     )
@@ -280,9 +315,20 @@ def _changes_from_files(
     rels = []
     for v in range(v_from + 1, v_to + 1):
         m = store.manifest(v)
-        if m is None or "changes" not in m:
+        if m is None:
+            return None
+        if m.get("row_preserving") or m.get("changefeed_skip"):
+            # physical-only rewrite / replica-local tombstone GC: logically
+            # nil — a maintenance pass must not knock the O(batch) fast
+            # path back to the exact state diff
+            continue
+        if "changes" not in m:
             return None
         rels.append((v, m["changes"]))
+    if not rels:
+        # nothing but maintenance in range: fall back to the exact diff,
+        # which narrow_versions collapses to an empty O(1) read
+        return None
     parts = []
     for v, rel in rels:
         df = spark.read.parquet(os.path.join(store.root, rel))
@@ -461,6 +507,13 @@ def cascade_catchup(
         # GCs on its own schedule, and re-emitting a purge as deletes would
         # re-create tombstones on a replica that already purged (ping-pong)
         if (src.manifest(v) or {}).get("changefeed_skip"):
+            last = v
+            continue
+        # a row-preserving maintenance version (rebucket/rewrite) diffs to
+        # zero rows by construction: skip with ZERO jobs. Guarded on
+        # consecutive versions — with a gap (shouldn't happen under the
+        # retention pin) the full diff below still covers everything.
+        if last == v - 1 and (src.manifest(v) or {}).get("row_preserving"):
             last = v
             continue
         env = changefeed_envelope(

@@ -91,7 +91,7 @@ class TxnGate:
             with open(self.state_path) as f:
                 return json.load(f)
         except (OSError, ValueError):
-            return {"committed": {}, "aborted": {}}
+            return {"committed": {}, "aborted": {}, "open": {}}
 
     def _save_state(self, st: dict) -> None:
         os.makedirs(self.dir, exist_ok=True)
@@ -160,20 +160,54 @@ class TxnGate:
 
     # ----------------------------- gate ------------------------------ #
     def gate(
-        self, spark: SparkSession, fresh: DataFrame, epoch: int, version: int
+        self,
+        spark: SparkSession,
+        fresh: DataFrame,
+        epoch: int,
+        version: int,
+        timeout_epochs: int | None = None,
     ):
         """Split one deduped batch (plus the withheld pool) into
         (deliver-now frame, watermark fold, counters, post-commit cleanup).
 
         ``version`` is the table version BEFORE this epoch's commit — the
-        snapshot key that makes crashed-epoch replays deterministic."""
+        snapshot key that makes crashed-epoch replays deterministic.
+
+        ``timeout_epochs``: the ``transaction.max.timeout.ms`` coordinator
+        action, done by MECHANISM instead of the operator injecting an
+        abort marker by hand. A transaction still open after this many
+        epochs since its rows were first withheld is ABORTED by the gate
+        (its rows vanish, the LSO unblocks, withheld non-transactional
+        rows release). A commit marker arriving LATER for a timed-out id
+        is FENCED (ignored) — the zombie-producer rule; rows the zombie
+        sends after the abort open a fresh attempt that times out again,
+        so a hung producer can stall a partition for at most
+        ``timeout_epochs`` per retry, never forever. First-seen epochs
+        live in the state file (``open`` map), so the clock survives
+        kill/resume; a crash replay of the same epoch re-times-out the
+        same ids into the same state (idempotent set union). None (the
+        default) keeps Kafka's broker-default behavior of waiting."""
         hdr_id = F.col("headers").getItem(TXN_ID_HEADER)
         hdr_marker = F.col("headers").getItem(TXN_MARKER_HEADER)
         is_marker = hdr_marker.isNotNull()
 
         st = self.state()
+        st.setdefault("open", {})
+        timed_out = []
+        if timeout_epochs is not None:
+            for tid, first in list(st["open"].items()):
+                if tid in st["committed"] or tid in st["aborted"]:
+                    continue
+                if epoch - first >= timeout_epochs:
+                    st["aborted"][tid] = epoch
+                    timed_out.append(tid)
         pool = self._read_pool(spark, version)
-        if pool is None and not st["committed"] and not st["aborted"]:
+        if (
+            pool is None
+            and not st["committed"]
+            and not st["aborted"]
+            and not timed_out
+        ):
             # common case: nothing in flight — one cheap header probe
             if fresh.filter(hdr_id.isNotNull() | is_marker).isEmpty():
                 return fresh, {}, {}, None
@@ -185,12 +219,27 @@ class TxnGate:
             .select(hdr_id.alias("tid"), hdr_marker.alias("marker"))
             .collect()
         ]
-        if not markers and fresh.filter(~is_marker).isEmpty():
+        pending_release = pool is not None and (
+            st["committed"] or st["aborted"]
+        )
+        if (
+            not markers
+            and not timed_out
+            and not pending_release
+            and fresh.filter(~is_marker).isEmpty()
+        ):
             # nothing new and nothing resolved: the blocked pool carries
             # forward UNTOUCHED under its existing snapshot key — no
             # rewrite, no state change (a redelivered already-watermarked
-            # batch lands here: zero cost, zero growth)
+            # batch lands here: zero cost, zero growth). timed_out forces
+            # the full pass: an idle stream must still unblock a hung
+            # transaction — that's the stall the timeout exists for.
+            # pending_release likewise: a crash between the state save and
+            # the table commit leaves a resolved id with rows still in the
+            # pool — the replay (or the next idle epoch) must re-release
+            # them instead of parking them until the next data batch.
             return fresh, {}, {}, None
+        n_fenced = 0
         for tid, marker in markers:
             if tid is None:
                 raise ValueError(
@@ -201,6 +250,11 @@ class TxnGate:
                     f"unknown {TXN_MARKER_HEADER!r} value {marker!r} "
                     "(expected 'commit' or 'abort')"
                 )
+            if marker == "commit" and str(tid) in st["aborted"]:
+                # the coordinator already aborted this id (timeout): the
+                # producer is a zombie — its commit is fenced, not honored
+                n_fenced += 1
+                continue
             st["committed" if marker == "commit" else "aborted"][str(tid)] = epoch
         # persist BEFORE any apply: a crash replays the epoch into the
         # same state (idempotent set union)
@@ -281,6 +335,18 @@ class TxnGate:
                 p = r["partition"]
                 txn_marks[p] = max(txn_marks.get(p, -1), r["mx"])
 
+        # first-seen epoch per still-open id — the timeout clock. Persisted
+        # (atomic replace, control-plane sized) so it survives kill/resume;
+        # a pre-existing pool restarted under a new checkpoint re-seeds at
+        # the current epoch (conservative: the clock restarts, never skips).
+        open_changed = False
+        for tid in withheld_ids:
+            if str(tid) not in st["open"]:
+                st["open"][str(tid)] = epoch
+                open_changed = True
+        if open_changed:
+            self._save_state(st)
+
         counters = {
             "n_withheld": n_withheld,
             "n_open_txns": len(withheld_ids),
@@ -288,6 +354,10 @@ class TxnGate:
             "n_aborted_resolved": len(aborted),
             "lso": {int(p): int(v) for p, v in lso.items()},
         }
+        if timed_out:
+            counters["n_timeout_aborted"] = len(timed_out)
+        if n_fenced:
+            counters["n_fenced_commits"] = n_fenced
 
         read_versions = self._snap_versions()
 
@@ -300,11 +370,14 @@ class TxnGate:
                 if v < version:
                     shutil.rmtree(self._snap_dir(v), ignore_errors=True)
             st2 = self.state()
+            st2.setdefault("open", {})
             for tid in committed:
                 if tid not in withheld_ids:
                     st2["committed"].pop(tid, None)
+                    st2["open"].pop(tid, None)
             for tid in aborted:
                 st2["aborted"].pop(tid, None)
+                st2["open"].pop(tid, None)
             self._save_state(st2)
 
         return deliver, txn_marks, counters, cleanup

@@ -1743,7 +1743,14 @@ class TableStore:
         manifest = {
             **m, "version": version, "buckets": buckets_map,
             "bucket_bytes": bucket_bytes,
+            # physical-only rewrite: state(v) == state(v-1) row-for-row,
+            # tombstones included. Incremental readers narrow their diff
+            # range across this version (changefeed.narrow_versions) and
+            # the change-file fast path skips it — no data files opened to
+            # learn the diff is empty.
+            "row_preserving": True,
         }
+        manifest.pop("changefeed_skip", None)  # never inherit a purge's flag
         self._refresh_stats(
             manifest,
             m,
@@ -1867,7 +1874,11 @@ class TableStore:
             "n_buckets": new_n_buckets,
             "buckets": buckets_map,
             "bucket_bytes": bucket_bytes,
+            # layout-only change (see rewrite_buckets): readers narrow
+            # across it instead of paying the cross-layout full-table diff
+            "row_preserving": True,
         }
+        manifest.pop("changefeed_skip", None)
         self._refresh_stats(
             manifest,
             m,
@@ -1964,6 +1975,10 @@ class TableStore:
             # re-emitted as a batch of deletes by a cascade
             "changefeed_skip": True,
         }
+        # a purge DROPS tombstone rows — physical state differs, so an
+        # inherited row_preserving flag (e.g. from a preceding rewrite)
+        # would wrongly let an include_deleted diff narrow across it
+        manifest.pop("row_preserving", None)
         self._refresh_stats(
             manifest,
             m,

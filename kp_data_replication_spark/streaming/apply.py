@@ -291,6 +291,13 @@ class EngineConfig:
     # NOT hot-reloadable: toggling it off mid-stream would strand staged
     # in-flight transactions silently.
     txn_isolation: str = "read_uncommitted"
+    # transaction.max.timeout.ms, by mechanism: a transaction still open
+    # after this many epochs since its rows were first withheld is aborted
+    # by the gate itself (rows dropped, LSO unblocked, late commit markers
+    # fenced) — the coordinator action the operator previously had to do
+    # by hand with an injected abort marker. None = wait forever (the
+    # pre-round-4 behavior; head-of-line blocking until resolution).
+    txn_timeout_epochs: int | None = None
 
 
 # fields a hot-reload may change per epoch; identity-bearing fields
@@ -301,6 +308,7 @@ RELOADABLE_FIELDS = {
     "shuffle_partitions", "compact_strategy", "broadcast_threshold",
     "affinity_check", "write_salt_target_keys", "changefeed_files",
     "dlq_dir", "check_constraints", "schema_policy", "smt_chain",
+    "txn_timeout_epochs",
 }
 
 
@@ -455,7 +463,10 @@ class CdcApplyEngine:
 
             fresh, txn_marks, txn_counters, txn_cleanup = TxnGate(
                 self.store.root, group
-            ).gate(spark, fresh, epoch, base_version)
+            ).gate(
+                spark, fresh, epoch, base_version,
+                timeout_epochs=config.txn_timeout_epochs,
+            )
         elif config.txn_isolation != "read_uncommitted":
             raise ValueError(
                 f"unknown txn_isolation {config.txn_isolation!r} "

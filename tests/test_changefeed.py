@@ -681,3 +681,135 @@ def test_relaxed_change_file_boundary_is_mechanism_not_convention(
     assert dst.read_state(spark).count() == exact.filter(
         "_change_type != 'delete'"
     ).count()
+
+
+def test_row_preserving_maintenance_narrows_changefeed_to_zero_reads(
+    spark, tmp_path, monkeypatch
+):
+    """The one version pair spanning a rebucket used to degrade to a
+    full-table row diff (bucket ids aren't comparable across layouts).
+    Maintenance versions now tag their manifests ``row_preserving`` and
+    incremental readers narrow the range across them: a maintenance-only
+    range opens ZERO data files, and a range with real changes after the
+    rebucket bucket-prunes again in the new layout."""
+    from kp_data_replication_spark.operators.changefeed import (
+        narrow_versions,
+        table_changes_cdf,
+    )
+
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=60, versions_per_key=2, n_partitions=4, files=4,
+                      dup_every=0),
+    )
+    store = TableStore(str(tmp_path / "t"), n_buckets=8)
+    engine = CdcApplyEngine(store, FAST)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    engine.apply_batch(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[f"{d}/{f}" for f in files[:2]]), 0)
+    engine.apply_batch(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[f"{d}/{f}" for f in files[2:]]), 1)
+    v_data = store.current_version()
+    sha = _sha_state(spark, store)
+
+    store.rewrite_buckets(spark, min_files=0)          # v+1: row-preserving
+    store.rebucket(spark, 16)                          # v+2: row-preserving
+    head = store.current_version()
+    assert (store.manifest(v_data + 1) or {}).get("row_preserving") is True
+    assert (store.manifest(head) or {}).get("row_preserving") is True
+    # maintenance-only range collapses to a point (forward narrowing wins:
+    # the representative lands on the newest layout)
+    assert narrow_versions(store, v_data, head) == (head, head)
+
+    calls: list = []
+    orig = TableStore.read_state
+
+    def spy(self, spark_, buckets=None, **kw):
+        calls.append(buckets)
+        return orig(self, spark_, buckets=buckets, **kw)
+
+    monkeypatch.setattr(TableStore, "read_state", spy)
+    # spanning the rewrite+rebucket: empty diff over ZERO data files
+    assert table_changes(spark, store, v_data, head).count() == 0
+    assert calls and all(b == [] for b in calls)
+    calls.clear()
+    assert table_changes_cdf(spark, store, v_data, head).count() == 0
+    assert calls and all(b == [] for b in calls)
+    monkeypatch.undo()
+    assert _sha_state(spark, store) == sha
+
+    # real changes AFTER the rebucket: the pair spanning the rebucket
+    # narrows at the edge and bucket-prunes in the NEW 16-bucket layout
+    extra = str(tmp_path / "extra")
+    write_changelog(
+        spark, extra,
+        ChangelogSpec(n_keys=5, versions_per_key=1, n_partitions=2, files=1,
+                      dup_every=0, lsn_base=50_000),
+    )
+    engine.apply_batch(
+        spark.read.option("mergeSchema", "true").parquet(extra), 2)
+    v_new = store.current_version()
+    assert narrow_versions(store, v_data, v_new) == (head, v_new)
+    dirty = changed_buckets(store, head, v_new)
+    assert 0 < len(dirty) < 16, "spanning pair should prune buckets again"
+    diff = table_changes(spark, store, v_data, v_new)
+    # exact same rows as the unnarrowed full diff of the two states
+    full = diff_states(
+        store.read_state(spark, version=v_data),
+        store.read_state(spark, version=v_new),
+    )
+    assert diff.count() == full.count() > 0
+    # reported version is the REQUESTED v_to, not the narrowed endpoint
+    assert diff.select("_commit_version").distinct().collect()[0][0] == v_new
+
+    # a purge must never inherit the flag from a preceding rewrite
+    assert "row_preserving" not in (store.manifest(v_new) or {})
+
+
+def test_change_file_fast_path_survives_maintenance_versions(spark, tmp_path):
+    """A rewrite/rebucket in the range used to knock use_change_files back
+    to the exact state diff (no change file on the maintenance version).
+    Row-preserving versions are now skipped, so the O(batch) path holds."""
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=40, versions_per_key=2, n_partitions=2, files=3,
+                      dup_every=0),
+    )
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    engine = CdcApplyEngine(
+        store, EngineConfig(metrics=False, changefeed_files=True)
+    )
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    engine.apply_batch(
+        spark.read.option("mergeSchema", "true").parquet(f"{d}/{files[0]}"), 0)
+    engine.apply_batch(
+        spark.read.option("mergeSchema", "true").parquet(f"{d}/{files[1]}"), 1)
+    store.rewrite_buckets(spark, min_files=0)  # maintenance, no change file
+    engine.apply_batch(
+        spark.read.option("mergeSchema", "true").parquet(f"{d}/{files[2]}"), 2)
+    head = store.current_version()
+
+    fast = table_changes(
+        spark, store, 1, head, use_change_files=True, allow_relaxed=True
+    )
+    # served from change files (the relaxed marker proves the fast path)
+    assert fast.schema["_change_type"].metadata.get("relaxed") is True
+    # newest-change-per-key collapse must agree with the exact diff on
+    # this fixture (no net-nil keys in it)
+    exact = table_changes(spark, store, 1, head)
+    k_fast = sorted((r["repo"], r["path"], r["_change_type"])
+                    for r in fast.select("repo", "path", "_change_type").collect())
+    k_exact = sorted((r["repo"], r["path"], r["_change_type"])
+                     for r in exact.select("repo", "path", "_change_type").collect())
+    assert k_fast == k_exact
+
+    # maintenance-only range: fast path degrades gracefully to the narrowed
+    # (empty, zero-read) exact diff instead of crashing on zero change files
+    v_rw = head - 1
+    assert table_changes(
+        spark, store, v_rw - 1, v_rw, use_change_files=True, allow_relaxed=True
+    ).count() == 0

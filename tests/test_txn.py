@@ -75,7 +75,7 @@ def test_same_batch_commit_abort_and_passthrough(spark, tmp_path):
     # markers + events all watermarked; resolved ids GC'd from state
     assert _marks(store) == {0: 3, 1: 1}
     gate = TxnGate(store.root, "cdc-engine")
-    assert gate.state() == {"committed": {}, "aborted": {}}
+    assert gate.state() == {"committed": {}, "aborted": {}, "open": {}}
 
 
 def test_lso_blocks_suffix_until_commit_preserving_order(spark, tmp_path):
@@ -102,7 +102,7 @@ def test_lso_blocks_suffix_until_commit_preserving_order(spark, tmp_path):
     assert s1["txn"]["n_withheld"] == 0
     # pool GC'd down to the drain marker; state empty
     gate = TxnGate(store.root, "cdc-engine")
-    assert gate.state() == {"committed": {}, "aborted": {}}
+    assert gate.state() == {"committed": {}, "aborted": {}, "open": {}}
 
 
 def test_abort_releases_blocked_suffix_and_drops_txn_rows(spark, tmp_path):
@@ -252,7 +252,7 @@ def test_stream_kill_resume_carries_open_transactions(spark, tmp_path):
         "other.py": "O",
     }
     gate = TxnGate(store.root, "cdc-engine")
-    assert gate.state() == {"committed": {}, "aborted": {}}
+    assert gate.state() == {"committed": {}, "aborted": {}, "open": {}}
 
 
 def test_txn_cli_status(spark, tmp_path):
@@ -280,3 +280,88 @@ def test_txn_cli_status(spark, tmp_path):
         capture_output=True, text=True, cwd=repo, check=True, timeout=120,
     ).stdout.strip()
     assert _json.loads(empty) == {}
+
+
+# --------------------------------------------------------------------- #
+def test_txn_timeout_aborts_hung_transaction_on_idle_epochs(spark, tmp_path):
+    """transaction.max.timeout.ms by mechanism: a transaction that never
+    resolves is aborted by the gate itself after txn_timeout_epochs, even
+    on an IDLE epoch (no new traffic) — exactly the stall scenario. The
+    blocked suffix releases; the hung transaction's rows never land."""
+    store, eng = _mk(tmp_path, txn_timeout_epochs=2)
+    s0 = eng.apply_batch(_batch(spark, [
+        _ev(0, 0, "c", _img("hung.py", "H"), txn="T1"),
+        _ev(0, 1, "c", _img("after.py", "A")),        # blocked behind T1
+    ]), 0)
+    assert s0["txn"]["n_withheld"] == 2 and _paths(spark, store) == {}
+    # first-seen clock persisted: survives a new engine object (restart)
+    assert TxnGate(store.root, "cdc-engine").state()["open"] == {"T1": 0}
+
+    # epoch 1: still inside the timeout window — pool carries forward
+    eng2 = CdcApplyEngine(
+        store, EngineConfig(metrics=False, txn_isolation="read_committed",
+                            txn_timeout_epochs=2))
+    eng2.apply_batch(_batch(spark, []), 1)
+    assert _paths(spark, store) == {}
+
+    # epoch 2: epoch - first_seen >= 2 -> coordinator abort fires with NO
+    # input at all; the withheld suffix is delivered in lsn order
+    s2 = eng2.apply_batch(_batch(spark, []), 2)
+    assert s2["txn"]["n_timeout_aborted"] == 1
+    assert _paths(spark, store) == {"after.py": "A"}
+    # resolved id and its clock GC'd
+    assert TxnGate(store.root, "cdc-engine").state() == {
+        "committed": {}, "aborted": {}, "open": {}}
+
+
+def test_txn_timeout_fences_late_commit_from_zombie_producer(spark, tmp_path):
+    """A commit marker racing the coordinator's timeout abort loses: the
+    producer is a zombie and its commit is ignored, not honored."""
+    store, eng = _mk(tmp_path, txn_timeout_epochs=2)
+    eng.apply_batch(_batch(spark, [
+        _ev(0, 0, "c", _img("z.py", "ZOMBIE"), txn="TZ"),
+    ]), 0)
+    assert _paths(spark, store) == {}
+    eng.apply_batch(_batch(spark, []), 1)             # still in the window
+    # epoch 2: timeout (2 epochs elapsed) AND the zombie's commit marker
+    # arrive together — abort is decided first, the commit is fenced
+    s2 = eng.apply_batch(_batch(spark, [_marker(0, 1, "TZ", "commit")]), 2)
+    assert s2["txn"]["n_timeout_aborted"] == 1
+    assert s2["txn"]["n_fenced_commits"] == 1
+    assert _paths(spark, store) == {}
+    # a retry attempt under the same id is a NEW transaction: it stages,
+    # and an IN-TIME commit (one epoch later, inside the 2-epoch window)
+    # releases it normally — no permanent blacklist
+    eng.apply_batch(_batch(spark, [
+        _ev(0, 2, "c", _img("z.py", "RETRY"), txn="TZ"),
+    ]), 3)
+    assert _paths(spark, store) == {}
+    eng.apply_batch(_batch(spark, [_marker(0, 3, "TZ", "commit")]), 4)
+    assert _paths(spark, store) == {"z.py": "RETRY"}
+
+
+def test_txn_no_timeout_by_default_and_crash_replay_idempotent(spark, tmp_path):
+    """Default txn_timeout_epochs=None keeps the wait-forever contract;
+    with a timeout, replaying the aborting epoch (crash before commit)
+    re-times-out into the same state — idempotent set union."""
+    store, eng = _mk(tmp_path)                       # no timeout
+    eng.apply_batch(_batch(spark, [
+        _ev(0, 0, "c", _img("w.py", "W"), txn="T1"),
+    ]), 0)
+    for e in (1, 2, 3):
+        eng.apply_batch(_batch(spark, []), e)
+    assert _paths(spark, store) == {}                 # still waiting
+
+    # same pool, now with a timeout: gate replay determinism
+    gate = TxnGate(store.root, "cdc-engine")
+    v = store.current_version()
+    d1, m1, c1, _ = gate.gate(spark, _batch(spark, []), 4, v, timeout_epochs=1)
+    assert c1.get("n_timeout_aborted") == 1
+    st_after_first = gate.state()
+    # crash before the table commit (cleanup never ran): the replay finds
+    # the id already aborted with its rows still pooled, re-releases the
+    # same delivery, and leaves state byte-identical
+    d2, m2, c2, _ = gate.gate(spark, _batch(spark, []), 4, v, timeout_epochs=1)
+    assert gate.state() == st_after_first
+    assert c2.get("n_aborted_resolved") == 1
+    assert d2.count() == d1.count()
