@@ -1565,6 +1565,133 @@ SQL_AGG_VIEW_INCREMENTAL = """
 """
 
 
+def q_join_view_incremental(spark, sf_dir):
+    """Incremental equi-join view maintenance == full LEFT JOIN recompute
+    (operators/join_view.py — the delta-join twin of agg_view: a fact
+    stream enriched against a replicated dimension, the Kafka Streams
+    KTable-KTable join a consumer of two mirrored topics materializes,
+    docs/index.md:32-52). Replays orders (fact, fk = custkey riding the
+    envelope's lang column) and customer (dim) through TWO CDC engines as
+    a 3-epoch insert/update/delete fixture, advancing the view after
+    EVERY epoch — fact-driven additions broadcast-join a key-pruned dim
+    slice, dim-driven patches rewrite only the view's fk-hash buckets —
+    then reads the VIEW alone. The DuckDB oracle LEFT JOINs the FINAL
+    states directly; hash equality proves the maintained view converges
+    to full recompute through late-arriving dims (resurrection), dim
+    updates (patch propagation), dim deletes (un-matching), fk repoints,
+    and fact deletes.
+
+    Fixture (deterministic in both engines):
+      epoch 0  dims c_custkey % 4 != 3; facts o_orderkey % 3 == 0
+      epoch 1  late dims (% 4 == 3); dim update: % 5 == 0 gets
+               mktsegment || ' v2'; facts % 3 == 1; fk repoint: facts
+               with % 3 == 0 and % 7 == 0 move to (o_custkey % 100) + 1
+      epoch 2  dim deletes % 9 == 0; fact deletes % 3 == 0 and % 11 == 0
+    """
+    import tempfile
+
+    from .operators.join_view import IncrementalJoinView
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def env(sel, key_col, op_col, lang_expr, content_expr, lsn_base,
+            is_delete=False):
+        img = F.struct(
+            F.lit("orders" if key_col == "o_orderkey" else "cust").alias("repo"),
+            F.col(key_col).cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            lang_expr.cast("string").alias("lang"),
+            content_expr.alias("content"),
+        )
+        is_del = F.lit(is_delete)
+        return sel.select(
+            F.pmod(F.col(key_col), F.lit(4)).cast("int").alias("partition"),
+            (F.col(key_col) + F.lit(lsn_base)).cast("long").alias("lsn"),
+            op_col.alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    k = F.col("o_orderkey")
+    ck = F.col("c_custkey")
+    seg_v2 = F.concat(F.col("c_mktsegment"), F.lit(" v2"))
+    new_fk = (F.col("o_custkey") % 100) + 1
+
+    d0 = env(cust.filter(ck % 4 != 3), "c_custkey", F.lit("c"), F.lit(None),
+             F.col("c_mktsegment"), 0)
+    f0 = env(orders.filter(k % 3 == 0), "o_orderkey", F.lit("c"),
+             F.col("o_custkey"), F.col("o_orderpriority"), 0)
+    d1 = env(cust.filter(ck % 4 == 3), "c_custkey", F.lit("c"), F.lit(None),
+             F.col("c_mktsegment"), 1_000_000).unionByName(
+        env(cust.filter(ck % 5 == 0), "c_custkey", F.lit("u"), F.lit(None),
+            seg_v2, 1_100_000)
+    )
+    f1 = env(orders.filter(k % 3 == 1), "o_orderkey", F.lit("c"),
+             F.col("o_custkey"), F.col("o_orderpriority"), 1_000_000).unionByName(
+        env(orders.filter((k % 3 == 0) & (k % 7 == 0)), "o_orderkey",
+            F.lit("u"), new_fk, F.col("o_orderpriority"), 1_100_000)
+    )
+    d2 = env(cust.filter(ck % 9 == 0), "c_custkey", F.lit("d"), F.lit(None),
+             F.col("c_mktsegment"), 2_000_000, is_delete=True)
+    f2 = env(orders.filter((k % 3 == 0) & (k % 11 == 0)), "o_orderkey",
+             F.lit("d"), F.lit(None), F.lit(None).cast("string"), 2_000_000,
+             is_delete=True)
+
+    fact = TableStore(tempfile.mkdtemp(prefix="join_view_fact_"), n_buckets=8)
+    dim = TableStore(tempfile.mkdtemp(prefix="join_view_dim_"), n_buckets=8)
+    fe = CdcApplyEngine(fact, EngineConfig(metrics=False))
+    de = CdcApplyEngine(dim, EngineConfig(metrics=False))
+    view = IncrementalJoinView(
+        tempfile.mkdtemp(prefix="join_view_"),
+        fk_exprs={"repo": "'cust'", "path": "lang"},
+        fact_cols={"o_priority": "content"},
+        dim_cols={"c_mktsegment": "content"},
+        n_buckets=8,
+    )
+    for epoch, (db, fb) in enumerate(((d0, f0), (d1, f1), (d2, f2))):
+        de.apply_batch(db, epoch)
+        fe.apply_batch(fb, epoch)
+        view.update(spark, fact, dim)
+
+    out = view.read(spark)
+    return out.select(
+        F.col("path").alias("o_orderkey"),
+        F.col("_fk_path").alias("o_custkey"),
+        "o_priority",
+        "c_mktsegment",
+        F.col("_matched").cast("int").alias("matched"),
+    )
+
+
+SQL_JOIN_VIEW_INCREMENTAL = """
+    WITH of AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+                  THEN (o_custkey % 100) + 1 ELSE o_custkey END AS ck,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 3 IN (0, 1)
+        AND NOT (o_orderkey % 3 = 0 AND o_orderkey % 11 = 0)),
+    cf AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || ' v2'
+                  ELSE c_mktsegment END AS seg
+      FROM customer WHERE c_custkey % 9 != 0)
+    SELECT CAST(of.o_orderkey AS VARCHAR) AS o_orderkey,
+           CAST(of.ck AS VARCHAR) AS o_custkey,
+           of.o_orderpriority AS o_priority,
+           cf.seg AS c_mktsegment,
+           CASE WHEN cf.c_custkey IS NULL THEN 0 ELSE 1 END AS matched
+    FROM of LEFT JOIN cf ON of.ck = cf.c_custkey
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -2614,6 +2741,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_acl_sync": (q_cdc_acl_sync, SQL_CDC_ACL_SYNC),
     "cdc_offset_failover": (q_cdc_offset_failover, SQL_CDC_OFFSET_FAILOVER),
     "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),
+    "join_view_incremental": (q_join_view_incremental, SQL_JOIN_VIEW_INCREMENTAL),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
