@@ -124,6 +124,19 @@ def main(argv: list[str] | None = None) -> None:
     sc.add_argument("--show", type=int, default=0,
                     help="print up to N matching rows")
 
+    ex = sub.add_parser(
+        "expire",
+        help="retention.ms analogue: expire rows matching the predicate "
+             "in one maintenance commit whose changefeed shows them as "
+             "deletes (zonemap-pruned; operators/retention.py)",
+    )
+    ex.add_argument("target")
+    ex.add_argument(
+        "--where", action="append", required=True, metavar="COL:OP:VALUE",
+        help="conjunct, op in =,<,<=,>,>=,prefix (repeatable); matching "
+             "rows are REMOVED",
+    )
+
     lk = sub.add_parser(
         "lookup",
         help="point-read keys (bucket-pruned: reads only the keys' hash buckets)",
@@ -481,6 +494,18 @@ def main(argv: list[str] | None = None) -> None:
             cluster_by=(args.cluster_by.split(",") if args.cluster_by else None),
             split_files=args.split_files,
             cluster_strategy=args.cluster_strategy)))
+    elif args.cmd == "expire":
+        from .operators.retention import expire_rows
+
+        store = TableStore(args.target)
+        where = []
+        for w in args.where:
+            col, _, rest = w.partition(":")
+            op, _, val = rest.partition(":")
+            if not val:
+                raise SystemExit(f"--where must be COL:OP:VALUE, got {w!r}")
+            where.append((col, op, val))
+        print(json.dumps(expire_rows(spark, store, where)))
     elif args.cmd == "scan":
         store = TableStore(args.target)
         where = []

@@ -1565,6 +1565,79 @@ SQL_AGG_VIEW_INCREMENTAL = """
 """
 
 
+def q_cdc_retention_expiry(spark, sf_dir):
+    """retention.ms by mechanism (operators/retention.py; the reference
+    provisions its mirrored topics with retention.ms: 7200000,
+    provisioning.md:188): rows whose retention timestamp fell behind the
+    cutoff leave the table in ONE maintenance commit whose version diff
+    is their deletes. Replays the events table through the CDC engine in
+    two epochs (evolved ``updated_at`` epoch-ms column), time-clusters
+    the layout so manifest zonemaps are tight, runs the expiry pass, and
+    self-audits that file pruning actually fired (a pass over a
+    time-clustered table is O(expired), not O(table)). Oracle: the same
+    cutoff as a plain filter over the source — hash equality proves the
+    expiry removed exactly the behind-window rows and nothing else."""
+    import tempfile
+
+    from .operators.retention import expire_rows
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def env(sel, lsn_base):
+        img = F.struct(
+            F.lit("ev").alias("repo"),
+            F.col("event_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("event_type").alias("lang"),
+            F.col("props").alias("content"),
+            # session tz is UTC, so the NTZ->TZ cast is exact
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("updated_at"),
+        )
+        return sel.select(
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("event_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            F.lit("c").alias("op"),
+            F.when(F.lit(False), img).alias("before"),  # typed null struct
+            img.alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    store = TableStore(tempfile.mkdtemp(prefix="retention_"), n_buckets=8)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False))
+    engine.apply_batch(env(events.filter(F.col("event_id") % 2 == 0), 0), 0)
+    engine.apply_batch(
+        env(events.filter(F.col("event_id") % 2 == 1), 1_000_000), 1
+    )
+    store.rewrite_buckets(
+        spark, min_files=0, cluster_by=["updated_at"], split_files=4
+    )
+    cutoff = 1_705_276_800_000  # 2024-01-15T00:00:00Z, epoch ms
+    out = expire_rows(spark, store, [("updated_at", "<", cutoff)])
+    if out["status"] == "committed" and out["files_skipped"] <= 0:
+        raise AssertionError(
+            "retention self-audit: time-clustered expiry must skip files "
+            f"({out})"
+        )
+    return store.read_state(spark).select(
+        F.col("path").alias("event_id"),
+        F.col("lang").alias("event_type"),
+        "updated_at",
+    )
+
+
+SQL_CDC_RETENTION_EXPIRY = """
+    SELECT CAST(event_id AS VARCHAR) AS event_id,
+           event_type,
+           epoch_ms(ts) AS updated_at
+    FROM events
+    WHERE epoch_ms(ts) >= 1705276800000
+"""
+
+
 def q_join_view_incremental(spark, sf_dir):
     """Incremental equi-join view maintenance == full LEFT JOIN recompute
     (operators/join_view.py — the delta-join twin of agg_view: a fact
@@ -2742,6 +2815,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_offset_failover": (q_cdc_offset_failover, SQL_CDC_OFFSET_FAILOVER),
     "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),
     "join_view_incremental": (q_join_view_incremental, SQL_JOIN_VIEW_INCREMENTAL),
+    "cdc_retention_expiry": (q_cdc_retention_expiry, SQL_CDC_RETENTION_EXPIRY),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),

@@ -172,6 +172,18 @@ class EngineConfig:
     hll_sketch_group_cols: tuple = ()
     hll_sketch_value_expr: str = ""
     hll_sketch_buckets: int = 8
+    # retention.ms (provisioning.md:188), by mechanism: rows whose
+    # retention-timestamp column (epoch MILLISECONDS, like the Kafka
+    # config) fell behind the window are expired every
+    # retention_every_epochs by a maintenance commit whose version diff —
+    # and change file — shows them as ordinary deletes, so every
+    # changefeed consumer (cascades, indexes, agg/join views) retracts
+    # them exactly (operators/retention.py). Candidate files come from
+    # manifest zonemaps: a pass over a time-clustered table is
+    # O(expired), not O(table).
+    retention_ms: int | None = None
+    retention_ts_col: str = "updated_at"
+    retention_every_epochs: int = 1
     # automatic bucket-count growth (MM2 Manager partition-count
     # propagation analogue, docs/perf-tests.md:15): when set, every commit
     # probes the manifest's per-bucket byte totals and DOUBLES n_buckets
@@ -309,6 +321,7 @@ RELOADABLE_FIELDS = {
     "affinity_check", "write_salt_target_keys", "changefeed_files",
     "dlq_dir", "check_constraints", "schema_policy", "smt_chain",
     "txn_timeout_epochs",
+    "retention_ms", "retention_ts_col", "retention_every_epochs",
 }
 
 
@@ -1648,6 +1661,22 @@ class CdcApplyEngine:
                 # monotone register max — a replayed range is harmless AND
                 # fenced; kill/resume covers table + sketch together
                 hll_sketch.update(df.sparkSession, self.store)
+            cfg = self.config  # hot-reload may swap the object per epoch
+            if (
+                cfg.retention_ms is not None
+                and eid % max(1, cfg.retention_every_epochs) == 0
+            ):
+                import time as _time
+
+                from ..operators.retention import expire_rows
+
+                cutoff = int(_time.time() * 1000) - cfg.retention_ms
+                # changefeed-visible deletes, zonemap-pruned; fenced per
+                # rewritten version, so a replayed epoch re-noops
+                expire_rows(
+                    df.sparkSession, self.store,
+                    [(cfg.retention_ts_col, "<", cutoff)],
+                )
 
         writer = (
             src.writeStream.foreachBatch(_apply)
