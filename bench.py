@@ -58,6 +58,7 @@ LLM_QUERIES = [
     "ann_cosine_topk_ivf_trained",
     "ann_cosine_topk_sq8",
     # NOT here: ann_cosine_topk_ivf_incremental / agg_view_incremental /
+    # join_view_incremental / cdc_retention_expiry /
     # dedup_incremental_lsh_pairs / dedup_clusters_incremental — those
     # driver queries exist for the CORRECTNESS gate and spend ~90% of their
     # wall time BUILDING a multi-epoch store fixture; their real costs
@@ -526,6 +527,162 @@ def bench_incremental_agg_view(spark, sf_dir: str, work_dir: str) -> dict:
     return out
 
 
+def bench_incremental_join_view(spark, sf_dir: str, work_dir: str) -> dict:
+    """O(batch + affected) evidence for the delta-join view: full
+    orders⋈customer view build, then a fact-driven epoch (~1% of orders)
+    and a dim-driven epoch (~1% of customers — each patch fans out to its
+    fk's view bucket only). The O(table) alternative (full LEFT JOIN
+    recompute per refresh) is timed alongside; at 100 TB that leg
+    re-joins the whole fact table per refresh while the view update reads
+    two changefeeds, one key-pruned dim slice, and the dirty fk buckets."""
+    from pyspark.sql import functions as F
+
+    from kp_data_replication_spark.operators.join_view import IncrementalJoinView
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").cache()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").cache()
+    n_orders, n_cust = orders.count(), cust.count()
+
+    def env(sel, key_col, op, lang_expr, content_expr, lsn_base):
+        img = F.struct(
+            F.lit("orders" if key_col == "o_orderkey" else "cust").alias("repo"),
+            F.col(key_col).cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            lang_expr.cast("string").alias("lang"),
+            content_expr.alias("content"),
+        )
+        is_del = F.lit(op == "d")
+        return sel.select(
+            F.pmod(F.col(key_col), F.lit(8)).cast("int").alias("partition"),
+            (F.col(key_col) + F.lit(lsn_base)).cast("long").alias("lsn"),
+            F.lit(op).alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    fact = TableStore(os.path.join(work_dir, "jv_fact"), n_buckets=64)
+    dim = TableStore(os.path.join(work_dir, "jv_dim"), n_buckets=32)
+    fe = CdcApplyEngine(fact, EngineConfig(metrics=False))
+    de = CdcApplyEngine(dim, EngineConfig(metrics=False))
+    view = IncrementalJoinView(
+        os.path.join(work_dir, "jv_view"),
+        fk_exprs={"repo": "'cust'", "path": "lang"},
+        fact_cols={"o_priority": "content"},
+        dim_cols={"c_mktsegment": "content"},
+        n_buckets=32,
+    )
+    de.apply_batch(
+        env(cust, "c_custkey", "c", F.lit(None), F.col("c_mktsegment"), 0), 0
+    )
+    fe.apply_batch(
+        env(orders, "o_orderkey", "c", F.col("o_custkey"),
+            F.col("o_orderpriority"), 0),
+        0,
+    )
+    t0 = time.time()
+    view.update(spark, fact, dim)
+    full_sec = time.time() - t0
+
+    # fact-driven epoch: a CDC-batch-sized update (~0.1% of orders — the
+    # regime the view exists for: batch keys << bucket count, so the
+    # dirty-bucket read is a strict subset of the view)
+    fe.apply_batch(
+        env(orders.filter(F.col("o_orderkey") % 1500 == 0), "o_orderkey", "u",
+            F.col("o_custkey"),
+            F.concat(F.col("o_orderpriority"), F.lit(" v2")), 100_000_000),
+        1,
+    )
+    t0 = time.time()
+    out_f = view.update(spark, fact, dim)
+    fact_sec = time.time() - t0
+
+    # dim-driven epoch: a handful of dim keys change; each patch fans out
+    # to exactly its fk's view bucket (the hot path of dim maintenance)
+    de.apply_batch(
+        env(cust.filter(F.col("c_custkey") % 3000 == 0), "c_custkey", "u",
+            F.lit(None), F.concat(F.col("c_mktsegment"), F.lit(" v2")),
+            100_000_000),
+        1,
+    )
+    t0 = time.time()
+    out_d = view.update(spark, fact, dim)
+    dim_sec = time.time() - t0
+
+    # the O(table) alternative: full LEFT JOIN recompute per refresh
+    t0 = time.time()
+    f = fact.read_state(spark).select("path", F.col("lang").alias("fk"),
+                                      "content")
+    d = dim.read_state(spark).select(F.col("path").alias("dk"), "content")
+    n_view = f.join(d, f["fk"] == d["dk"], "left").count()
+    recompute_sec = time.time() - t0
+
+    orders.unpersist()
+    cust.unpersist()
+    out = {
+        "n_fact": n_orders,
+        "n_dim": n_cust,
+        "full_build_sec": round(full_sec, 3),
+        "epoch_update_fact_sec": round(fact_sec, 3),
+        "epoch_update_dim_sec": round(dim_sec, 3),
+        "full_join_recompute_sec": round(recompute_sec, 3),
+        "dirty_buckets_fact_epoch": out_f["dirty_view_buckets"],
+        "dirty_buckets_dim_epoch": out_d["dirty_view_buckets"],
+        "n_view_rows": n_view,
+    }
+    log(f"incremental join view: {out}")
+    return out
+
+
+def bench_retention_expiry(spark, sf_dir: str, work_dir: str) -> dict:
+    """Zonemap evidence for the retention pass: events replicated, layout
+    time-clustered, then one expiry of the oldest ~half. files_skipped
+    counts files whose bounds PROVED no expiring row — at 100 TB those
+    are never opened, never rewritten."""
+    from pyspark.sql import functions as F
+
+    from kp_data_replication_spark.operators.retention import expire_rows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    img = F.struct(
+        F.lit("ev").alias("repo"),
+        F.col("event_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("updated_at"),
+    )
+    batch = ev.select(
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").cast("long").alias("lsn"),
+        F.lit("c").alias("op"),
+        F.when(F.lit(False), img).alias("before"),
+        img.alias("after"),
+        F.lit(None).cast("timestamp").alias("ts_ms"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+        F.lit("repos").alias("source_topic"),
+    )
+    store = TableStore(os.path.join(work_dir, "ret"), n_buckets=32)
+    CdcApplyEngine(store, EngineConfig(metrics=False)).apply_batch(batch, 0)
+    store.rewrite_buckets(spark, min_files=0, cluster_by=["updated_at"],
+                          split_files=4)
+    cutoff = 1_705_276_800_000  # 2024-01-15T00:00:00Z
+    t0 = time.time()
+    out_exp = expire_rows(spark, store, [("updated_at", "<", cutoff)])
+    expire_sec = time.time() - t0
+    out = {
+        "n_events": ev.count(),
+        "expire_sec": round(expire_sec, 3),
+        "n_expired": out_exp["n_expired"],
+        "buckets_scanned": out_exp["buckets_scanned"],
+        "files_skipped": out_exp["files_skipped"],
+    }
+    log(f"retention expiry: {out}")
+    return out
+
+
 def bench_incremental_hll(spark, sf_dir: str, work_dir: str) -> dict:
     """O(batch) evidence for the changefeed-maintained HLL sketch: full
     sketch build over the replicated events corpus, then an epoch touching
@@ -735,6 +892,14 @@ def main() -> None:
         hll_inc = (
             bench_incremental_hll(spark, sf_dir, work_dir) if llm_on else None
         )
+        join_inc = (
+            bench_incremental_join_view(spark, sf_dir, work_dir)
+            if llm_on else None
+        )
+        retention = (
+            bench_retention_expiry(spark, sf_dir, work_dir)
+            if llm_on else None
+        )
         mor = (
             bench_mor_write(spark, work_dir)
             if os.environ.get("BENCH_MOR", "1") != "0" else None
@@ -761,6 +926,10 @@ def main() -> None:
             out["agg_view_incremental"] = aggv_inc
         if hll_inc is not None:
             out["hll_incremental"] = hll_inc
+        if join_inc is not None:
+            out["join_view_incremental"] = join_inc
+        if retention is not None:
+            out["retention_expiry"] = retention
         if mor is not None:
             out["mor_write"] = mor
         print(json.dumps(out), flush=True)

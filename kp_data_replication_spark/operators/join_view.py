@@ -196,19 +196,52 @@ class IncrementalJoinView:
 
         is_post = F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
 
-        # ---- fact-side frames (all O(batch)) ------------------------- #
-        f_keys = cdf_f.select(*KEY_COLS).distinct()
-        f_add = cdf_f.filter(is_post).select(
+        # project-and-CACHE each delta once: several downstream frames
+        # derive from it, and without the cache every one would re-run the
+        # full-outer diff join (O(batch) rows — cheap to hold, expensive
+        # to recompute)
+        fproj = cdf_f.select(
             *KEY_COLS,
+            F.col(CHANGE_TYPE_COL),
             *self._fk_select(),
             *[F.expr(e).alias(a) for a, e in self.fact_cols.items()],
+        ).cache()
+        dproj = cdf_d.select(*KEY_COLS).cache()
+        return self._advance(
+            spark, fact, dim, fproj, dproj, is_post,
+            lf, ld, hf, hd, writer, consumer,
+        )
+
+    def _advance(
+        self, spark, fact, dim, fproj, dproj, is_post,
+        lf, ld, hf, hd, writer, consumer,
+    ) -> dict:
+        try:
+            return self._advance_inner(
+                spark, fact, dim, fproj, dproj, is_post,
+                lf, ld, hf, hd, writer, consumer,
+            )
+        finally:
+            fproj.unpersist()
+            dproj.unpersist()
+
+    def _advance_inner(
+        self, spark, fact, dim, fproj, dproj, is_post,
+        lf, ld, hf, hd, writer, consumer,
+    ) -> dict:
+        # ---- fact-side frames (all O(batch)) ------------------------- #
+        f_keys = fproj.select(*KEY_COLS).distinct()
+        f_add = fproj.filter(is_post).select(
+            *KEY_COLS,
+            *self._fk_cols,
+            *self.fact_cols,
         )
         # every fk this delta touches, pre AND post image (a changed fk
         # dirties both its old and its new view bucket)
-        f_fks = cdf_f.select(*self._fk_select())
+        f_fks = fproj.select(*self._fk_cols)
 
         # ---- dim-side frames ------------------------------------------ #
-        d_keys = cdf_d.select(*KEY_COLS).distinct()
+        d_keys = dproj.distinct()
 
         n_vb = self.view.n_buckets
         vb = bucket_expr(n_vb, self._fk_cols)
@@ -346,6 +379,15 @@ class IncrementalJoinView:
             "dirty_view_buckets": len(dirty),
             "version": n_written,
         }
+
+    # ------------------------------------------------------------------ #
+    def rebucket(self, spark: SparkSession, n_buckets: int) -> int:
+        """Rescale the view on the FOREIGN-KEY hash (the layout that makes
+        dim-driven patches prune) — same volume-growth rationale as the
+        base table's auto-rebucket; the maintenance version is
+        row-preserving, so incremental readers narrow across it."""
+        v = self.view.rebucket(spark, n_buckets, key_cols=self._fk_cols)
+        return v
 
     # ------------------------------------------------------------------ #
     def _committed_schema(self, spark: SparkSession) -> T.StructType:

@@ -88,26 +88,71 @@ def expire_rows(
 
     Returns ``{"status", "n_expired", "buckets_scanned", "files_skipped"}``.
     """
+    import os
+
     head = store.current_version()
     if head == 0:
         return {"status": "noop", "n_expired": 0, "buckets_scanned": 0,
                 "files_skipped": 0}
-    report = store.prune_report(where)
-    cand = candidate_buckets(store, where)
-    if not cand:
-        return {"status": "noop", "n_expired": 0, "buckets_scanned": 0,
-                "files_skipped": report["files_total"]}
+    m = store.current_manifest()
+    stats = m.get("stats") or {}
+    mor_map: dict[str, int] = m.get("mor") or {}
+    schema = T.StructType.fromJson(m["schema"])
 
-    # include_deleted: LWW stamp tombstones must ride through the rewrite
-    # unchanged (their null data columns make the predicate NULL -> kept)
-    slice_ = store.read_state(spark, buckets=cand, include_deleted=True)
+    # FILE-level split: within a dirty bucket, only MAY-MATCH files are
+    # read and rewritten — proven-clean files are carried by reference
+    # (commit(retain=)), never opened. This is what makes expiry
+    # O(expired) even though bucket assignment is key-hash (a time-based
+    # predicate touches every bucket, but only each bucket's old files).
+    rewrite: dict[int, list[str]] = {}
+    retain: dict[int, list[str]] = {}
+    mor_buckets: list[int] = []
+    files_skipped = 0
+    for b, files in m["buckets"].items():
+        if mor_map.get(b):
+            if files:
+                mor_buckets.append(int(b))  # layered: resolve + rewrite whole
+            continue
+        may = [f for f in files if _file_may_match(stats.get(f), where)]
+        if may:
+            rewrite[int(b)] = may
+            clean = [f for f in files if f not in set(may)]
+            retain[int(b)] = clean
+            files_skipped += len(clean)
+        else:
+            files_skipped += len(files)
+    if not rewrite and not mor_buckets:
+        return {"status": "noop", "n_expired": 0, "buckets_scanned": 0,
+                "files_skipped": files_skipped}
+
+    # LWW stamp tombstones ride through the rewrite unchanged (their null
+    # data columns make the predicate NULL -> kept); old files missing
+    # later-evolved columns are null-padded by the explicit manifest
+    # schema, exactly like read_state
+    frames = []
+    if rewrite:
+        paths = [
+            os.path.join(store.root, f)
+            for fs in rewrite.values()
+            for f in fs
+        ]
+        frames.append(spark.read.schema(schema).parquet(*paths))
+    if mor_buckets:
+        frames.append(
+            store.read_state(spark, buckets=mor_buckets, include_deleted=True)
+        )
+    slice_ = frames[0]
+    for fr in frames[1:]:
+        slice_ = slice_.unionByName(fr, allowMissingColumns=True)
+
+    cand = sorted([*rewrite, *mor_buckets])
     pred = F.coalesce(where_column(where), F.lit(False))
     expired = slice_.filter(pred)
     n_expired = expired.count()
     if n_expired == 0:
         return {"status": "noop", "n_expired": 0,
                 "buckets_scanned": len(cand),
-                "files_skipped": report["files_total"] - report["files_selected"]}
+                "files_skipped": files_skipped}
     keep = slice_.filter(~pred)
 
     data_cols = [c for c in slice_.columns if c not in KEY_COLS]
@@ -130,11 +175,12 @@ def expire_rows(
         writer_id=writer_id,
         changes=changes,
         expected_version=head,
+        retain={b: fs for b, fs in retain.items() if fs},
     )
     return {
         "status": "committed",
         "n_expired": int(n_expired),
         "buckets_scanned": len(cand),
-        "files_skipped": report["files_total"] - report["files_selected"],
+        "files_skipped": files_skipped,
         "version": store.current_version(),
     }

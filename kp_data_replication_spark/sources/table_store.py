@@ -866,6 +866,7 @@ class TableStore:
         expected_version: int | None = None,
         mor: bool = False,
         publish: bool = True,
+        retain: dict[int, list[str]] | None = None,
     ) -> int:
         """Atomically publish a new version: dirty-bucket data + lineage.
 
@@ -924,6 +925,8 @@ class TableStore:
         are key-hash partitioned there, so a hot bucket already spans
         n_shuffle/n_buckets tasks.
         """
+        if retain and mor:
+            raise ValueError("retain is CoW-only (a MoR delta appends whole)")
         if epoch <= self.writer_epoch(writer_id):
             return self.current_version()  # fenced: this writer already committed it
         if self.staged_version() is not None:
@@ -1037,6 +1040,24 @@ class TableStore:
                 # resolved read)
                 for b in written:
                     mor_counts.pop(b, None)
+                if retain:
+                    # file-level partial rewrite (row expiry's zonemap
+                    # path): the caller rewrote only the bucket's
+                    # MAY-MATCH files and carries the proven-clean ones by
+                    # reference — data files are immutable and vacuum
+                    # walks manifests for live refs, so an old-version
+                    # path stays valid exactly like an untouched bucket's
+                    for b, fs in retain.items():
+                        b = str(b)
+                        if b not in written:
+                            raise ValueError(
+                                f"retain for bucket {b} which is not dirty"
+                            )
+                        buckets_map[b] = list(buckets_map[b]) + list(fs)
+                        bucket_bytes[b] = bucket_bytes.get(b, 0) + sum(
+                            os.path.getsize(os.path.join(self.root, f))
+                            for f in fs
+                        )
 
         changes_rel = None
         if changes is not None and dirty_buckets:

@@ -172,6 +172,22 @@ class EngineConfig:
     hll_sketch_group_cols: tuple = ()
     hll_sketch_value_expr: str = ""
     hll_sketch_buckets: int = 8
+    # streaming-maintained incremental JOIN view (delta join,
+    # operators/join_view.py): when join_view_dir is set, every epoch also
+    # advances an IncrementalJoinView of THIS engine's table (the fact)
+    # against an independently-replicated dimension table at
+    # join_view_dim_root — the dim may advance between epochs on its own
+    # cadence; the view's two-source cursor catches both sides up to
+    # their current heads inside the same foreachBatch loop, with the
+    # same fenced kill/resume contract as the other derived stores.
+    # join_view_fk_exprs / _fact_cols / _dim_cols are ((name, expr), ...)
+    # pair tuples (dataclass-friendly form of the operator's dicts).
+    join_view_dir: str | None = None
+    join_view_dim_root: str | None = None
+    join_view_fk_exprs: tuple = ()
+    join_view_fact_cols: tuple = ()
+    join_view_dim_cols: tuple = ()
+    join_view_buckets: int = 8
     # retention.ms (provisioning.md:188), by mechanism: rows whose
     # retention-timestamp column (epoch MILLISECONDS, like the Kafka
     # config) fell behind the window are expired every
@@ -1631,6 +1647,24 @@ class CdcApplyEngine:
                 self.config.hll_sketch_value_expr,
                 n_buckets=self.config.hll_sketch_buckets,
             )
+        join_view = None
+        join_dim = None
+        if self.config.join_view_dir:
+            if not self.config.join_view_dim_root:
+                raise ValueError(
+                    "join_view_dir requires join_view_dim_root: the view "
+                    "joins this engine's table against that dimension"
+                )
+            from ..operators.join_view import IncrementalJoinView
+
+            join_view = IncrementalJoinView(
+                self.config.join_view_dir,
+                fk_exprs=dict(self.config.join_view_fk_exprs),
+                fact_cols=dict(self.config.join_view_fact_cols),
+                dim_cols=dict(self.config.join_view_dim_cols),
+                n_buckets=self.config.join_view_buckets,
+            )
+            join_dim = TableStore(self.config.join_view_dim_root)
         agg_view = None
         if self.config.agg_view_dir:
             from ..operators.agg_view import IncrementalAggView
@@ -1657,6 +1691,10 @@ class CdcApplyEngine:
             if agg_view is not None:
                 # same contract: O(changed rows) catch-up to the new head
                 agg_view.update(df.sparkSession, self.store)
+            if join_view is not None:
+                # two-source cursor: catches up BOTH the table's new head
+                # and whatever the dim replicated since the last epoch
+                join_view.update(df.sparkSession, self.store, join_dim)
             if hll_sketch is not None:
                 # monotone register max — a replayed range is harmless AND
                 # fenced; kill/resume covers table + sketch together

@@ -280,6 +280,105 @@ def test_retention_pin_protects_cursor_version(spark, tmp_path):
     assert _got(spark, jv) == _expected(spark, fact, dim)
 
 
+def test_streaming_integrated_join_view_kill_and_resume(spark, tmp_path):
+    """EngineConfig.join_view_dir: the view advances inside the FACT
+    engine's epoch loop while the dimension replicates independently.
+    Worst crash window — fact table committed, process dies before the
+    view advance — heals on resume (the re-delivered epoch no-ops at the
+    table, the two-source cursor catches up both sides)."""
+    import glob
+    import os
+    import shutil
+
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+
+    cl = tmp_path / "cl"
+    cl.mkdir()
+    fact = TableStore(str(tmp_path / "fact"), n_buckets=4)
+    dim = TableStore(str(tmp_path / "dim"), n_buckets=4)
+    de = CdcApplyEngine(dim, EngineConfig(metrics=False))
+    cp = str(tmp_path / "cp")
+    jv_dir = str(tmp_path / "jv")
+    engine = CdcApplyEngine(
+        fact,
+        EngineConfig(
+            metrics=False,
+            join_view_dir=jv_dir,
+            join_view_dim_root=dim.root,
+            join_view_fk_exprs=(("repo", "'t'"), ("path", "lang")),
+            join_view_fact_cols=(("f_content", "content"),),
+            join_view_dim_cols=(("d_content", "content"),),
+            join_view_buckets=4,
+        ),
+    )
+    jv = IncrementalJoinView(
+        jv_dir,
+        fk_exprs={"repo": "'t'", "path": "lang"},
+        fact_cols={"f_content": "content"},
+        dim_cols={"d_content": "content"},
+        n_buckets=4,
+    )
+
+    def put(name, rows):
+        tmp = str(tmp_path / ("_w_" + name))
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    str(cl / (name + ".parquet")))
+
+    de.apply_batch(_batch(spark, [_env("d1", "c", "D1", None, 1)]), 0)
+    put("f0", [_env("f1", "c", "F1", "d1", 0), _env("f2", "c", "F2", "d2", 1)])
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    assert jv.update(spark, fact, dim)["status"] == "noop"  # stream current
+    assert _got(spark, jv) == _expected(spark, fact, dim)
+
+    # dim replicates out-of-band (late d2), then the crash window: the
+    # fact epoch commits under the stream's writer id, process dies
+    # before the view advance
+    de.apply_batch(_batch(spark, [_env("d2", "c", "D2", None, 2)]), 1)
+    put("f1", [_env("f1", "u", "F1v2", "d2", 10)])
+    stream_writer = f"stream:{os.path.abspath(cp)}"
+    df1 = spark.read.schema(CHANGELOG_SCHEMA).parquet(str(cl / "f1.parquet"))
+    assert engine.apply_batch(df1, 1, writer_id=stream_writer)[
+        "status"] == "committed"
+    assert _got(spark, jv) != _expected(spark, fact, dim)  # view lags
+
+    # resume: fact epoch no-ops (fenced), view catches up both sources
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    assert _got(spark, jv) == _expected(spark, fact, dim)
+    assert jv.update(spark, fact, dim)["status"] == "noop"
+
+
+def test_rebucket_rescales_on_fk_hash_and_updates_still_prune(spark, tmp_path):
+    fact, dim, fe, de, jv = _mk(tmp_path, n_buckets=2)
+    de.apply_batch(
+        _batch(spark, [_env(f"d{i}", "c", f"D{i}", None, i) for i in range(6)]), 0
+    )
+    fe.apply_batch(
+        _batch(
+            spark,
+            [_env(f"f{i}", "c", f"F{i}", f"d{i % 6}", 100 + i) for i in range(24)],
+        ),
+        0,
+    )
+    jv.update(spark, fact, dim)
+    before = _got(spark, jv)
+    jv.rebucket(spark, 8)
+    assert jv.view.n_buckets == 8
+    assert _got(spark, jv) == before  # row-preserving
+
+    # post-rebucket epochs keep converging, and a dim patch prunes in the
+    # NEW layout
+    de.apply_batch(_batch(spark, [_env("d3", "u", "D3v2", None, 50)]), 1)
+    out = jv.update(spark, fact, dim)
+    assert out["status"] == "committed" and 0 < out["dirty_view_buckets"] < 8
+    assert _got(spark, jv) == _expected(spark, fact, dim)
+
+
 def test_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="fk_exprs"):
         IncrementalJoinView(str(tmp_path / "x"), {"repo": "'t'"}, {}, {})

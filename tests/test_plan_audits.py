@@ -398,3 +398,163 @@ def test_sessionize_rollup_reuses_the_window_exchange(spark):
     out = session_stats(df, 30)
     assert count_exchanges(out) == 1
     assert_no_row_python(out)
+
+
+def test_join_view_epoch_is_broadcast_only_one_write_shuffle(spark, tmp_path):
+    """The delta-join epoch's committed frame: every join against an
+    O(batch) side frame is a BROADCAST join (no sort-merge over the view
+    slice), no per-row Python, and the only shuffle exchanges are the
+    commit's bucket repartition path — the view slice is never shuffled
+    for the joins themselves. The dim read is bucket-pruned: the epoch
+    touches a strict subset of the dim's files."""
+    import os
+    from urllib.parse import urlparse
+
+    from kp_data_replication_spark.operators.join_view import IncrementalJoinView
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+    from kp_data_replication_spark.sources.table_store import TableStore
+    from kp_data_replication_spark.streaming.apply import CdcApplyEngine, EngineConfig
+    from pyspark.sql import Row
+
+    def env(path, op, content, fk, lsn):
+        img = Row(repo="t", path=str(path), commit="c0", lang=fk, content=content)
+        return Row(partition=hash(str(path)) % 4, lsn=lsn, op=op,
+                   before=img if op == "d" else None,
+                   after=None if op == "d" else img,
+                   ts_ms=None, headers=None, source_topic="repos")
+
+    fact = TableStore(str(tmp_path / "f"), n_buckets=8)
+    dim = TableStore(str(tmp_path / "d"), n_buckets=8)
+    fe = CdcApplyEngine(fact, EngineConfig(metrics=False))
+    de = CdcApplyEngine(dim, EngineConfig(metrics=False))
+    jv = IncrementalJoinView(
+        str(tmp_path / "jv"),
+        fk_exprs={"repo": "'t'", "path": "lang"},
+        fact_cols={"fc": "content"}, dim_cols={"dc": "content"}, n_buckets=8,
+    )
+    de.apply_batch(spark.createDataFrame(
+        [env(f"d{i}", "c", f"D{i}", None, i) for i in range(16)],
+        CHANGELOG_SCHEMA), 0)
+    fe.apply_batch(spark.createDataFrame(
+        [env(f"f{i}", "c", f"F{i}", f"d{i % 16}", 100 + i) for i in range(64)],
+        CHANGELOG_SCHEMA), 0)
+    jv.update(spark, fact, dim)
+
+    # epoch: one dim key + two fact rows change
+    de.apply_batch(spark.createDataFrame(
+        [env("d3", "u", "D3v2", None, 500)], CHANGELOG_SCHEMA), 1)
+    fe.apply_batch(spark.createDataFrame(
+        [env("f1", "u", "F1v2", "d5", 600), env("f2", "d", None, "d2", 601)],
+        CHANGELOG_SCHEMA), 1)
+
+    captured = {}
+    orig = TableStore.commit
+
+    def spy(self, merged, *a, **kw):
+        if self.root == jv.view.root and merged is not None:
+            captured["df"] = merged
+        return orig(self, merged, *a, **kw)
+
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(TableStore, "commit", spy)
+    try:
+        jv.update(spark, fact, dim)
+    finally:
+        mp.undo()
+
+    df = captured["df"]
+    plan = plan_string(df, mode="simple")
+    assert_no_row_python(df)
+    # the ONLY sort-merge joins are the two CDF state diffs (FullOuter —
+    # data-scale on both sides, correctly not broadcast); every join the
+    # view adds (anti on fact keys, dim patch, additions, semi on needed
+    # keys) builds a broadcast side
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert smj and all("FullOuter" in ln for ln in smj), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # dim point read was bucket-pruned
+    dim_files = {
+        urlparse(f).path
+        for f in df.inputFiles()
+        if urlparse(f).path.startswith(os.path.abspath(dim.root))
+    }
+    all_dim_files = set()
+    for v in range(1, dim.current_version() + 1):
+        m = dim.manifest(v)
+        for files in m["buckets"].values():
+            all_dim_files |= {
+                os.path.abspath(os.path.join(dim.root, p)) for p in files
+            }
+    assert dim_files and dim_files < all_dim_files
+
+
+def test_retention_expiry_skips_proven_files_and_stays_jvm(spark, tmp_path):
+    """The expiry pass opens NO file whose zonemap bounds prove no
+    expiring row: on a time-clustered layout the kept-rows frame reads a
+    strict subset of the table's files, and the whole pass is JVM-side
+    (no Python of any kind in the rewrite plan)."""
+    import os
+    from urllib.parse import urlparse
+
+    from kp_data_replication_spark.operators.retention import (
+        candidate_buckets,
+        expire_rows,
+    )
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+    from kp_data_replication_spark.sources.table_store import TableStore
+    from kp_data_replication_spark.streaming.apply import CdcApplyEngine, EngineConfig
+    from pyspark.sql import types as T
+
+    IMG = T.StructType(CHANGELOG_SCHEMA["after"].dataType.fields
+                       + [T.StructField("updated_at", T.LongType())])
+    ENV = T.StructType([
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("before", IMG),
+        T.StructField("after", IMG),
+        T.StructField("ts_ms", T.TimestampType()),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("source_topic", T.StringType()),
+    ])
+    rows = [
+        (i % 2, i, "c", None, ("t", f"k{i}", "c0", None, f"C{i}", i * 100),
+         None, None, "repos")
+        for i in range(64)
+    ]
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    CdcApplyEngine(store, EngineConfig(metrics=False)).apply_batch(
+        spark.createDataFrame(rows, ENV), 0)
+    store.rewrite_buckets(spark, min_files=0, cluster_by=["updated_at"],
+                          split_files=4)
+
+    where = [("updated_at", "<", 1600)]
+    cand = candidate_buckets(store, where)
+    assert 0 < len(cand) <= store.n_buckets
+
+    captured = {}
+    orig = TableStore.commit
+
+    def spy(self, merged, *a, **kw):
+        captured["df"] = merged
+        return orig(self, merged, *a, **kw)
+
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(TableStore, "commit", spy)
+    try:
+        out = expire_rows(spark, store, where)
+    finally:
+        mp.undo()
+    assert out["status"] == "committed" and out["files_skipped"] > 0
+
+    df = captured["df"]
+    plan = plan_string(df)
+    assert "Python" not in plan and "Pandas" not in plan, plan
+    read = {urlparse(f).path for f in df.inputFiles()}
+    m = store.manifest(store.current_version() - 1)
+    all_files = set()
+    for files in m["buckets"].values():
+        all_files |= {os.path.abspath(os.path.join(store.root, p)) for p in files}
+    assert read and read < all_files, "expiry must not open proven-clean files"

@@ -222,6 +222,26 @@ def test_cli_expire(spark, tmp_path):
     assert _paths(spark, store) == {f"k{i}" for i in range(3, 8)}
 
 
+def test_retained_file_refs_survive_vacuum(spark, tmp_path):
+    """A partial-rewrite expiry carries proven-clean files by REFERENCE
+    into the new manifest; vacuum walks manifests for live refs, so those
+    older-version files must survive an aggressive vacuum and the table
+    must read back exactly."""
+    rows = [_ev(i, "c", i * 100, i) for i in range(40)]
+    store, _ = _mk(spark, tmp_path, rows)
+    store.rewrite_buckets(spark, min_files=0, cluster_by=["updated_at"],
+                          split_files=4)
+    out = expire_rows(spark, store, [("updated_at", "<", 1000)])
+    assert out["status"] == "committed" and out["files_skipped"] > 0
+    m = store.current_manifest()
+    refs = {f for fs in m["buckets"].values() for f in fs}
+    assert any(f"data/v{store.current_version()}/" not in f for f in refs), (
+        "expiry manifest must reference retained older-version files"
+    )
+    store.vacuum(keep_versions=1)
+    assert _paths(spark, store) == {f"k{i}" for i in range(10, 40)}
+
+
 def test_candidate_buckets_empty_store(tmp_path):
     store = TableStore(str(tmp_path / "t"), n_buckets=4)
     assert candidate_buckets(store, [("x", "<", 1)]) == []
