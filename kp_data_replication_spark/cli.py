@@ -137,6 +137,19 @@ def main(argv: list[str] | None = None) -> None:
              "rows are REMOVED",
     )
 
+    hs = sub.add_parser(
+        "history",
+        help="per-key audit trail across committed versions "
+             "(changefeed.key_history: Debezium's 'all changes for key X')",
+    )
+    hs.add_argument("target")
+    hs.add_argument(
+        "--key", action="append", required=True, metavar="REPO:PATH",
+        help="key to audit (repeatable)",
+    )
+    hs.add_argument("--from", dest="v_from", type=int, default=0)
+    hs.add_argument("--to", dest="v_to", type=int, default=None)
+
     lk = sub.add_parser(
         "lookup",
         help="point-read keys (bucket-pruned: reads only the keys' hash buckets)",
@@ -494,6 +507,25 @@ def main(argv: list[str] | None = None) -> None:
             cluster_by=(args.cluster_by.split(",") if args.cluster_by else None),
             split_files=args.split_files,
             cluster_strategy=args.cluster_strategy)))
+    elif args.cmd == "history":
+        from .operators.changefeed import key_history
+
+        store = TableStore(args.target)
+        keys = []
+        for k in args.key:
+            r, _, p = k.partition(":")
+            if not p:
+                raise SystemExit(f"--key must be REPO:PATH, got {k!r}")
+            keys.append((r, p))
+        df = key_history(spark, store, keys, v_from=args.v_from,
+                         v_to=args.v_to)
+        rows = sorted(
+            ({c: (None if r[c] is None else str(r[c])) for c in df.columns}
+             for r in df.collect()),
+            key=lambda d: (d.get("repo") or "", d.get("path") or "",
+                           int(d.get("_commit_version") or 0)),
+        )
+        print(json.dumps(rows))
     elif args.cmd == "expire":
         from .operators.retention import expire_rows
 

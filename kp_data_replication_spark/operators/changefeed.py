@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schema import KEY_COLS
-from ..sources.table_store import TableStore
+from ..sources.table_store import TableStore, bucket_expr
 
 CHANGE_TYPE_COL = "_change_type"
 VERSION_COL = "_commit_version"
@@ -542,3 +542,133 @@ def cascade_catchup(
         # may expire everything before it, nothing it still needs
         src.record_consumer(group, last)
     return {"applied_versions": applied, "at_version": last}
+
+
+def key_history(
+    spark: SparkSession,
+    store: TableStore,
+    keys: list[tuple],
+    v_from: int = 0,
+    v_to: int | None = None,
+    max_keys: int = 100,
+) -> DataFrame:
+    """Audit trail of specific keys across committed versions — the
+    per-key form of the changefeed (Debezium's "all changes for key X" /
+    an Iceberg changelog scan filtered to a key): one row per version in
+    which a requested key changed, with ``_commit_version``,
+    ``_change_type`` (insert/update/delete) and the post-image data
+    columns (pre-image for deletes, the diff_states convention).
+
+    Cost model (control-plane bounded, NOT a data-path op): the version
+    loop runs driver-side over manifests. A version is skipped with ZERO
+    jobs when it is row-preserving maintenance, a replica-local GC, or
+    when none of the keys' bucket file lists changed (pure manifest
+    metadata — the common case for an uncorrelated key). A version with a
+    persisted CHANGE FILE costs one tiny filtered read of that file (the
+    applied winners — at-least-once audit: a re-applied identical image
+    still shows). Only a changed version WITHOUT a change file pays two
+    key-prefiltered bucket point reads + a diff (net state transitions).
+    Bucket ids are computed per layout (rebuckets in range are handled),
+    via one small Spark job per distinct layout, not per version.
+    """
+    if not keys:
+        raise ValueError("key_history needs at least one (repo, path) key")
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"key_history is a point-audit op: {len(keys)} keys > "
+            f"max_keys={max_keys} (use table_changes for bulk history)"
+        )
+    if v_to is None:
+        v_to = store.current_version()
+    keys = [tuple(k) for k in keys]
+    kdf = spark.createDataFrame(keys, schema="repo string, path string")
+
+    # per-layout bucket ids for the key set: ONE job per distinct
+    # n_buckets value in range (Spark's murmur3 is not reproducible
+    # driver-side, so ask the JVM once per layout)
+    layouts = set()
+    for v in range(max(1, v_from), v_to + 1):
+        m = store.manifest(v)
+        if m is not None:
+            layouts.add(int(m["n_buckets"]))
+    buckets_for: dict[int, dict[tuple, int]] = {}
+    for n in sorted(layouts):
+        rows = kdf.select(
+            "repo", "path", bucket_expr(n).alias("b")
+        ).collect()
+        buckets_for[n] = {(r["repo"], r["path"]): r["b"] for r in rows}
+
+    import os as _os
+
+    key_set = set(keys)
+    pred = None
+    for r, p in keys:
+        leg = (F.col("repo") == F.lit(r)) & (F.col("path") == F.lit(p))
+        pred = leg if pred is None else (pred | leg)
+
+    frames: list[DataFrame] = []
+    for v in range(max(1, v_from + 1), v_to + 1):
+        m = store.manifest(v)
+        if m is None:
+            # vacuumed out of range: nothing to reconstruct for v
+            continue
+        if m.get("row_preserving") or m.get("changefeed_skip"):
+            continue
+        prev = store.manifest(v - 1)
+        n_b = int(m["n_buckets"])
+        my_buckets = sorted(
+            {buckets_for[n_b][k] for k in key_set}
+        )
+        if prev is not None and int(prev["n_buckets"]) == n_b:
+            # manifest-only skip: none of the keys' buckets changed files
+            if all(
+                (m["buckets"].get(str(b)) or [])
+                == (prev["buckets"].get(str(b)) or [])
+                for b in my_buckets
+            ):
+                continue
+        if "changes" in m:
+            ch = spark.read.parquet(_os.path.join(store.root, m["changes"]))
+            data_cols = [
+                c for c in ch.columns if c not in ("repo", "path", "op")
+            ]
+            op = F.col("op")
+            frames.append(
+                ch.filter(pred).select(
+                    "repo", "path",
+                    F.when(op == "c", F.lit("insert"))
+                    .when(op == "u", F.lit("update"))
+                    .otherwise(F.lit("delete"))
+                    .alias(CHANGE_TYPE_COL),
+                    *data_cols,
+                    F.lit(v).cast("long").alias(VERSION_COL),
+                )
+            )
+            continue
+        prev_buckets = (
+            my_buckets
+            if prev is None or int(prev["n_buckets"]) == n_b
+            else sorted({buckets_for[int(prev["n_buckets"])][k] for k in key_set})
+        )
+        # LOGICAL states (tombstones hidden): an audit reader wants a
+        # delete row, not an update-to-stamp-tombstone transition
+        old = store.read_state(
+            spark, buckets=prev_buckets, version=v - 1, key_prefilter=pred
+        )
+        new = store.read_state(
+            spark, buckets=my_buckets, version=v, key_prefilter=pred
+        )
+        frames.append(
+            diff_states(old, new).withColumn(
+                VERSION_COL, F.lit(v).cast("long")
+            )
+        )
+    if not frames:
+        empty = store.read_state(spark, buckets=[]).withColumn(
+            CHANGE_TYPE_COL, F.lit(None).cast("string")
+        ).withColumn(VERSION_COL, F.lit(None).cast("long"))
+        return empty
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr, allowMissingColumns=True)
+    return out

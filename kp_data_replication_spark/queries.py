@@ -1565,6 +1565,100 @@ SQL_AGG_VIEW_INCREMENTAL = """
 """
 
 
+def q_cdc_key_history(spark, sf_dir):
+    """Per-key audit trail across committed versions
+    (operators/changefeed.py key_history — Debezium's "all changes for
+    key X" / an Iceberg changelog scan filtered to a key; the reference's
+    keyed-topic consumers read exactly one key's partition,
+    mirror-maker-2/SendProductToKafka.py:48). Replays the documents table
+    through the CDC engine as the standard 3-epoch
+    insert/update/delete fixture, then audits the doc_id % 83 == 0 keys:
+    one row per (key, version) transition, deletes carrying the
+    pre-image. The version loop skips untouched-bucket versions on
+    manifest metadata alone; the DuckDB oracle reconstructs the expected
+    trail from the fixture rules directly."""
+    import tempfile
+
+    from .operators.changefeed import key_history
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def env(sel, op_col, text_expr, lsn_base, is_delete=False):
+        img = F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang").alias("lang"),
+            text_expr.alias("content"),
+        )
+        is_del = F.lit(is_delete)
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            op_col.alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    v2 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    b0 = env(docs.filter(F.col("doc_id") % 3 != 2), F.lit("c"), F.col("text"), 0)
+    b1 = env(
+        docs.filter((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 7 == 0)),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("c")).otherwise(F.lit("u")),
+        v2, 1_000_000,
+    )
+    b2 = env(docs.filter(F.col("doc_id") % 11 == 0), F.lit("d"), F.col("text"),
+             2_000_000, is_delete=True)
+
+    store = TableStore(tempfile.mkdtemp(prefix="key_history_"), n_buckets=8)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False))
+    for epoch, batch in enumerate((b0, b1, b2)):
+        engine.apply_batch(batch, epoch)
+
+    keys = [
+        ("corpus", str(r["doc_id"]))
+        for r in docs.filter(F.col("doc_id") % 83 == 0)
+        .select("doc_id").collect()
+    ]
+    hist = key_history(spark, store, sorted(keys))
+    return hist.select(
+        F.col("path").alias("doc_id"),
+        F.col("_change_type").alias("change_type"),
+        "content",
+        F.col("_commit_version").alias("version"),
+    )
+
+
+SQL_CDC_KEY_HISTORY = """
+    WITH k AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 83 = 0),
+    v2txt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS t2,
+             text
+      FROM k)
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'insert' AS change_type,
+           text AS content, 1::BIGINT AS version
+    FROM v2txt WHERE doc_id % 3 != 2
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'insert', t2, 2::BIGINT
+    FROM v2txt WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'update', t2, 2::BIGINT
+    FROM v2txt WHERE doc_id % 3 != 2 AND doc_id % 7 = 0
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'delete', t2, 3::BIGINT
+    FROM v2txt WHERE doc_id % 11 = 0
+"""
+
+
 def q_cdc_retention_expiry(spark, sf_dir):
     """retention.ms by mechanism (operators/retention.py; the reference
     provisions its mirrored topics with retention.ms: 7200000,
@@ -2816,6 +2910,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),
     "join_view_incremental": (q_join_view_incremental, SQL_JOIN_VIEW_INCREMENTAL),
     "cdc_retention_expiry": (q_cdc_retention_expiry, SQL_CDC_RETENTION_EXPIRY),
+    "cdc_key_history": (q_cdc_key_history, SQL_CDC_KEY_HISTORY),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),

@@ -242,6 +242,27 @@ def test_retained_file_refs_survive_vacuum(spark, tmp_path):
     assert _paths(spark, store) == {f"k{i}" for i in range(10, 40)}
 
 
+def test_expiry_cascades_to_replica(spark, tmp_path):
+    """The expiry version is an ordinary changefeed version: a downstream
+    replica's cascade applies the deletes and converges to the expired
+    source state."""
+    from kp_data_replication_spark.operators.changefeed import cascade_catchup
+
+    rows = [_ev(i, "c", i * 100, i) for i in range(20)]
+    store, _ = _mk(spark, tmp_path, rows)
+    dst = TableStore(str(tmp_path / "dst"), n_buckets=4)
+    cascade_catchup(spark, store, CdcApplyEngine(dst, EngineConfig(metrics=False)),
+                    n_partitions=4)
+    assert _paths(spark, dst) == _paths(spark, store)
+
+    expire_rows(spark, store, [("updated_at", "<", 700)])
+    cascade_catchup(spark, store, CdcApplyEngine(dst, EngineConfig(metrics=False)),
+                    n_partitions=4)
+    assert _paths(spark, dst) == _paths(spark, store) == {
+        f"k{i}" for i in range(7, 20)
+    }
+
+
 def test_candidate_buckets_empty_store(tmp_path):
     store = TableStore(str(tmp_path / "t"), n_buckets=4)
     assert candidate_buckets(store, [("x", "<", 1)]) == []
