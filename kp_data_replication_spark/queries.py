@@ -1659,6 +1659,89 @@ SQL_CDC_KEY_HISTORY = """
 """
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 timeline maintained from the exact per-version
+    changefeed (operators/scd.py — the canonical Debezium-downstream
+    history sink over a replicated topic: one row per (key, image) with
+    [valid_from, valid_to) commit-version stamps, current image open).
+    Replays the documents table through the CDC engine as the standard
+    3-epoch insert/update/delete fixture, advancing the timeline after
+    every epoch, then reads the FULL timeline. The DuckDB oracle
+    reconstructs every interval from the fixture rules directly — hash
+    equality proves the maintained timeline captures every transition
+    with exact interval bounds, deletes closing without opening."""
+    import tempfile
+
+    from .operators.scd import Scd2View
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def env(sel, op_col, text_expr, lsn_base, is_delete=False):
+        img = F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang").alias("lang"),
+            text_expr.alias("content"),
+        )
+        is_del = F.lit(is_delete)
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            op_col.alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    v2 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    b0 = env(docs.filter(F.col("doc_id") % 3 != 2), F.lit("c"), F.col("text"), 0)
+    b1 = env(
+        docs.filter((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 7 == 0)),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("c")).otherwise(F.lit("u")),
+        v2, 1_000_000,
+    )
+    b2 = env(docs.filter(F.col("doc_id") % 11 == 0), F.lit("d"), F.col("text"),
+             2_000_000, is_delete=True)
+
+    src = TableStore(tempfile.mkdtemp(prefix="scd2_src_"), n_buckets=8)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    view = Scd2View(tempfile.mkdtemp(prefix="scd2_"), n_buckets=8)
+    for epoch, batch in enumerate((b0, b1, b2)):
+        engine.apply_batch(batch, epoch)
+        view.update(spark, src)
+
+    return view.history(spark).select(
+        F.col("path").alias("doc_id"),
+        "content",
+        F.col("_valid_from").alias("valid_from"),
+        F.col("_valid_to").alias("valid_to"),
+    )
+
+
+SQL_SCD2_HISTORY = """
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS t2
+      FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS content,
+           1::BIGINT AS valid_from,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 2
+                     WHEN doc_id % 11 = 0 THEN 3 END AS BIGINT) AS valid_to
+    FROM d WHERE doc_id % 3 != 2
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), t2, 2::BIGINT,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN 3 END AS BIGINT)
+    FROM d WHERE doc_id % 3 = 2 OR (doc_id % 3 != 2 AND doc_id % 7 = 0)
+"""
+
+
 def q_cdc_retention_expiry(spark, sf_dir):
     """retention.ms by mechanism (operators/retention.py; the reference
     provisions its mirrored topics with retention.ms: 7200000,
@@ -2911,6 +2994,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "join_view_incremental": (q_join_view_incremental, SQL_JOIN_VIEW_INCREMENTAL),
     "cdc_retention_expiry": (q_cdc_retention_expiry, SQL_CDC_RETENTION_EXPIRY),
     "cdc_key_history": (q_cdc_key_history, SQL_CDC_KEY_HISTORY),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),

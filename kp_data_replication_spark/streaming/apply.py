@@ -188,6 +188,15 @@ class EngineConfig:
     join_view_fact_cols: tuple = ()
     join_view_dim_cols: tuple = ()
     join_view_buckets: int = 8
+    # streaming-maintained SCD TYPE-2 timeline (operators/scd.py): when
+    # scd2_dir is set, every epoch also appends the batch's transitions
+    # to an Scd2View of the target table — one row per (key, image)
+    # with [_valid_from, _valid_to) commit-version stamps, the canonical
+    # Debezium-downstream history sink. Exact per-version maintenance
+    # (never the relaxed change-file path), same fenced kill/resume
+    # contract as the other derived stores.
+    scd2_dir: str | None = None
+    scd2_buckets: int = 8
     # retention.ms (provisioning.md:188), by mechanism: rows whose
     # retention-timestamp column (epoch MILLISECONDS, like the Kafka
     # config) fell behind the window are expired every
@@ -1675,6 +1684,12 @@ class CdcApplyEngine:
                 list(self.config.agg_view_measures),
                 n_buckets=self.config.agg_view_buckets,
             )
+        scd2 = None
+        if self.config.scd2_dir:
+            from ..operators.scd import Scd2View
+
+            scd2 = Scd2View(self.config.scd2_dir,
+                            n_buckets=self.config.scd2_buckets)
 
         def _apply(df: DataFrame, eid: int) -> None:
             self.apply_batch(df, eid, writer_id=writer_id)
@@ -1691,6 +1706,11 @@ class CdcApplyEngine:
             if agg_view is not None:
                 # same contract: O(changed rows) catch-up to the new head
                 agg_view.update(df.sparkSession, self.store)
+            if scd2 is not None:
+                # per-version exact catch-up: a multi-version gap (crash
+                # between table commit and timeline advance) preserves
+                # every intermediate image, not a collapsed net diff
+                scd2.update(df.sparkSession, self.store)
             if join_view is not None:
                 # two-source cursor: catches up BOTH the table's new head
                 # and whatever the dim replicated since the last epoch
