@@ -150,6 +150,21 @@ def main(argv: list[str] | None = None) -> None:
     hs.add_argument("--from", dest="v_from", type=int, default=0)
     hs.add_argument("--to", dest="v_to", type=int, default=None)
 
+    sc = sub.add_parser(
+        "scd2",
+        help="SCD Type-2 timeline ops (operators/scd.py): advance from a "
+             "source table, read current/as-of state, prune closed history",
+    )
+    sc.add_argument("view_root")
+    sc.add_argument("--src", default=None,
+                    help="source table root: advance the timeline to its head")
+    sc.add_argument("--asof", type=int, default=None,
+                    help="print state AS OF this source version")
+    sc.add_argument("--current", action="store_true",
+                    help="print the open intervals (live state)")
+    sc.add_argument("--prune-before", type=int, default=None, metavar="V",
+                    help="drop closed intervals with _valid_to <= V")
+
     lk = sub.add_parser(
         "lookup",
         help="point-read keys (bucket-pruned: reads only the keys' hash buckets)",
@@ -526,6 +541,27 @@ def main(argv: list[str] | None = None) -> None:
                            int(d.get("_commit_version") or 0)),
         )
         print(json.dumps(rows))
+    elif args.cmd == "scd2":
+        from .operators.scd import Scd2View
+
+        view = Scd2View(args.view_root)
+        out: dict = {}
+        if args.src:
+            out["update"] = view.update(spark, TableStore(args.src))
+        if args.prune_before is not None:
+            out["prune"] = view.prune(spark, args.prune_before)
+        df = None
+        if args.asof is not None:
+            df = view.as_of(spark, args.asof)
+        elif args.current:
+            df = view.current(spark)
+        if df is not None:
+            out["rows"] = sorted(
+                ({c: (None if r[c] is None else str(r[c])) for c in df.columns}
+                 for r in df.collect()),
+                key=lambda d: (d.get("repo") or "", d.get("path") or ""),
+            )
+        print(json.dumps(out))
     elif args.cmd == "expire":
         from .operators.retention import expire_rows
 

@@ -558,3 +558,80 @@ def test_retention_expiry_skips_proven_files_and_stays_jvm(spark, tmp_path):
     for files in m["buckets"].values():
         all_files |= {os.path.abspath(os.path.join(store.root, p)) for p in files}
     assert read and read < all_files, "expiry must not open proven-clean files"
+
+
+def test_scd2_epoch_broadcasts_closers_and_prunes_history_buckets(
+    spark, tmp_path
+):
+    """The SCD2 epoch's committed frame: the open-interval close joins a
+    BROADCAST batch-key side (the history slice is never shuffled for the
+    close), the only sort-merge joins are the per-version CDF state diffs
+    (FullOuter — data-scale both sides), no per-row Python anywhere, and
+    the history read is bucket-pruned to a strict subset of the
+    timeline's files."""
+    import os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import Row
+
+    from kp_data_replication_spark.operators.scd import Scd2View
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+    from kp_data_replication_spark.sources.table_store import TableStore
+    from kp_data_replication_spark.streaming.apply import CdcApplyEngine, EngineConfig
+
+    def env(path, op, content, lsn):
+        img = Row(repo="t", path=str(path), commit="c0", lang="en",
+                  content=content)
+        return Row(partition=hash(str(path)) % 4, lsn=lsn, op=op,
+                   before=img if op == "d" else None,
+                   after=None if op == "d" else img,
+                   ts_ms=None, headers=None, source_topic="repos")
+
+    src = TableStore(str(tmp_path / "src"), n_buckets=8)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    view = Scd2View(str(tmp_path / "scd2"), n_buckets=8)
+    engine.apply_batch(spark.createDataFrame(
+        [env(f"k{i}", "c", f"C{i}", i) for i in range(64)],
+        CHANGELOG_SCHEMA), 0)
+    view.update(spark, src)
+
+    # epoch touching two keys only
+    engine.apply_batch(spark.createDataFrame(
+        [env("k1", "u", "C1v2", 100), env("k2", "d", None, 101)],
+        CHANGELOG_SCHEMA), 1)
+
+    captured = {}
+    orig = TableStore.commit
+
+    def spy(self, merged, *a, **kw):
+        if self.root == view.hist.root and merged is not None:
+            captured["df"] = merged
+        return orig(self, merged, *a, **kw)
+
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(TableStore, "commit", spy)
+    try:
+        view.update(spark, src)
+    finally:
+        mp.undo()
+
+    df = captured["df"]
+    plan = plan_string(df, mode="simple")
+    assert_no_row_python(df)
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert all("FullOuter" in ln for ln in smj), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # history read was bucket-pruned to the two touched keys' buckets
+    hist_files = {
+        urlparse(f).path
+        for f in df.inputFiles()
+        if urlparse(f).path.startswith(os.path.abspath(view.hist.root))
+    }
+    all_hist = set()
+    m = view.hist.manifest(1)
+    for files in m["buckets"].values():
+        all_hist |= {
+            os.path.abspath(os.path.join(view.hist.root, p)) for p in files
+        }
+    assert hist_files and hist_files < all_hist

@@ -290,3 +290,26 @@ def test_lww_tombstone_renders_as_plain_close(spark, tmp_path):
     assert ("0", 2) not in tl            # no phantom tombstone interval
     cur = {r["path"] for r in view.current(spark).collect()}
     assert cur == {"1"}
+
+
+def test_cli_scd2(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    src, engine, _ = _setup(tmp_path)
+    for e, b in enumerate(BATCHES[:2]):
+        _apply(spark, engine, b, e)
+    import kp_data_replication_spark as pkg
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    view_root = str(tmp_path / "scd2_cli")
+    out = subprocess.run(
+        [sys.executable, "-m", "kp_data_replication_spark.cli", "scd2",
+         view_root, "--src", src.root, "--asof", "1"],
+        capture_output=True, text=True, cwd=repo, check=True, timeout=300,
+    ).stdout.strip().splitlines()[-1]
+    got = _json.loads(out)
+    assert got["update"]["status"] == "committed" and got["update"]["to"] == 2
+    assert [(r["path"], r["content"]) for r in got["rows"]] == [
+        ("0", "alpha"), ("1", "bravo"), ("2", "charlie")]
