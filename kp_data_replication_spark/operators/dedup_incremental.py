@@ -63,7 +63,19 @@ INDEX_SCHEMA = T.StructType(
 class IncrementalDedupIndex:
     """Persisted LSH band index over a source TableStore's documents,
     maintained per-epoch from the changefeed. Index row: (repo, path,
-    bands) where bands[b] is the md5 band bucket for band b."""
+    bands) where bands[b] is the md5 band bucket for band b.
+
+    The update skeleton (changefeed read -> re-featurize changed docs only
+    -> dirty-bucket MERGE -> fenced commit + retention pin) is generic
+    over the per-document FEATURE: subclasses override ``FEATURE_COL`` /
+    ``INDEX_SCHEMA`` / ``WRITER_PREFIX`` and ``_changed_features`` to
+    maintain a different per-doc derivation with the exact same O(batch)
+    cost model and exactly-once contract (the decontamination shingle
+    index, operators/decontam_index.py, is one)."""
+
+    FEATURE_COL = "bands"
+    WRITER_PREFIX = "dedup-index"
+    INDEX_SCHEMA = INDEX_SCHEMA
 
     def __init__(self, root: str, n_buckets: int = 8, shingle_n: int = 3,
                  bands: int = LSH_BANDS):
@@ -72,7 +84,7 @@ class IncrementalDedupIndex:
         self.bands = bands
 
     # ------------------------------------------------------------------ #
-    def _changed_bands(self, upserts: DataFrame, text_col: str) -> DataFrame:
+    def _changed_features(self, upserts: DataFrame, text_col: str) -> DataFrame:
         """(repo, path, bands array) for changed documents — re-shingles
         ONLY these rows."""
         docs = upserts.select(
@@ -106,6 +118,10 @@ class IncrementalDedupIndex:
             ).alias("bands"),
         )
 
+    # back-compat name (tools/plan_report.py drives it directly)
+    def _changed_bands(self, upserts: DataFrame, text_col: str) -> DataFrame:
+        return IncrementalDedupIndex._changed_features(self, upserts, text_col)
+
     # ------------------------------------------------------------------ #
     def update(
         self,
@@ -125,14 +141,14 @@ class IncrementalDedupIndex:
         when it returns) — still O(batch), just a second shingle pass over
         the changed rows only.
         """
-        writer = f"dedup-index:{os.path.abspath(src.root)}"
+        writer = f"{self.WRITER_PREFIX}:{os.path.abspath(src.root)}"
         last = max(self.store.writer_epoch(writer), 0)
         head = src.current_version()
         if head <= last:
             return {"status": "noop", "from": last, "to": head}
         # retention auto-pin BEFORE reading: the versions >= last must
         # survive a concurrent-ish vacuum
-        consumer = f"dedup-index:{os.path.abspath(self.store.root)}"
+        consumer = f"{self.WRITER_PREFIX}:{os.path.abspath(self.store.root)}"
         if last > 0:
             src.record_consumer(consumer, last)
 
@@ -148,11 +164,12 @@ class IncrementalDedupIndex:
         upserts = ch.filter(~is_del).select("repo", "path", text_col)
         deletes = ch.filter(is_del).select("repo", "path")
 
-        new_bands = self._changed_bands(upserts, text_col)
+        feat = self.INDEX_SCHEMA[self.FEATURE_COL]
+        new_bands = self._changed_features(upserts, text_col)
         batch = new_bands.withColumn("op", F.lit("u")).unionByName(
             deletes.select(
                 "repo", "path",
-                F.lit(None).cast(T.ArrayType(T.StringType())).alias("bands"),
+                F.lit(None).cast(feat.dataType).alias(feat.name),
                 F.lit("d").alias("op"),
             )
         ).cache()
@@ -173,10 +190,11 @@ class IncrementalDedupIndex:
             else:
                 merged = batch.filter(F.col("op") != "d").drop("op")
             merged = merged.select(
-                *[F.col(f.name).cast(f.dataType) for f in INDEX_SCHEMA.fields]
+                *[F.col(f.name).cast(f.dataType)
+                  for f in self.INDEX_SCHEMA.fields]
             ).withColumn(BUCKET_COL, bucket_expr(n_b))
             version = self.store.commit(
-                merged, dirty, [], head, INDEX_SCHEMA, writer_id=writer
+                merged, dirty, [], head, self.INDEX_SCHEMA, writer_id=writer
             )
             out = {
                 "status": "committed",

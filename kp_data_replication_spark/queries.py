@@ -1742,6 +1742,102 @@ SQL_SCD2_HISTORY = """
 """
 
 
+def q_decontam_incremental(spark, sf_dir):
+    """Incremental decontamination index == batch corpus re-scan
+    (operators/decontam_index.py): the corpus replays through the CDC
+    engine as the standard 3-epoch insert/update/delete fixture with the
+    fingerprint index advancing after every epoch (O(changed docs) each —
+    deletes retract, updates re-fingerprint), then a benchmark (docs 0-4's
+    ORIGINAL text) probes the persisted index without touching corpus
+    text. The DuckDB oracle runs the exact-n-gram overlap over the FINAL
+    corpus state — hash equality proves index-probed contamination equals
+    full re-tokenization."""
+    import tempfile
+
+    from .operators.decontam_index import IncrementalDecontamIndex
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def env(sel, op_col, text_expr, lsn_base, is_delete=False):
+        img = F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang").alias("lang"),
+            text_expr.alias("content"),
+        )
+        is_del = F.lit(is_delete)
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            op_col.alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    v2 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    b0 = env(docs.filter(F.col("doc_id") % 3 != 2), F.lit("c"), F.col("text"), 0)
+    b1 = env(
+        docs.filter((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 7 == 0)),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("c")).otherwise(F.lit("u")),
+        v2, 1_000_000,
+    )
+    b2 = env(docs.filter(F.col("doc_id") % 11 == 0), F.lit("d"), F.col("text"),
+             2_000_000, is_delete=True)
+
+    src = TableStore(tempfile.mkdtemp(prefix="decontam_src_"), n_buckets=8)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalDecontamIndex(
+        tempfile.mkdtemp(prefix="decontam_idx_"), n_buckets=8)
+    for epoch, batch in enumerate((b0, b1, b2)):
+        engine.apply_batch(batch, epoch)
+        index.update(spark, src)
+
+    probes = docs.filter(F.col("doc_id") < 5)
+    return (
+        index.contaminated(spark, probes)
+        .filter(F.col("path").cast("long") >= 5)
+        .select(
+            F.col("path").cast("long").alias("doc_id"),
+            "n_hit_ngrams",
+            "n_probes",
+        )
+    )
+
+
+SQL_DECONTAM_INCREMENTAL = r"""
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 != 0),
+    cw AS (SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS w
+           FROM final),
+    csh AS (
+      SELECT DISTINCT doc, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      FROM cw),
+    pw AS (SELECT doc_id AS probe, string_split_regex(trim(text), '\s+') AS w
+           FROM documents WHERE doc_id < 5),
+    psh AS (
+      SELECT DISTINCT probe, unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      FROM pw)
+    SELECT c.doc AS doc_id,
+           count(DISTINCT c.shingle) AS n_hit_ngrams,
+           count(DISTINCT p.probe) AS n_probes
+    FROM csh c JOIN psh p USING (shingle)
+    WHERE c.doc >= 5
+    GROUP BY 1
+"""
+
+
 def q_cdc_retention_expiry(spark, sf_dir):
     """retention.ms by mechanism (operators/retention.py; the reference
     provisions its mirrored topics with retention.ms: 7200000,
@@ -2995,6 +3091,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_retention_expiry": (q_cdc_retention_expiry, SQL_CDC_RETENTION_EXPIRY),
     "cdc_key_history": (q_cdc_key_history, SQL_CDC_KEY_HISTORY),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "decontam_incremental": (q_decontam_incremental, SQL_DECONTAM_INCREMENTAL),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),

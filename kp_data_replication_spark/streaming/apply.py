@@ -149,6 +149,13 @@ class EngineConfig:
     # clusters.update() is then a fenced noop).
     cluster_index_dir: str | None = None
     cluster_index_buckets: int = 8
+    # streaming-maintained decontamination fingerprint index
+    # (operators/decontam_index.py): the exact-n-gram twin of the dedup
+    # index — per-doc xxhash64 shingle fingerprints advance O(changed
+    # docs) in the same epoch loop, so a NEW benchmark probes the index
+    # without ever re-tokenizing the corpus. Same fenced resume contract.
+    decontam_index_dir: str | None = None
+    decontam_index_buckets: int = 8
     # streaming-maintained incremental AGGREGATE view (exact IVM,
     # operators/agg_view.py): when agg_view_dir is set, every micro-batch
     # epoch also advances an IncrementalAggView over the target table —
@@ -1684,6 +1691,14 @@ class CdcApplyEngine:
                 list(self.config.agg_view_measures),
                 n_buckets=self.config.agg_view_buckets,
             )
+        decontam = None
+        if self.config.decontam_index_dir:
+            from ..operators.decontam_index import IncrementalDecontamIndex
+
+            decontam = IncrementalDecontamIndex(
+                self.config.decontam_index_dir,
+                n_buckets=self.config.decontam_index_buckets,
+            )
         scd2 = None
         if self.config.scd2_dir:
             from ..operators.scd import Scd2View
@@ -1706,6 +1721,9 @@ class CdcApplyEngine:
             if agg_view is not None:
                 # same contract: O(changed rows) catch-up to the new head
                 agg_view.update(df.sparkSession, self.store)
+            if decontam is not None:
+                # same fenced O(changed-docs) contract as the dedup index
+                decontam.update(df.sparkSession, self.store)
             if scd2 is not None:
                 # per-version exact catch-up: a multi-version gap (crash
                 # between table commit and timeline advance) preserves
