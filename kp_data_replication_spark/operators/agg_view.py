@@ -61,17 +61,22 @@ from .changefeed import CHANGE_TYPE_COL, table_changes_cdf
 _ADDITIVE = ("count", "sum", "avg")
 _EXTREMES = ("min", "max")
 # kinds whose exact maintenance needs the value-multiset sidecar: min/max
-# (retraction of the reigning extreme) and count_distinct (a value stays
+# (retraction of the reigning extreme), count_distinct (a value stays
 # counted until its LAST copy retracts — sketches like HLL can't retract,
-# the multiset can: the distinct count is just the group's live-entry count)
-_DETAILED = (*_EXTREMES, "count_distinct")
+# the multiset can: the distinct count is just the group's live-entry
+# count), and quantile (EXACT discrete percentiles under retraction — the
+# dirty group's multiset slice is a weighted value histogram, so the
+# rank-q value is a cumulative walk over O(distinct values) entries; no
+# mergeable sketch gives exact retractable quantiles, the multiset does)
+_DETAILED = (*_EXTREMES, "count_distinct", "quantile")
 
 
 @dataclass(frozen=True)
 class Measure:
     """One aggregate column of the view.
 
-    ``kind``: count | sum | avg | min | max | count_distinct. ``expr`` is
+    ``kind``: count | sum | avg | min | max | count_distinct | quantile
+    (exact discrete percentile under retraction, see ``q``). ``expr`` is
     any SQL expression over a source row (ignored for count); ``alias``
     is the published column name; ``dtype`` ('long' | 'double') is the
     partial's storage type — use 'long' for integral measures to make
@@ -84,6 +89,11 @@ class Measure:
     expr: str | None
     alias: str
     dtype: str = "double"
+    # quantile only: the rank fraction. The published value is the
+    # DISCRETE quantile — the smallest live value whose cumulative
+    # multiplicity reaches ceil(q * n_non_null) — i.e. an actual data
+    # value (SQL's quantile_disc), exact under retraction.
+    q: float | None = None
 
     def __post_init__(self):
         if self.kind not in (*_ADDITIVE, *_DETAILED):
@@ -92,6 +102,12 @@ class Measure:
             raise ValueError(f"measure '{self.alias}' ({self.kind}) needs expr")
         if self.dtype not in ("long", "double"):
             raise ValueError(f"measure '{self.alias}': dtype long|double")
+        if self.kind == "quantile":
+            if self.q is None or not (0.0 < self.q <= 1.0):
+                raise ValueError(
+                    f"measure '{self.alias}': quantile needs q in (0, 1]")
+        elif self.q is not None:
+            raise ValueError(f"measure '{self.alias}': q is quantile-only")
 
 
 class IncrementalAggView:
@@ -356,8 +372,26 @@ class IncrementalAggView:
             F.broadcast(g), self._group_eq("s", "g"), "inner"
         ).select(*[F.col(f"s.{c}").alias(c) for c in det.columns])
         mm_aggs = []
+        quantiles = [m for m in exts if m.kind == "quantile"]
         for m in exts:
             slice_ = F.when(F.col("_m") == m.alias, F.col("_val"))
+            if m.kind == "quantile":
+                # gather the group's weighted value histogram (one entry
+                # per live distinct value — O(distinct), the multiset's
+                # own size) plus its total multiplicity; the rank walk
+                # happens post-aggregation, below
+                ent = F.when(
+                    F.col("_m") == m.alias,
+                    F.struct(F.col("_val"), F.col("_mult")),
+                )
+                mm_aggs.append(
+                    F.array_sort(F.collect_list(ent)).alias(f"_ent_{m.alias}")
+                )
+                mm_aggs.append(
+                    F.sum(F.when(F.col("_m") == m.alias, F.col("_mult")))
+                    .alias(f"_tot_{m.alias}")
+                )
+                continue
             if m.kind == "count_distinct":
                 # one multiset row per live distinct value: counting the
                 # slice IS the distinct count
@@ -367,9 +401,32 @@ class IncrementalAggView:
             mm_aggs.append(
                 agg.cast(self._detail_dtype(m)).alias(f"_mm_{m.alias}")
             )
+        mm = sel.groupBy(*self.group_cols).agg(*mm_aggs)
+        for m in quantiles:
+            # discrete quantile: smallest value whose cumulative
+            # multiplicity reaches ceil(q * total) — one JVM fold over the
+            # sorted histogram, no explode back to row-per-copy
+            rank = F.ceil(F.lit(m.q) * F.col(f"_tot_{m.alias}"))
+            walk = F.aggregate(
+                F.col(f"_ent_{m.alias}"),
+                F.struct(
+                    F.lit(0).cast("long").alias("cum"),
+                    F.lit(None).cast("double").alias("ans"),
+                ),
+                lambda acc, e: F.struct(
+                    (acc["cum"] + e["_mult"]).alias("cum"),
+                    F.when(acc["ans"].isNotNull(), acc["ans"])
+                    .when(acc["cum"] + e["_mult"] >= rank, e["_val"])
+                    .alias("ans"),
+                ),
+                lambda acc: acc["ans"],
+            )
+            mm = mm.withColumn(
+                f"_mm_{m.alias}", walk.cast(self._detail_dtype(m))
+            ).drop(f"_ent_{m.alias}", f"_tot_{m.alias}")
         # right outer onto the dirty groups so a group whose multiset
         # emptied still gets an (all-null) recompute row
-        mm = sel.groupBy(*self.group_cols).agg(*mm_aggs).alias("mm")
+        mm = mm.alias("mm")
         return (
             g.join(mm, self._group_eq("g", "mm"), "left")
             .select(

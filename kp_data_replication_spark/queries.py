@@ -1534,6 +1534,12 @@ def q_agg_view_incremental(spark, sf_dir):
             Measure("min", "length(content)", "min_len", dtype="long"),
             Measure("max", "length(content)", "max_len", dtype="long"),
             Measure("count_distinct", "length(content)", "n_len", dtype="long"),
+            # exact discrete percentiles under retraction (multiset-backed;
+            # DuckDB's quantile_disc shares the ceil(q*n) rank convention)
+            Measure("quantile", "length(content)", "p50_len", dtype="long",
+                    q=0.5),
+            Measure("quantile", "length(content)", "p95_len", dtype="long",
+                    q=0.95),
         ],
         n_buckets=4,
     )
@@ -1545,7 +1551,7 @@ def q_agg_view_incremental(spark, sf_dir):
     return out.select(
         "lang", "n_docs", "sum_len",
         F.round("avg_len", 4).alias("avg_len"),
-        "min_len", "max_len", "n_len",
+        "min_len", "max_len", "n_len", "p50_len", "p95_len",
     )
 
 
@@ -1560,7 +1566,9 @@ SQL_AGG_VIEW_INCREMENTAL = """
            round(avg(length(text)), 4) AS avg_len,
            CAST(min(length(text)) AS BIGINT) AS min_len,
            CAST(max(length(text)) AS BIGINT) AS max_len,
-           CAST(count(DISTINCT length(text)) AS BIGINT) AS n_len
+           CAST(count(DISTINCT length(text)) AS BIGINT) AS n_len,
+           CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS p50_len,
+           CAST(quantile_disc(length(text), 0.95) AS BIGINT) AS p95_len
     FROM final GROUP BY lang
 """
 

@@ -336,3 +336,79 @@ def test_measure_validation():
         IncrementalAggView("/tmp/nope", ["lang"], [
             Measure("count", None, "lang"),
         ])
+
+
+def _disc_quantile(vals, q):
+    """The view's published definition: smallest value whose cumulative
+    count reaches ceil(q * n) — SQL quantile_disc."""
+    import math
+    vs = sorted(v for v in vals if v is not None)
+    if not vs:
+        return None
+    return vs[math.ceil(q * len(vs)) - 1]
+
+
+def test_quantile_measures_exact_under_retraction(spark, tmp_path):
+    """kind='quantile': exact discrete percentiles maintained through the
+    multiset sidecar — deleting the reigning p95 value re-derives the new
+    one from the multiset slice alone, never a base rescan."""
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    measures = [
+        Measure("count", None, "n_docs"),
+        Measure("quantile", "length(content)", "p50_len", dtype="long", q=0.5),
+        Measure("quantile", "length(content)", "p95_len", dtype="long", q=0.95),
+    ]
+    view = IncrementalAggView(str(tmp_path / "view"), ["lang"], measures,
+                              n_buckets=4)
+
+    def check():
+        per_group = {}
+        for r in src.read_state(spark).collect():
+            per_group.setdefault(r["lang"], []).append(
+                len(r["content"]) if r["content"] is not None else None)
+        want = {
+            g: (_disc_quantile(v, 0.5), _disc_quantile(v, 0.95))
+            for g, v in per_group.items()
+        }
+        got = {r["lang"]: (r["p50_len"], r["p95_len"])
+               for r in view.read(spark).collect()}
+        assert got == want, (got, want)
+
+    # epoch 0: skewed lengths; doc 9 holds en's p95 (much longer)
+    b0 = [_env(i, "c", "x" * (10 + i), "en", i) for i in range(9)]
+    b0.append(_env(9, "c", "y" * 500, "en", 9))
+    b0.append(_env(20, "c", "fr doc", "fr", 20))
+    b0.append(_env(21, "c", None, "fr", 21))   # null ignored by quantiles
+    _apply(spark, engine, b0, 0)
+    view.update(spark, src)
+    check()
+    got = {r["lang"]: r for r in view.read(spark).collect()}
+    assert got["en"]["p95_len"] == 500
+    assert got["fr"]["p50_len"] == 6   # the single non-null value
+
+    # epoch 1: DELETE the reigning p95 holder; update another value
+    _apply(spark, engine, [
+        _env(9, "d", "y" * 500, "en", 100),
+        _env(0, "u", "x" * 300, "en", 101),
+    ], 1)
+    view.update(spark, src)
+    check()
+    got = {r["lang"]: r for r in view.read(spark).collect()}
+    assert got["en"]["p95_len"] == 300   # retraction resolved via multiset
+
+    # epoch 2: empty a whole group -> it leaves the view
+    _apply(spark, engine, [_env(20, "d", "fr doc", "fr", 200),
+                           _env(21, "d", None, "fr", 201)], 2)
+    view.update(spark, src)
+    check()
+    assert "fr" not in {r["lang"] for r in view.read(spark).collect()}
+
+
+def test_quantile_measure_validation():
+    with pytest.raises(ValueError, match="quantile needs q"):
+        Measure("quantile", "x", "p50")
+    with pytest.raises(ValueError, match="quantile needs q"):
+        Measure("quantile", "x", "p50", q=1.5)
+    with pytest.raises(ValueError, match="q is quantile-only"):
+        Measure("sum", "x", "s", q=0.5)
