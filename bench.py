@@ -411,6 +411,115 @@ def bench_incremental_ann(spark, sf_dir: str, work_dir: str) -> dict:
     return out
 
 
+def bench_incremental_text_index(spark, sf_dir: str, work_dir: str) -> dict:
+    """O(batch) vs O(corpus) evidence for the changefeed-maintained
+    inverted index: full postings build over the replicated documents
+    corpus, then an epoch touching ~1% of docs (merge-on-read delta — no
+    base read), then a BM25 search answered from the index vs the
+    O(corpus) alternative (re-tokenize and score the whole corpus per
+    query). At 100 TB the recompute leg reads 100 TB of text per QUERY;
+    the index leg reads the query terms' posting buckets."""
+    from pyspark.sql import functions as F
+
+    from kp_data_replication_spark.operators.text_index import (
+        IncrementalTextIndex,
+        _tokens,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mult = int(os.environ.get("BENCH_DEDUP_SCALE", "4"))
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(k * 1_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copy{k}")).alias("text"),
+            "lang",
+        )
+        for k in range(mult)
+    ]
+    docs = copies[0]
+    for c in copies[1:]:
+        docs = docs.unionByName(c)
+    docs = docs.cache()
+    n_docs = docs.count()
+    img = F.struct(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+    def envelope(sel, op, lsn_base, image=img):
+        is_del = F.lit(op == "d")
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            F.lit(op).alias("op"),
+            F.when(is_del, image).alias("before"),
+            F.when(~is_del, image).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    src = TableStore(os.path.join(work_dir, "tidx_src"), n_buckets=64)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    idx = IncrementalTextIndex(os.path.join(work_dir, "tidx"), n_buckets=32)
+
+    engine.apply_batch(envelope(docs, "c", 0), 0)
+    t0 = time.time()
+    idx.update(spark, src)
+    full_sec = time.time() - t0
+
+    img_v2 = F.struct(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.concat(F.col("text"), F.lit(" v2 freshterm")).alias("content"),
+    )
+    changed = docs.filter(F.col("doc_id") % 100 == 0)
+    engine.apply_batch(envelope(changed, "u", 100_000_000, image=img_v2), 1)
+    t0 = time.time()
+    out_inc = idx.update(spark, src)
+    inc_sec = time.time() - t0
+
+    terms = ["merge", "vector", "stream"]
+    t0 = time.time()
+    n_hits = idx.search_bm25(spark, terms, k=10).count()
+    search_sec = time.time() - t0
+
+    # the O(corpus) alternative: tokenize + score the whole corpus per query
+    t0 = time.time()
+    state = src.read_state(spark).select(
+        "path", _tokens(F.col("content")).alias("_toks")
+    )
+    n_brute = (
+        state.select("path", F.size("_toks").alias("dl"),
+                     F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    brute_sec = time.time() - t0
+
+    docs.unpersist()
+    out = {
+        "n_docs": n_docs,
+        "full_build_sec": round(full_sec, 3),
+        "epoch_update_sec": round(inc_sec, 3),
+        "search_from_index_sec": round(search_sec, 3),
+        "search_corpus_scan_sec": round(brute_sec, 3),
+        "n_postings_delta_epoch": out_inc["n_postings_delta"],
+        "mor_delta": out_inc["mor_delta"],
+        "n_hits": n_hits,
+        "n_docs_matching": n_brute,
+    }
+    log(f"incremental text index: {out}")
+    return out
+
+
 def bench_incremental_agg_view(spark, sf_dir: str, work_dir: str) -> dict:
     """O(batch) vs O(table) evidence for the IVM aggregate view: full view
     build over the replicated corpus, then an epoch touching ~1% of docs.
@@ -889,6 +998,10 @@ def main() -> None:
             bench_incremental_agg_view(spark, sf_dir, work_dir)
             if llm_on else None
         )
+        tidx_inc = (
+            bench_incremental_text_index(spark, sf_dir, work_dir)
+            if llm_on else None
+        )
         hll_inc = (
             bench_incremental_hll(spark, sf_dir, work_dir) if llm_on else None
         )
@@ -924,6 +1037,8 @@ def main() -> None:
             out["ann_incremental"] = ann_inc
         if aggv_inc is not None:
             out["agg_view_incremental"] = aggv_inc
+        if tidx_inc is not None:
+            out["text_index_incremental"] = tidx_inc
         if hll_inc is not None:
             out["hll_incremental"] = hll_inc
         if join_inc is not None:

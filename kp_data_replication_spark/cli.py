@@ -240,6 +240,29 @@ def main(argv: list[str] | None = None) -> None:
                     help="also write this advance's NEW candidate pairs "
                          "(changed docs vs the index) to this parquet dir")
 
+    ti = sub.add_parser(
+        "text-index",
+        help="advance the incremental inverted text index (BM25 postings) "
+             "from a source table's changefeed (merge-on-read deltas, "
+             "O(changed docs x terms/doc) per call)",
+    )
+    ti.add_argument("source", help="source TableStore root (the CDC target)")
+    ti.add_argument("index", help="index root (created on first run)")
+    ti.add_argument("--buckets", type=int, default=32)
+    ti.add_argument("--text-col", default="content")
+
+    se = sub.add_parser(
+        "search",
+        help="BM25 ranked search answered from the persisted postings "
+             "index — reads the query terms' buckets only, never the "
+             "corpus text",
+    )
+    se.add_argument("index", help="index root (a prior text-index run)")
+    se.add_argument("query", help="space-separated query terms")
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--k1", type=float, default=1.2)
+    se.add_argument("--b", type=float, default=0.75)
+
     cc = sub.add_parser(
         "clusters",
         help="advance the incremental duplicate-cluster labels from a source "
@@ -696,6 +719,21 @@ def main(argv: list[str] | None = None) -> None:
             out["pairs_out"] = args.pairs_out
             out["n_new_pairs"] = spark.read.parquet(args.pairs_out).count()
         print(json.dumps(out))
+    elif args.cmd == "text-index":
+        from .operators.text_index import IncrementalTextIndex
+
+        idx = IncrementalTextIndex(args.index, n_buckets=args.buckets)
+        out = idx.update(spark, TableStore(args.source),
+                         text_col=args.text_col)
+        print(json.dumps(out))
+    elif args.cmd == "search":
+        from .operators.text_index import IncrementalTextIndex
+
+        idx = IncrementalTextIndex(args.index)
+        rows = idx.search_bm25(
+            spark, args.query, k=args.k, k1=args.k1, b=args.b
+        ).collect()
+        print(json.dumps([r.asDict() for r in rows]))
     elif args.cmd == "clusters":
         from .operators.clusters_incremental import IncrementalClusterIndex
         from .operators.dedup_incremental import IncrementalDedupIndex

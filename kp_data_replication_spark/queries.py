@@ -1573,6 +1573,142 @@ SQL_AGG_VIEW_INCREMENTAL = """
 """
 
 
+def _text_index_fixture(spark, sf_dir):
+    """The standard 3-epoch insert/update/delete fixture replayed through
+    the CDC engine with an IncrementalTextIndex advancing after EVERY
+    epoch — shared by the postings-parity and BM25-search driver queries.
+    Returns the advanced index."""
+    import tempfile
+
+    from .operators.text_index import IncrementalTextIndex
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def env(sel, op_col, text_expr, lsn_base, is_delete=False):
+        img = F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang").alias("lang"),
+            text_expr.alias("content"),
+        )
+        is_del = F.lit(is_delete)
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            op_col.alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    v2 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    b0 = env(docs.filter(F.col("doc_id") % 3 != 2), F.lit("c"), F.col("text"), 0)
+    b1 = env(
+        docs.filter((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 7 == 0)),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("c")).otherwise(F.lit("u")),
+        v2, 1_000_000,
+    )
+    b2 = env(docs.filter(F.col("doc_id") % 11 == 0), F.lit("d"), F.col("text"),
+             2_000_000, is_delete=True)
+
+    src = TableStore(tempfile.mkdtemp(prefix="tidx_src_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    idx = IncrementalTextIndex(tempfile.mkdtemp(prefix="tidx_"), n_buckets=8)
+    for epoch, batch in enumerate((b0, b1, b2)):
+        engine.apply_batch(batch, epoch)
+        idx.update(spark, src)
+    return idx
+
+
+# the shared DuckDB tokenization of the fixture's FINAL corpus state —
+# identical token rule to operators/text_index._tokens (lowercase maximal
+# [a-z0-9] runs)
+_SQL_TIDX_BASE = """
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 != 0),
+    toks AS (
+      SELECT doc_id,
+             list_filter(
+               regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+               x -> x <> '') AS ts
+      FROM final),
+    post AS (
+      SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+                   unnest(ts) AS term
+            FROM toks)
+      GROUP BY term, doc_id, dl)
+"""
+
+
+def q_text_index_postings(spark, sf_dir):
+    """Changefeed-maintained inverted index == full recompute
+    (operators/text_index.py — the retrieval half of the training-data
+    suite: term-bucketed BM25 postings kept fresh as the replicated corpus
+    tails in, merge-on-read delta layers per epoch instead of the CoW
+    index rewrite a term-keyed layout can't afford). Replays the standard
+    3-epoch insert/update/delete fixture, advancing the index after EVERY
+    epoch — epoch 1 updates retract dropped terms via the CDF pre-image,
+    epoch 2 deletes retract whole documents — then reads the POSTINGS
+    alone. The DuckDB oracle re-tokenizes the FINAL corpus state directly;
+    hash equality proves retraction-exact convergence."""
+    idx = _text_index_fixture(spark, sf_dir)
+    return idx.read_postings(spark).select(
+        "term", "repo", "path", "tf", "dl"
+    )
+
+
+SQL_TEXT_INDEX_POSTINGS = _SQL_TIDX_BASE + """
+    SELECT term, 'corpus' AS repo, CAST(doc_id AS VARCHAR) AS path, tf, dl
+    FROM post
+"""
+
+
+def q_text_search_bm25(spark, sf_dir):
+    """BM25 ranked retrieval answered from the persisted postings index
+    (operators/text_index.py search_bm25 — q term buckets scanned, one
+    shuffle on the doc key, global top-k; the corpus text is never read at
+    query time). Same 3-epoch fixture as q_text_index_postings; the DuckDB
+    oracle computes the identical Robertson idf / tf-norm formula over the
+    final corpus state. Scores rounded to 4 in BOTH engines so values and
+    the (score desc, key) tie-break agree."""
+    idx = _text_index_fixture(spark, sf_dir)
+    return idx.search_bm25(spark, ["merge", "vector", "stream"], k=25)
+
+
+SQL_TEXT_SEARCH_BM25 = _SQL_TIDX_BASE + """
+    , stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(ts) AS DOUBLE)) AS avgdl
+      FROM toks),
+    q(qterm) AS (SELECT * FROM (VALUES ('merge'), ('vector'), ('stream'))),
+    dfq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df
+      FROM post JOIN q ON term = qterm GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * CAST(p.tf AS DOUBLE) * (1.2 + 1)
+             / (CAST(p.tf AS DOUBLE)
+                + 1.2 * (1 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
+             AS sc
+      FROM post p JOIN dfq d USING (term) CROSS JOIN stats s)
+    SELECT 'corpus' AS repo, CAST(doc_id AS VARCHAR) AS path,
+           round(sum(sc), 4) AS score, CAST(count(*) AS BIGINT) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, repo, path LIMIT 25
+"""
+
+
 def q_cdc_key_history(spark, sf_dir):
     """Per-key audit trail across committed versions
     (operators/changefeed.py key_history — Debezium's "all changes for
@@ -3095,6 +3231,8 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_acl_sync": (q_cdc_acl_sync, SQL_CDC_ACL_SYNC),
     "cdc_offset_failover": (q_cdc_offset_failover, SQL_CDC_OFFSET_FAILOVER),
     "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),
+    "text_index_postings": (q_text_index_postings, SQL_TEXT_INDEX_POSTINGS),
+    "text_search_bm25": (q_text_search_bm25, SQL_TEXT_SEARCH_BM25),
     "join_view_incremental": (q_join_view_incremental, SQL_JOIN_VIEW_INCREMENTAL),
     "cdc_retention_expiry": (q_cdc_retention_expiry, SQL_CDC_RETENTION_EXPIRY),
     "cdc_key_history": (q_cdc_key_history, SQL_CDC_KEY_HISTORY),

@@ -1585,8 +1585,16 @@ class TableStore:
         cluster_by: list[str] | None = None,
         split_files: int = 1,
         cluster_strategy: str = "linear",
+        key_cols: list[str] | None = None,
     ) -> dict:
         """Small-file compaction (Iceberg ``rewrite_data_files`` analogue).
+
+        ``key_cols``: the hash key this table is BUCKETED on — default the
+        CDC key (repo, path). Derived tables bucketed on another key (an
+        agg view's group columns, a postings table's term column) MUST
+        pass theirs: the rewrite re-derives each row's bucket id from the
+        hash, and the default key would silently move rows into buckets
+        their real key doesn't hash to, breaking bucket-pruned reads.
 
         ``sort_keys``: additionally sort each rewritten bucket by the key
         columns (Iceberg table SORT ORDER applied at compaction — never in
@@ -1671,7 +1679,7 @@ class TableStore:
         # window the stamps exist to close
         df = self.read_state(
             spark, buckets=sel, include_deleted=True
-        ).withColumn(BUCKET_COL, bucket_expr(m["n_buckets"]))
+        ).withColumn(BUCKET_COL, bucket_expr(m["n_buckets"], key_cols))
         order = cluster_by or (KEY_COLS if sort_keys else None)
         if cluster_strategy not in ("linear", "zorder"):
             raise ValueError(

@@ -204,6 +204,14 @@ class EngineConfig:
     # contract as the other derived stores.
     scd2_dir: str | None = None
     scd2_buckets: int = 8
+    # streaming-maintained inverted text index (operators/text_index.py):
+    # when text_index_dir is set, every epoch also advances the BM25
+    # postings index (merge-on-read delta layers, O(changed docs x
+    # terms/doc) per epoch, threshold-folded) and its doc-length sidecar
+    # from the target's full-CDF changefeed — same fenced kill/resume
+    # contract as the other derived stores.
+    text_index_dir: str | None = None
+    text_index_buckets: int = 8
     # retention.ms (provisioning.md:188), by mechanism: rows whose
     # retention-timestamp column (epoch MILLISECONDS, like the Kafka
     # config) fell behind the window are expired every
@@ -1705,6 +1713,14 @@ class CdcApplyEngine:
 
             scd2 = Scd2View(self.config.scd2_dir,
                             n_buckets=self.config.scd2_buckets)
+        text_index = None
+        if self.config.text_index_dir:
+            from ..operators.text_index import IncrementalTextIndex
+
+            text_index = IncrementalTextIndex(
+                self.config.text_index_dir,
+                n_buckets=self.config.text_index_buckets,
+            )
 
         def _apply(df: DataFrame, eid: int) -> None:
             self.apply_batch(df, eid, writer_id=writer_id)
@@ -1729,6 +1745,10 @@ class CdcApplyEngine:
                 # between table commit and timeline advance) preserves
                 # every intermediate image, not a collapsed net diff
                 scd2.update(df.sparkSession, self.store)
+            if text_index is not None:
+                # postings delta + doclen sidecar, fenced like the rest;
+                # sidecar commits first, postings hold the cursor
+                text_index.update(df.sparkSession, self.store)
             if join_view is not None:
                 # two-source cursor: catches up BOTH the table's new head
                 # and whatever the dim replicated since the last epoch
