@@ -79,6 +79,10 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("path", T.StringType()),   # the doc key
         T.StructField("tf", T.LongType()),       # term frequency in doc
         T.StructField("dl", T.LongType()),       # doc length (denormalized)
+        # 1-based token ordinals of the term's occurrences (sorted) — the
+        # positional-postings payload phrase search intersects; bounded by
+        # tf, so the posting row stays O(occurrences)
+        T.StructField("pos", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -103,14 +107,23 @@ def _tokens(col: F.Column) -> F.Column:
 
 
 def _term_freqs(df: DataFrame, text_col: str) -> DataFrame:
-    """(doc, term, tf, dl) rows for each input doc — ONE split per row,
-    one bounded explode (terms of changed docs only, never the corpus)."""
+    """(doc, term, tf, dl, pos) rows for each input doc — ONE split per
+    row, one bounded explode (terms of changed docs only, never the
+    corpus). ``pos`` is the sorted 1-based ordinal list of the term's
+    occurrences (matching SQL's UNNEST WITH ORDINALITY convention)."""
     toks = df.select(
         F.concat_ws(_KEY_SEP, F.col("repo"), F.col("path")).alias("doc"),
         _tokens(F.col(text_col)).alias("_toks"),
-    ).select("doc", F.size("_toks").alias("dl"), F.explode("_toks").alias("term"))
+    ).select(
+        "doc",
+        F.size("_toks").alias("dl"),
+        F.posexplode("_toks").alias("_p", "term"),
+    )
     return toks.groupBy("doc", "term", "dl").agg(
-        F.count(F.lit(1)).alias("tf")
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(
+            F.collect_list((F.col("_p") + 1).cast("long"))
+        ).alias("pos"),
     )
 
 
@@ -166,6 +179,7 @@ class IncrementalTextIndex:
             F.col("doc").alias("path"),
             F.col("tf").cast("long").alias("tf"),
             F.col("dl").cast("long").alias("dl"),
+            F.col("pos").cast("array<long>").alias("pos"),
             F.lit(False).alias("_del"),
         ).unionByName(
             drops.select(
@@ -173,6 +187,7 @@ class IncrementalTextIndex:
                 F.col("doc").alias("path"),
                 F.lit(None).cast("long").alias("tf"),
                 F.lit(None).cast("long").alias("dl"),
+                F.lit(None).cast("array<long>").alias("pos"),
                 F.lit(True).alias("_del"),
             )
         ).cache()
@@ -386,6 +401,54 @@ class IncrementalTextIndex:
             )
             .orderBy(F.desc("score"), "repo", "path")
             .limit(k)
+        )
+
+    def search_phrase(self, spark: SparkSession, phrase: str) -> DataFrame:
+        """Exact phrase matching from the positional postings — docs where
+        the phrase's tokens occur consecutively, with the occurrence count.
+        Output (repo, path, n_hits).
+
+        Plan shape: the phrase's (distinct) terms read bucket-pruned like
+        BM25, then ONE iterative equi-join per phrase term on the doc key,
+        each step intersecting the accumulated start-position set with the
+        next term's positions shifted by its offset
+        (``array_intersect(acc, transform(pos, p -> p - i))`` — pure JVM
+        array expressions over lists bounded by tf, never an explode back
+        to row-per-occurrence). The accumulator can only shrink, so the
+        intermediate size is bounded by the FIRST term's postings — put a
+        rare first word in your phrase and the whole chain is tiny."""
+        words = [
+            t for t in (phrase.lower().split() if isinstance(phrase, str)
+                        else [w.lower() for w in phrase])
+            if t
+        ]
+        if not words:
+            raise ValueError("empty phrase")
+        p = self.postings_for(spark, sorted(set(words))).select(
+            "repo", "path", "pos"
+        )
+        acc = (
+            p.filter(F.col("repo") == words[0])
+            .select(F.col("path").alias("_doc"), F.col("pos").alias("_acc"))
+        )
+        for i, w in enumerate(words[1:], start=1):
+            nxt = p.filter(F.col("repo") == w).select(
+                F.col("path").alias("_doc"),
+                F.transform("pos", lambda x: x - i).alias("_shift"),
+            )
+            acc = (
+                acc.join(nxt, "_doc")
+                .select(
+                    "_doc",
+                    F.array_intersect("_acc", "_shift").alias("_acc"),
+                )
+                .filter(F.size("_acc") > 0)
+            )
+        split = F.split(F.col("_doc"), _KEY_SEP, 2)
+        return acc.select(
+            split.getItem(0).alias("repo"),
+            split.getItem(1).alias("path"),
+            F.size("_acc").cast("long").alias("n_hits"),
         )
 
     # ------------------------------------------------------------------ #

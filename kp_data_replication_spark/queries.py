@@ -1709,6 +1709,48 @@ SQL_TEXT_SEARCH_BM25 = _SQL_TIDX_BASE + """
 """
 
 
+def q_text_search_phrase(spark, sf_dir):
+    """Exact phrase matching from the positional postings
+    (operators/text_index.py search_phrase — per-posting 1-based ordinal
+    lists intersected after per-term shifts, pure JVM array expressions;
+    the corpus text is never read at query time). Two phrases per run:
+    'fast merge' (the common case) and 'table table' (the repeated-term
+    edge where naive two-set intersection over the SAME posting must
+    shift-align correctly). The DuckDB oracle re-derives ordinals with
+    generate_series indexing and self-joins on ord+1 — hash equality
+    proves position maintenance through the 3-epoch fixture's updates and
+    deletes."""
+    idx = _text_index_fixture(spark, sf_dir)
+    parts = [
+        idx.search_phrase(spark, phrase).withColumn(
+            "phrase", F.lit(phrase)
+        )
+        for phrase in ("fast merge", "table table")
+    ]
+    return parts[0].unionByName(parts[1]).select(
+        "phrase", "repo", "path", "n_hits"
+    )
+
+
+SQL_TEXT_SEARCH_PHRASE = _SQL_TIDX_BASE + """
+    , expl AS (
+      SELECT doc_id, ts[g.ord] AS term, CAST(g.ord AS BIGINT) AS ord
+      FROM toks, UNNEST(generate_series(1, len(ts))) AS g(ord)),
+    q(phrase, w1, w2) AS (
+      SELECT * FROM (VALUES ('fast merge', 'fast', 'merge'),
+                            ('table table', 'table', 'table'))),
+    hits AS (
+      SELECT q.phrase, e1.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM q
+      JOIN expl e1 ON e1.term = q.w1
+      JOIN expl e2 ON e2.doc_id = e1.doc_id AND e2.ord = e1.ord + 1
+                   AND e2.term = q.w2
+      GROUP BY q.phrase, e1.doc_id)
+    SELECT phrase, 'corpus' AS repo, CAST(doc_id AS VARCHAR) AS path, n_hits
+    FROM hits
+"""
+
+
 def q_cdc_key_history(spark, sf_dir):
     """Per-key audit trail across committed versions
     (operators/changefeed.py key_history — Debezium's "all changes for
@@ -3233,6 +3275,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "agg_view_incremental": (q_agg_view_incremental, SQL_AGG_VIEW_INCREMENTAL),
     "text_index_postings": (q_text_index_postings, SQL_TEXT_INDEX_POSTINGS),
     "text_search_bm25": (q_text_search_bm25, SQL_TEXT_SEARCH_BM25),
+    "text_search_phrase": (q_text_search_phrase, SQL_TEXT_SEARCH_PHRASE),
     "join_view_incremental": (q_join_view_incremental, SQL_JOIN_VIEW_INCREMENTAL),
     "cdc_retention_expiry": (q_cdc_retention_expiry, SQL_CDC_RETENTION_EXPIRY),
     "cdc_key_history": (q_cdc_key_history, SQL_CDC_KEY_HISTORY),

@@ -230,6 +230,68 @@ def test_search_bm25_matches_brute_force_and_prunes(spark, tmp_path):
     ).collect()[0]["tf"] == 2
 
 
+def _phrase_brute(spark, src, phrase):
+    """Driver-side exact phrase count over the raw corpus."""
+    words = phrase.lower().split()
+    out = {}
+    for r in src.read_state(spark).collect():
+        toks = _tok(r["content"])
+        n = sum(
+            1 for i in range(len(toks) - len(words) + 1)
+            if toks[i:i + len(words)] == words
+        )
+        if n:
+            out[(r["repo"], r["path"])] = n
+    return out
+
+
+def test_positions_and_phrase_search(spark, tmp_path):
+    src, engine, idx = _setup(tmp_path)
+    b0 = [
+        _env(0, "c", "fast merge then fast merge again", 0),
+        _env(1, "c", "merge fast is not fast merge", 1),
+        _env(2, "c", "fast and merge apart", 2),
+        _env(3, "c", "fast fast fast", 3),
+    ]
+    _apply(spark, engine, b0, 0)
+    idx.update(spark, src)
+
+    # positions recorded 1-based and sorted
+    pos = {
+        (r["repo"], r["path"]): r["pos"]
+        for r in idx.postings.read_state(spark).collect()
+    }
+    assert pos[("fast", f"corpus{_KEY_SEP}0")] == [1, 4]
+    assert pos[("fast", f"corpus{_KEY_SEP}3")] == [1, 2, 3]
+
+    for phrase in ("fast merge", "fast fast", "merge fast is", "absent words"):
+        got = {
+            (r["repo"], r["path"]): r["n_hits"]
+            for r in idx.search_phrase(spark, phrase).collect()
+        }
+        assert got == _phrase_brute(spark, src, phrase), phrase
+    # doc 2 has both words but never adjacent
+    assert ("corpus", "2") not in {
+        (r["repo"], r["path"])
+        for r in idx.search_phrase(spark, "fast merge").collect()
+    }
+
+    # retraction: update doc 0 so the phrase moves; delete doc 1 — the
+    # phrase hits must follow the index, layered buckets included
+    _apply(spark, engine, [
+        _env(0, "u", "no phrase here except fast merge", 100),
+        _env(1, "d", "merge fast is not fast merge", 101),
+    ], 1)
+    idx.update(spark, src)
+    got = {
+        (r["repo"], r["path"]): r["n_hits"]
+        for r in idx.search_phrase(spark, "fast merge").collect()
+    }
+    assert got == _phrase_brute(spark, src, "fast merge") == {
+        ("corpus", "0"): 1
+    }
+
+
 def test_streaming_integrated_kill_and_resume(spark, tmp_path):
     """The index advances INSIDE the streaming epoch loop
     (EngineConfig.text_index_dir). Worst crash window — table committed,
