@@ -67,6 +67,7 @@ LLM_QUERIES = [
     "dedup_clusters",
     "corpus_sample_stratified",
     "corpus_mixture_weights",
+    "corpus_shard_assignment",
     "pack_chunks",
     "pack_greedy",
     "text_stats",

@@ -263,6 +263,19 @@ def main(argv: list[str] | None = None) -> None:
     se.add_argument("--k1", type=float, default=1.2)
     se.add_argument("--b", type=float, default=0.75)
 
+    xs = sub.add_parser(
+        "export-shards",
+        help="export the table's live state as fixed-size training shards "
+             "in a seed-keyed deterministic permutation order",
+    )
+    xs.add_argument("source", help="source TableStore root")
+    xs.add_argument("out", help="output directory (shard=N parquet dirs)")
+    xs.add_argument("--rows-per-shard", type=int, default=100_000)
+    xs.add_argument("--seed", default="0")
+    xs.add_argument("--slice-hex", type=int, default=2,
+                    help="hash-slice prefix width (2=256 slices; raise for "
+                         "10^9+ rows)")
+
     cc = sub.add_parser(
         "clusters",
         help="advance the incremental duplicate-cluster labels from a source "
@@ -734,6 +747,16 @@ def main(argv: list[str] | None = None) -> None:
             spark, args.query, k=args.k, k1=args.k1, b=args.b
         ).collect()
         print(json.dumps([r.asDict() for r in rows]))
+    elif args.cmd == "export-shards":
+        from .operators.shards import export_shards
+        from .schema import KEY_COLS
+
+        out = export_shards(
+            spark, TableStore(args.source).read_state(spark), args.out,
+            KEY_COLS, args.rows_per_shard, seed=args.seed,
+            slice_hex=args.slice_hex,
+        )
+        print(json.dumps(out))
     elif args.cmd == "clusters":
         from .operators.clusters_incremental import IncrementalClusterIndex
         from .operators.dedup_incremental import IncrementalDedupIndex

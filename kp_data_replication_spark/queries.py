@@ -1751,6 +1751,43 @@ SQL_TEXT_SEARCH_PHRASE = _SQL_TIDX_BASE + """
 """
 
 
+def q_corpus_shard_assignment(spark, sf_dir):
+    """Deterministic corpus shuffle + exact distributed ranking + shard
+    assignment (operators/shards.py — the curated-corpus -> trainer step:
+    a seed-keyed md5 permutation cut into fixed-size shards; rank computed
+    by the two-pass slice-offset method, never a single-partition global
+    window). The DuckDB oracle recomputes the identical md5 mix and a
+    plain row_number over it — hash equality proves the distributed rank
+    IS the global rank and the shard cut points land exactly."""
+    from .operators.shards import assign_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang"
+    )
+    out = assign_shards(docs, ["doc_id"], rows_per_shard=64, seed="epoch7")
+    return out.select(
+        "doc_id", "lang",
+        F.col("_h").alias("mix"),
+        F.col("_rank").alias("rank"),
+        F.col("_shard").alias("shard"),
+    )
+
+
+SQL_CORPUS_SHARD_ASSIGNMENT = """
+    WITH mixed AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+             md5('epoch7' || chr(1) || CAST(doc_id AS VARCHAR)) AS mix
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, mix,
+             CAST(row_number() OVER (ORDER BY mix, doc_id) AS BIGINT) AS rank
+      FROM mixed)
+    SELECT doc_id, lang, mix, rank,
+           CAST(floor((rank - 1) / 64) AS BIGINT) AS shard
+    FROM ranked
+"""
+
+
 def q_cdc_key_history(spark, sf_dir):
     """Per-key audit trail across committed versions
     (operators/changefeed.py key_history — Debezium's "all changes for
@@ -3276,6 +3313,9 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "text_index_postings": (q_text_index_postings, SQL_TEXT_INDEX_POSTINGS),
     "text_search_bm25": (q_text_search_bm25, SQL_TEXT_SEARCH_BM25),
     "text_search_phrase": (q_text_search_phrase, SQL_TEXT_SEARCH_PHRASE),
+    "corpus_shard_assignment": (
+        q_corpus_shard_assignment, SQL_CORPUS_SHARD_ASSIGNMENT
+    ),
     "join_view_incremental": (q_join_view_incremental, SQL_JOIN_VIEW_INCREMENTAL),
     "cdc_retention_expiry": (q_cdc_retention_expiry, SQL_CDC_RETENTION_EXPIRY),
     "cdc_key_history": (q_cdc_key_history, SQL_CDC_KEY_HISTORY),

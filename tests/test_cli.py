@@ -137,3 +137,21 @@ def test_text_index_and_search_subcommands(tmp_path):
     hits = json.loads(_run("search", idx, term, "-k", "3"))
     assert 0 < len(hits) <= 3
     assert all(h["score"] > 0 and h["n_terms"] == 1 for h in hits)
+
+
+def test_export_shards_subcommand(tmp_path):
+    cl = str(tmp_path / "cl")
+    tgt = str(tmp_path / "tgt")
+    out = str(tmp_path / "shards")
+    _run("gen", cl, "--keys", "60", "--versions", "2",
+         "--partitions", "2", "--files", "2")
+    _run("replay", cl, tgt)
+
+    s = json.loads(_run("state", tgt))
+    x = json.loads(_run("export-shards", tgt, out,
+                        "--rows-per-shard", "25", "--seed", "s1"))
+    assert x["n_rows"] == s["rows"] > 0
+    want_shards = (s["rows"] + 24) // 25
+    assert x["n_shards"] == want_shards
+    import glob as _glob
+    assert len(_glob.glob(out + "/_shard=*")) == want_shards
