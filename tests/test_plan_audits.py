@@ -635,3 +635,81 @@ def test_scd2_epoch_broadcasts_closers_and_prunes_history_buckets(
             os.path.abspath(os.path.join(view.hist.root, p)) for p in files
         }
     assert hist_files and hist_files < all_hist
+
+
+def test_bm25_search_broadcasts_idf_and_reads_only_term_buckets(
+    spark, tmp_path
+):
+    """search_bm25's committed plan: the per-term df/idf side is a
+    BROADCAST join (postings are never shuffled for it), no per-row
+    Python anywhere, and the postings scan reads ONLY the query terms'
+    bucket files (manifest pruning via the write path's own hash)."""
+    import os
+
+    from kp_data_replication_spark.operators.text_index import (
+        IncrementalTextIndex,
+    )
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+    from kp_data_replication_spark.sources.table_store import TableStore
+    from kp_data_replication_spark.streaming.apply import (
+        CdcApplyEngine,
+        EngineConfig,
+    )
+    from pyspark.sql import Row
+
+    def env(path, op, content, lsn):
+        img = Row(repo="t", path=str(path), commit="c0", lang="en",
+                  content=content)
+        return Row(partition=hash(str(path)) % 4, lsn=lsn, op=op,
+                   before=img if op == "d" else None,
+                   after=None if op == "d" else img,
+                   ts_ms=None, headers=None, source_topic="repos")
+
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    CdcApplyEngine(src, EngineConfig(metrics=False)).apply_batch(
+        spark.createDataFrame(
+            [env(i, "c", f"word{i % 7} merge stream doc {i}", i)
+             for i in range(32)],
+            CHANGELOG_SCHEMA,
+        ),
+        0,
+    )
+    idx = IncrementalTextIndex(str(tmp_path / "idx"), n_buckets=8)
+    idx.update(spark, src)
+
+    out = idx.search_bm25(spark, ["merge", "stream"], k=5)
+    assert_broadcast_join(out)
+    assert_no_row_python(out)
+
+    term_buckets = idx.term_buckets(spark, ["merge", "stream"])
+    allowed = {
+        os.path.abspath(p)
+        for p in idx.postings._bucket_files(term_buckets)
+    }
+    postings_root = os.path.abspath(idx.postings.root)
+    read = {
+        os.path.abspath(p.replace("file:", ""))
+        for p in out.inputFiles()
+        if os.path.abspath(p.replace("file:", "")).startswith(postings_root)
+    }
+    assert read and read <= allowed
+    # and the pruning is real: some index bucket is NOT read
+    all_files = {os.path.abspath(p) for p in idx.postings._bucket_files()}
+    assert read < all_files
+
+
+def test_shuffle_rank_never_plans_a_global_window(spark):
+    """shards.shuffle_rank: the ranking window partitions by the hash
+    slice — the plan must contain NO SinglePartition exchange (the global
+    row_number trap), the slice-offset side joins broadcast, and the
+    whole plan stays JVM-side."""
+    from kp_data_replication_spark.operators.shards import shuffle_rank
+
+    docs = spark.range(512).select(
+        F.col("id").cast("string").alias("doc_id")
+    )
+    ranked = shuffle_rank(docs, ["doc_id"], seed="s")
+    p = plan_string(ranked)
+    assert "SinglePartition" not in p
+    assert_broadcast_join(ranked)
+    assert_no_row_python(ranked)
