@@ -839,10 +839,22 @@ def bench_incremental_hll(spark, sf_dir: str, work_dir: str) -> dict:
         os.path.join(work_dir, "hll_sk"), ["event_type"], "user_id",
         n_buckets=8,
     )
+    # the frequency twin rides the SAME store/epochs: count-min registers
+    # (operators/cms.py) advance from the same change files, with exact
+    # retraction (the update epoch subtracts the pre-image counts)
+    from kp_data_replication_spark.operators.cms import IncrementalCmsSketch
+
+    cms = IncrementalCmsSketch(
+        os.path.join(work_dir, "cms_sk"), ["event_type"], "user_id",
+        n_buckets=8,
+    )
     engine.apply_batch(envelope(ev, "c", 0), 0)
     t0 = time.time()
     sk.update(spark, src)
     full_sec = time.time() - t0
+    t0 = time.time()
+    cms.update(spark, src)
+    cms_full_sec = time.time() - t0
 
     changed = ev.filter(F.col("event_id") % 100 == 0).withColumn(
         "user_id", F.col("user_id") + F.lit(10_000_000)
@@ -851,6 +863,9 @@ def bench_incremental_hll(spark, sf_dir: str, work_dir: str) -> dict:
     t0 = time.time()
     out_inc = sk.update(spark, src)
     inc_sec = time.time() - t0
+    t0 = time.time()
+    cms_inc = cms.update(spark, src)
+    cms_inc_sec = time.time() - t0
 
     t0 = time.time()
     n_groups = (
@@ -869,8 +884,15 @@ def bench_incremental_hll(spark, sf_dir: str, work_dir: str) -> dict:
         "n_register_updates_epoch": out_inc["n_register_updates"],
         "dirty_buckets": out_inc["dirty_buckets"],
         "n_groups": n_groups,
+        # count-min twin on the same store: full-CDF feed (exact diff,
+        # bucket-pruned — retraction needs both images, so no relaxed
+        # change-file path exists for it by construction)
+        "cms_full_build_sec": round(cms_full_sec, 3),
+        "cms_epoch_update_sec": round(cms_inc_sec, 3),
+        "cms_register_updates_epoch": cms_inc["n_register_updates"],
+        "cms_dirty_buckets": cms_inc["dirty_buckets"],
     }
-    log(f"incremental hll sketch: {out}")
+    log(f"incremental hll+cms sketches: {out}")
     return out
 
 

@@ -179,6 +179,17 @@ class EngineConfig:
     hll_sketch_group_cols: tuple = ()
     hll_sketch_value_expr: str = ""
     hll_sketch_buckets: int = 8
+    # approximate per-key FREQUENCY sketch (operators/cms.py): a
+    # changefeed-maintained count-min register table advanced in the same
+    # epoch loop — O(touched groups x D x W) per epoch, O(1024) state per
+    # group. Linear sketch: the full-CDF feed's deletes subtract and
+    # updates retract, so the registers track the LIVE state exactly-as-
+    # recomputed (the heavy-hitter feed for skew salting and per-key rate
+    # monitoring)
+    cms_sketch_dir: str | None = None
+    cms_sketch_group_cols: tuple = ()
+    cms_sketch_value_expr: str = ""
+    cms_sketch_buckets: int = 8
     # streaming-maintained incremental JOIN view (delta join,
     # operators/join_view.py): when join_view_dir is set, every epoch also
     # advances an IncrementalJoinView of THIS engine's table (the fact)
@@ -1671,6 +1682,16 @@ class CdcApplyEngine:
                 self.config.hll_sketch_value_expr,
                 n_buckets=self.config.hll_sketch_buckets,
             )
+        cms_sketch = None
+        if self.config.cms_sketch_dir:
+            from ..operators.cms import IncrementalCmsSketch
+
+            cms_sketch = IncrementalCmsSketch(
+                self.config.cms_sketch_dir,
+                list(self.config.cms_sketch_group_cols),
+                self.config.cms_sketch_value_expr,
+                n_buckets=self.config.cms_sketch_buckets,
+            )
         join_view = None
         join_dim = None
         if self.config.join_view_dir:
@@ -1757,6 +1778,10 @@ class CdcApplyEngine:
                 # monotone register max — a replayed range is harmless AND
                 # fenced; kill/resume covers table + sketch together
                 hll_sketch.update(df.sparkSession, self.store)
+            if cms_sketch is not None:
+                # signed counter adds, writer-fenced: a replayed range is
+                # a noop, so retraction never double-subtracts
+                cms_sketch.update(df.sparkSession, self.store)
             cfg = self.config  # hot-reload may swap the object per epoch
             if (
                 cfg.retention_ms is not None
