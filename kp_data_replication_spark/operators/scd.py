@@ -248,3 +248,84 @@ class Scd2View:
             self.hist.schema(), writer_id=writer,
         )
         return {"status": "committed", "pruned_buckets": len(dirty)}
+
+
+def enrich_asof(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Temporal table join (Flink's ``FOR SYSTEM_TIME AS OF`` /
+    Debezium-downstream fact enrichment): give every fact row the
+    dimension image whose ``[_valid_from, _valid_to)`` interval contains
+    the fact's ``version_col`` stamp — NULL dims when the key wasn't live
+    at that version (before first insert, or inside a delete gap).
+
+    Scale shape — the one-shuffle LOCF construction, NOT an interval
+    join: a naive ``f.version >= d.from AND (d.to IS NULL OR f.version <
+    d.to)`` predicate gives Spark no equi-bound on the interval side, so
+    it plans a broadcast-nested-loop / cartesian over history — O(facts x
+    intervals) at 10^10 facts. Instead, interval STARTS and facts union,
+    hash-partition once on the key, and sort within key by (version,
+    dim-before-fact); one ``last(..., ignorenulls)`` window carries the
+    latest dim image forward onto each fact row, and the carried
+    ``_valid_to`` decides whether the interval still covers it. One
+    exchange, one sort, zero joins — the same shape as the W3 as-of
+    lookup frame (operators/asof.py), reused against SCD2 intervals.
+
+    Interval-boundary semantics: a dim row opening at version v sorts
+    BEFORE a fact stamped v (intervals are closed-open), so a fact at the
+    exact commit version of an update sees the NEW image — matching
+    ``Scd2View.as_of``.
+    """
+    if dim_cols is None:
+        dim_cols = [
+            c for c in history.columns
+            if c not in (*key_cols, VALID_FROM, VALID_TO, BUCKET_COL)
+        ]
+    fact_cols = [
+        c for c in facts.columns if c not in (*key_cols, version_col)
+    ]
+    img = F.struct(
+        *[F.col(c).alias(c) for c in dim_cols],
+        F.col(VALID_TO).alias("_to"),
+    )
+    d_side = history.select(
+        *key_cols,
+        F.col(VALID_FROM).alias("_v"),
+        F.lit(0).alias("_kind"),
+        img.alias("_img"),
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(c)
+          for c in fact_cols],
+    )
+    f_side = facts.select(
+        *key_cols,
+        F.col(version_col).cast("long").alias("_v"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast(d_side.schema["_img"].dataType).alias("_img"),
+        *fact_cols,
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_v", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = d_side.unionByName(f_side).withColumn(
+        "_carried", F.last("_img", ignorenulls=True).over(w)
+    )
+    covered = F.col("_carried").isNotNull() & (
+        F.col("_carried._to").isNull()
+        | (F.col("_v") < F.col("_carried._to"))
+    )
+    out = carried.filter(F.col("_kind") == 1).select(
+        *key_cols,
+        F.col("_v").alias(version_col),
+        *fact_cols,
+        *[
+            F.when(covered, F.col(f"_carried.{c}")).alias(c)
+            for c in dim_cols
+        ],
+    )
+    return out

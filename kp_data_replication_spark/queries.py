@@ -1882,17 +1882,17 @@ SQL_CDC_KEY_HISTORY = """
 """
 
 
-def q_scd2_history(spark, sf_dir):
-    """SCD Type-2 timeline maintained from the exact per-version
-    changefeed (operators/scd.py — the canonical Debezium-downstream
-    history sink over a replicated topic: one row per (key, image) with
-    [valid_from, valid_to) commit-version stamps, current image open).
-    Replays the documents table through the CDC engine as the standard
-    3-epoch insert/update/delete fixture, advancing the timeline after
-    every epoch, then reads the FULL timeline. The DuckDB oracle
-    reconstructs every interval from the fixture rules directly — hash
-    equality proves the maintained timeline captures every transition
-    with exact interval bounds, deletes closing without opening."""
+def _scd2_fixture_view(spark, sf_dir):
+    """Build the standard 3-epoch documents fixture through the CDC
+    engine and advance an Scd2View per epoch; shared by the timeline
+    oracle query and the temporal-join oracle query. Fixture rules
+    (deterministic in both engines):
+
+      epoch 0 (v1)  insert docs with doc_id % 3 != 2 (original text)
+      epoch 1 (v2)  insert the rest; docs with doc_id % 7 == 0 carry
+                    text || ' v2' (op=u where already live)
+      epoch 2 (v3)  delete docs with doc_id % 11 == 0
+    """
     import tempfile
 
     from .operators.scd import Scd2View
@@ -1939,7 +1939,22 @@ def q_scd2_history(spark, sf_dir):
     for epoch, batch in enumerate((b0, b1, b2)):
         engine.apply_batch(batch, epoch)
         view.update(spark, src)
+    return view
 
+
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 timeline maintained from the exact per-version
+    changefeed (operators/scd.py — the canonical Debezium-downstream
+    history sink over a replicated topic: one row per (key, image) with
+    [valid_from, valid_to) commit-version stamps, current image open).
+    Replays the documents table through the CDC engine as the standard
+    3-epoch insert/update/delete fixture (_scd2_fixture_view), advancing
+    the timeline after every epoch, then reads the FULL timeline. The
+    DuckDB oracle reconstructs every interval from the fixture rules
+    directly — hash equality proves the maintained timeline captures
+    every transition with exact interval bounds, deletes closing without
+    opening."""
+    view = _scd2_fixture_view(spark, sf_dir)
     return view.history(spark).select(
         F.col("path").alias("doc_id"),
         "content",
@@ -1962,6 +1977,54 @@ SQL_SCD2_HISTORY = """
     SELECT CAST(doc_id AS VARCHAR), t2, 2::BIGINT,
            CAST(CASE WHEN doc_id % 11 = 0 THEN 3 END AS BIGINT)
     FROM d WHERE doc_id % 3 = 2 OR (doc_id % 3 != 2 AND doc_id % 7 = 0)
+"""
+
+
+def q_scd2_enrich_asof(spark, sf_dir):
+    """Temporal table join (operators/scd.py enrich_asof — Flink's FOR
+    SYSTEM_TIME AS OF over the SCD2 timeline): every (doc, version) probe
+    fact gets the image valid at that version, NULL where the key wasn't
+    live (before first insert / after delete). NOT an interval join — the
+    one-shuffle LOCF construction: interval starts and facts union, hash-
+    partition once on the key, one last(ignorenulls) window carries the
+    latest image onto each fact, the carried valid_to decides coverage.
+    The plan audit asserts one exchange and no nested-loop join; the
+    DuckDB oracle derives each probe's expected image from the fixture
+    rules directly. Probes: every document at versions 1, 2, 3 (after
+    each fixture epoch)."""
+    from .operators.scd import enrich_asof
+
+    view = _scd2_fixture_view(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    facts = docs.select(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("v"),
+    )
+    out = enrich_asof(
+        facts, view.history(spark), ["repo", "path"], "v",
+        dim_cols=["content"],
+    )
+    return out.select(
+        F.col("path").alias("doc_id"),
+        F.col("v").alias("as_of_version"),
+        "content",
+    )
+
+
+SQL_SCD2_ENRICH_ASOF = """
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS t2
+      FROM documents),
+    f AS (SELECT doc_id, text, t2, v::BIGINT AS v
+          FROM d CROSS JOIN range(1, 4) t(v))
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, v AS as_of_version,
+           CASE WHEN v = 1 THEN (CASE WHEN doc_id % 3 != 2 THEN text END)
+                WHEN v = 2 THEN t2
+                ELSE (CASE WHEN doc_id % 11 != 0 THEN t2 END)
+           END AS content
+    FROM f
 """
 
 
@@ -2977,6 +3040,57 @@ def _hll_estimate_sql() -> str:
 SQL_HLL_DISTINCT_ESTIMATE = _hll_estimate_sql()
 
 
+def _events_3epoch_batches(ev):
+    """Deterministic 3-epoch CDC fixture over the events table, shared by
+    the incremental-sketch oracle queries (HLL and count-min) so both
+    engines replay the identical insert/update/delete history:
+
+      epoch 0  insert events with event_id % 3 != 2 (original user_id)
+      epoch 1  insert the rest; events with event_id % 7 == 0 carry
+               user_id + 1000000 (op=u where already live)
+      epoch 2  delete events with event_id % 11 == 0
+
+    Final LIVE state: event_id % 11 != 0 rows, user_id perturbed by
+    +1000000 where event_id % 7 == 0. Values EVER OBSERVED additionally
+    include the original user_id of every row not first seen perturbed
+    (NOT (id%3=2 AND id%7=0)). The CMS oracle recomputes over the final
+    state (linear sketch, deletes retract); the HLL oracle recomputes
+    over the observed multiset (distinct-seen, deletes ignored)."""
+    uid1 = F.when(
+        F.col("event_id") % 7 == 0, F.col("user_id") + F.lit(1_000_000)
+    ).otherwise(F.col("user_id"))
+
+    def env(sel, op_col, uid_expr, lsn_base, is_delete=False):
+        img = F.struct(
+            F.lit("events").alias("repo"),
+            F.col("event_id").cast("string").alias("path"),
+            F.col("event_type").alias("event_type"),
+            uid_expr.cast("long").alias("user_id"),
+        )
+        is_del = F.lit(is_delete)
+        return sel.select(
+            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("event_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            op_col.alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    b0 = env(ev.filter(F.col("event_id") % 3 != 2), F.lit("c"),
+             F.col("user_id"), 0)
+    b1 = env(
+        ev.filter((F.col("event_id") % 3 == 2) | (F.col("event_id") % 7 == 0)),
+        F.when(F.col("event_id") % 3 == 2, F.lit("c")).otherwise(F.lit("u")),
+        uid1, 1_000_000,
+    )
+    b2 = env(ev.filter(F.col("event_id") % 11 == 0), F.lit("d"),
+             F.col("user_id"), 2_000_000, is_delete=True)
+    return b0, b1, b2
+
+
 def q_hll_sketch_incremental(spark, sf_dir):
     """Changefeed-maintained HLL sketch == batch recompute over every value
     observed at an update() boundary (operators/sketches.py
@@ -3001,37 +3115,7 @@ def q_hll_sketch_incremental(spark, sf_dir):
     from .streaming.apply import CdcApplyEngine, EngineConfig
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    uid1 = F.when(
-        F.col("event_id") % 7 == 0, F.col("user_id") + F.lit(1_000_000)
-    ).otherwise(F.col("user_id"))
-
-    def env(sel, op_col, uid_expr, lsn_base, is_delete=False):
-        img = F.struct(
-            F.lit("events").alias("repo"),
-            F.col("event_id").cast("string").alias("path"),
-            F.col("event_type").alias("event_type"),
-            uid_expr.cast("long").alias("user_id"),
-        )
-        is_del = F.lit(is_delete)
-        return sel.select(
-            F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
-            (F.col("event_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
-            op_col.alias("op"),
-            F.when(is_del, img).alias("before"),
-            F.when(~is_del, img).alias("after"),
-            F.lit(None).cast("timestamp").alias("ts_ms"),
-            F.lit(None).cast("map<string,string>").alias("headers"),
-            F.lit("repos").alias("source_topic"),
-        )
-
-    b0 = env(ev.filter(F.col("event_id") % 3 != 2), F.lit("c"), F.col("user_id"), 0)
-    b1 = env(
-        ev.filter((F.col("event_id") % 3 == 2) | (F.col("event_id") % 7 == 0)),
-        F.when(F.col("event_id") % 3 == 2, F.lit("c")).otherwise(F.lit("u")),
-        uid1, 1_000_000,
-    )
-    b2 = env(ev.filter(F.col("event_id") % 11 == 0), F.lit("d"),
-             F.col("user_id"), 2_000_000, is_delete=True)
+    b0, b1, b2 = _events_3epoch_batches(ev)
 
     src = TableStore(tempfile.mkdtemp(prefix="hll_inc_src_"), n_buckets=4)
     engine = CdcApplyEngine(src, EngineConfig(metrics=False))
@@ -3058,6 +3142,125 @@ SQL_HLL_SKETCH_INCREMENTAL = f"""
       FROM obs WHERE v IS NOT NULL)
     SELECT event_type, reg, max(rank)::INT AS max_rank
     FROM h GROUP BY 1, 2
+"""
+
+
+def q_cms_key_registers(spark, sf_dir):
+    """Mergeable count-min register table per event_type over the events
+    table (operators/cms.py): D=4 row hashes are disjoint 8-bit slices of
+    ONE md5 of the value — deterministic, so DuckDB recomputes every
+    counter exactly, collisions and all. O(groups x 4 x 256) frequency
+    state per group at any corpus size; the map-side projection is one
+    md5 + a bounded x4 posexplode, and the shuffle carries registers,
+    never events. Linearity (merge = counter add, retraction = signed
+    add) is asserted in tests/test_cms.py."""
+    from .operators.cms import cms_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cms_registers(ev, ["event_type"], "user_id")
+
+
+_CMS_REGS_SQL = """
+    WITH h AS (
+      SELECT event_type, md5(user_id::VARCHAR) AS hh
+      FROM events WHERE user_id IS NOT NULL),
+    x AS (
+      SELECT event_type, d::INT AS d,
+             (('0x'||substring(hh, 2*d::INT+1, 2))::BIGINT)::INT AS w
+      FROM h CROSS JOIN range(4) t(d))
+    SELECT event_type, d, w, count(*)::BIGINT AS cnt
+    FROM x GROUP BY 1, 2, 3
+"""
+
+SQL_CMS_KEY_REGISTERS = _CMS_REGS_SQL
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter detection from the count-min sketch: every
+    (event_type, user_id) whose estimated frequency reaches 20, next to
+    the exact count (est >= n_exact ALWAYS — one-sided error; accuracy
+    bound asserted in tests). The sketch side of the scoring join is
+    broadcast (O(groups x 1024) rows), so scoring 10^9 candidate keys is
+    map-side; this is the mechanism that feeds operators/skew.py's
+    salted repartition with WHICH keys are hot, and the per-key rate
+    panel of the reference's monitoring stack
+    (monitoring/prometheus-rules.yaml)."""
+    from .operators.cms import cms_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hh = cms_heavy_hitters(ev, ["event_type"], "user_id", 20)
+    exact = ev.filter(F.col("user_id").isNotNull()).groupBy(
+        "event_type", "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_exact"))
+    return hh.join(exact, ["event_type", "user_id"])
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+    WITH reg AS ({_CMS_REGS_SQL}),
+    cand AS (
+      SELECT DISTINCT event_type, user_id, md5(user_id::VARCHAR) AS hh
+      FROM events WHERE user_id IS NOT NULL),
+    ce AS (
+      SELECT c.event_type, c.user_id,
+             min(coalesce(r.cnt, 0))::BIGINT AS est
+      FROM (SELECT event_type, user_id, d::INT AS d,
+                   (('0x'||substring(hh, 2*d::INT+1, 2))::BIGINT)::INT AS w
+            FROM cand CROSS JOIN range(4) t(d)) c
+      LEFT JOIN reg r USING (event_type, d, w)
+      GROUP BY 1, 2)
+    SELECT ce.event_type, ce.user_id, ce.est, e.n_exact
+    FROM ce JOIN (SELECT event_type, user_id, count(*)::BIGINT AS n_exact
+                  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2) e
+      USING (event_type, user_id)
+    WHERE ce.est >= 20
+"""
+
+
+def q_cms_sketch_incremental(spark, sf_dir):
+    """Changefeed-maintained count-min sketch == batch recompute over the
+    source's FINAL LIVE STATE (operators/cms.py IncrementalCmsSketch) —
+    the linear-sketch property HLL cannot have: the full-CDF feed's
+    deletes SUBTRACT and updates retract the pre-image, so after the
+    shared 3-epoch insert/update/delete fixture (_events_3epoch_batches)
+    the register table hash-matches DuckDB's recompute over the surviving
+    rows only. O(changed rows) per epoch, MERGE into dirty sketch buckets
+    only, writer-fenced idempotent replay."""
+    import tempfile
+
+    from .operators.cms import IncrementalCmsSketch
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b0, b1, b2 = _events_3epoch_batches(ev)
+
+    src = TableStore(tempfile.mkdtemp(prefix="cms_inc_src_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    sk = IncrementalCmsSketch(
+        tempfile.mkdtemp(prefix="cms_inc_sk_"), ["event_type"], "user_id",
+        n_buckets=4,
+    )
+    for epoch, batch in enumerate((b0, b1, b2)):
+        engine.apply_batch(batch, epoch)
+        sk.update(spark, src)
+    return sk.read(spark)
+
+
+SQL_CMS_SKETCH_INCREMENTAL = """
+    WITH live AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN user_id + 1000000
+                  ELSE user_id END AS v
+      FROM events WHERE event_id % 11 <> 0),
+    h AS (
+      SELECT event_type, md5(v::VARCHAR) AS hh
+      FROM live WHERE v IS NOT NULL),
+    x AS (
+      SELECT event_type, d::INT AS d,
+             (('0x'||substring(hh, 2*d::INT+1, 2))::BIGINT)::INT AS w
+      FROM h CROSS JOIN range(4) t(d))
+    SELECT event_type, d, w, count(*)::BIGINT AS cnt
+    FROM x GROUP BY 1, 2, 3
 """
 
 
@@ -3320,6 +3523,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cdc_retention_expiry": (q_cdc_retention_expiry, SQL_CDC_RETENTION_EXPIRY),
     "cdc_key_history": (q_cdc_key_history, SQL_CDC_KEY_HISTORY),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "scd2_enrich_asof": (q_scd2_enrich_asof, SQL_SCD2_ENRICH_ASOF),
     "decontam_incremental": (q_decontam_incremental, SQL_DECONTAM_INCREMENTAL),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -3346,6 +3550,12 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     ),
     "hll_user_registers": (q_hll_user_registers, SQL_HLL_USER_REGISTERS),
     "hll_distinct_estimate": (q_hll_distinct_estimate, SQL_HLL_DISTINCT_ESTIMATE),
+    "cms_key_registers": (q_cms_key_registers, SQL_CMS_KEY_REGISTERS),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "cms_sketch_incremental": (
+        q_cms_sketch_incremental,
+        SQL_CMS_SKETCH_INCREMENTAL,
+    ),
     "hll_sketch_incremental": (
         q_hll_sketch_incremental,
         SQL_HLL_SKETCH_INCREMENTAL,

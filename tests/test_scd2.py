@@ -313,3 +313,101 @@ def test_cli_scd2(spark, tmp_path):
     assert got["update"]["status"] == "committed" and got["update"]["to"] == 2
     assert [(r["path"], r["content"]) for r in got["rows"]] == [
         ("0", "alpha"), ("1", "bravo"), ("2", "charlie")]
+
+
+def test_enrich_asof_boundary_gap_and_open_interval(spark):
+    """Temporal table join semantics against a hand-built timeline:
+    closed-open boundaries (a fact AT an update's commit version sees the
+    NEW image), delete gaps yield NULL, facts before the first insert
+    yield NULL, open intervals cover forever."""
+    from kp_data_replication_spark.operators.scd import (
+        VALID_FROM,
+        VALID_TO,
+        enrich_asof,
+    )
+
+    hist = spark.createDataFrame(
+        [("k1", "img-A", 1, 2), ("k1", "img-B", 2, 4),   # gap at [4, 6)
+         ("k1", "img-C", 6, None),
+         ("k2", "img-X", 3, None)],
+        f"key string, content string, {VALID_FROM} long, {VALID_TO} long",
+    )
+    facts = spark.createDataFrame(
+        [("k1", v, f"f{v}") for v in (1, 2, 3, 4, 5, 6, 99)]
+        + [("k2", 1, "g1"), ("k2", 3, "g2")],
+        "key string, v long, tag string",
+    )
+    got = {
+        (r.key, r.v): r.content
+        for r in enrich_asof(facts, hist, ["key"], "v").collect()
+    }
+    assert got == {
+        ("k1", 1): "img-A", ("k1", 2): "img-B", ("k1", 3): "img-B",
+        ("k1", 4): None, ("k1", 5): None,        # delete gap
+        ("k1", 6): "img-C", ("k1", 99): "img-C",  # open interval
+        ("k2", 1): None,                          # before first insert
+        ("k2", 3): "img-X",
+    }
+
+
+def test_enrich_asof_matches_view_as_of(spark, tmp_path):
+    """enrich_asof over a REAL maintained timeline == Scd2View.as_of at
+    every version: the window construction and the interval filter are
+    the same function computed two ways."""
+    from kp_data_replication_spark.operators.scd import enrich_asof
+
+    src, engine, view = _setup(tmp_path)
+    for e, b in enumerate(BATCHES):
+        _apply(spark, engine, b, e)
+    view.update(spark, src)
+
+    hist = view.history(spark)
+    head = src.current_version()
+    keys = hist.select("repo", "path").distinct()
+    for v in range(1, head + 1):
+        facts = keys.withColumn("v", F.lit(v).cast("long"))
+        got = {
+            (r.repo, r.path): r.content
+            for r in enrich_asof(
+                facts, hist, ["repo", "path"], "v", dim_cols=["content"]
+            ).collect()
+            if r.content is not None
+        }
+        exp = {
+            (r.repo, r.path): r.content
+            for r in view.as_of(spark, v).collect()
+        }
+        assert got == exp, f"as-of mismatch at version {v}"
+
+
+def test_enrich_asof_plan_single_exchange_no_nested_loop(spark):
+    """The scale claim by plan: ONE hash exchange (the key partition both
+    sides share), a window — never a nested-loop/cartesian interval join,
+    never a SinglePartition window, no per-row Python."""
+    from kp_data_replication_spark.operators.scd import (
+        VALID_FROM,
+        VALID_TO,
+        enrich_asof,
+    )
+    from kp_data_replication_spark.plans.audit import (
+        assert_no_row_python,
+        count_exchanges,
+        plan_string,
+    )
+
+    hist = spark.range(200).select(
+        F.col("id").cast("string").alias("key"),
+        F.concat(F.lit("img"), F.col("id")).alias("content"),
+        F.lit(1).cast("long").alias(VALID_FROM),
+        F.lit(None).cast("long").alias(VALID_TO),
+    )
+    facts = spark.range(1000).select(
+        F.pmod(F.col("id"), F.lit(200)).cast("string").alias("key"),
+        (F.col("id") % 5 + 1).cast("long").alias("v"),
+    )
+    out = enrich_asof(facts, hist, ["key"], "v")
+    p = plan_string(out)
+    assert "SinglePartition" not in p
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert count_exchanges(out) == 1
+    assert_no_row_python(out)
