@@ -90,6 +90,17 @@ def main(argv: list[str] | None = None) -> None:
     ch.add_argument("v_from", type=int)
     ch.add_argument("v_to", type=int, nargs="?", default=None)
 
+    we = sub.add_parser(
+        "export-wire",
+        help="export new versions as ordered JSON-lines envelope files "
+             "(resumable cursor; a remote engine tails the directory with "
+             "stream --source-format json)",
+    )
+    we.add_argument("target")
+    we.add_argument("out_dir")
+    we.add_argument("--partitions", type=int, default=8)
+    we.add_argument("--topic", default="repos")
+
     rb = sub.add_parser("rebucket", help="rescale the table's bucket layout in place")
     rb.add_argument("target")
     rb.add_argument("n_buckets", type=int)
@@ -534,6 +545,15 @@ def main(argv: list[str] | None = None) -> None:
             "rows": df.count(),
             "schema": df.schema.simpleString(),
         }))
+    elif args.cmd == "export-wire":
+        from .operators.changefeed import export_changefeed_json
+
+        store = TableStore(args.target)
+        out = export_changefeed_json(
+            spark, store, args.out_dir,
+            n_partitions=args.partitions, source_topic=args.topic,
+        )
+        print(json.dumps(out))
     elif args.cmd == "changes":
         from .operators.changefeed import CHANGE_TYPE_COL, table_changes
 

@@ -672,3 +672,143 @@ def key_history(
     for fr in frames[1:]:
         out = out.unionByName(fr, allowMissingColumns=True)
     return out
+
+
+# --------------------------------------------------------------------- #
+# JSON-lines wire export: the PRODUCER half of engine-to-engine
+# replication over a durable wire (the reference's MirrorSourceConnector
+# writing to the remote topic, mirror-maker-2/SendProductToKafka.py:43-54
+# — records on the wire ARE JSON). `export_changefeed_json` turns every
+# newly committed version into one ordered JSON-lines envelope file; a
+# REMOTE engine (separate process/cluster, no shared TableStore) tails
+# the directory with `start_stream(source_format="json",
+# schema=wire_read_schema(dir))` and converges to this table's state
+# under the same lsn-watermark exactly-once contract as the in-process
+# cascade.
+
+WIRE_CURSOR = "_cursor.json"
+WIRE_SCHEMA = "_schema.json"
+
+
+def wire_read_schema(out_dir: str):
+    """The exported envelope schema, from the self-describing sidecar the
+    exporter maintains (`_schema.json` — a schema-registry-lite: JSON has
+    no types, so the reader needs the producer's schema; inference over
+    100 TB of wire files is not a plan). Re-read it after a producer-side
+    schema evolution and restart the reader stream — the downstream apply
+    then evolves the target additively, same as any source."""
+    import json
+
+    from pyspark.sql import types as T
+
+    with open(os.path.join(out_dir, WIRE_SCHEMA)) as f:
+        return T.StructType.fromJson(json.load(f))
+
+
+def _wire_cursor(out_dir: str) -> int:
+    import json
+
+    p = os.path.join(out_dir, WIRE_CURSOR)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["exported_to"])
+
+
+def export_changefeed_json(
+    spark: SparkSession,
+    store: TableStore,
+    out_dir: str,
+    n_partitions: int = 8,
+    source_topic: str = "repos",
+    key_cols: list[str] | None = None,
+) -> dict:
+    """Export every version committed since the last call as ordered
+    JSON-lines envelope files — resumable, crash-safe, idempotent.
+
+    Wire contract (what the remote reader can rely on):
+      * one file per source version, named ``changes_{v:010d}.json`` —
+        lexicographic order IS commit order, and the remote file-stream's
+        own maxFilesPerTrigger re-batches freely because every row's
+        lsn (= source version) stays monotone per partition;
+      * files appear ATOMICALLY (temp + os.replace) — a tailing reader
+        never sees a partial file;
+      * the EXACT state diff per version (never the relaxed change-file
+        path — `_encode_envelope` refuses it by mechanism), so an
+        exported A->B->A ring stays echo-damped like the in-process
+        cascade;
+      * crash between file write and cursor write replays that version
+        into the SAME filename (deterministic name, atomic replace) — and
+        even if the reader consumed the earlier copy, redelivery dedups
+        to zero rows at the lsn watermark (at-least-once wire, exactly-
+        once apply);
+      * `_schema.json` sidecar carries the envelope schema for
+        `wire_read_schema` (rewritten whenever the source schema evolves).
+
+    Scale shape: per call O(changed data since last call) — each
+    version's diff is manifest-bucket pruned; a version's wire file is
+    epoch-sized (coalesce(1) is the Kafka-file analogue of one producer
+    batch, not a table rewrite). Do NOT export the initial bulk load
+    through the wire — snapshot-bootstrap the remote (streaming/apply.py)
+    and let the wire carry the tail, exactly like MM2 does.
+
+    The exporter registers as a changefeed consumer on the source, so
+    vacuum retains the versions it still needs (retention auto-pin)."""
+    import json
+
+    key_cols = key_cols or KEY_COLS
+    os.makedirs(out_dir, exist_ok=True)
+    last = _wire_cursor(out_dir)
+    head = store.current_version()
+    if head <= last:
+        return {"status": "noop", "from": last, "to": head, "files": 0,
+                "rows": 0}
+    consumer = f"wire-export:{os.path.abspath(out_dir)}"
+    if last > 0:
+        store.record_consumer(consumer, last)
+
+    n_files = 0
+    n_rows = 0
+    for v in range(last + 1, head + 1):
+        env = changefeed_envelope(
+            spark, store, v - 1, v, key_cols=key_cols,
+            n_partitions=n_partitions, source_topic=source_topic,
+        )
+        rows = env.count()
+        if rows == 0:
+            # maintenance / row-preserving version: nothing on the wire
+            continue
+        schema_json = env.schema.jsonValue()
+        sp = os.path.join(out_dir, WIRE_SCHEMA)
+        cur = None
+        if os.path.exists(sp):
+            with open(sp) as f:
+                cur = json.load(f)
+        if cur != schema_json:
+            tmp = sp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(schema_json, f)
+            os.replace(tmp, sp)
+        tmp_dir = os.path.join(out_dir, f"_tmp_v{v}")
+        env.coalesce(1).write.mode("overwrite").json(tmp_dir)
+        part = next(
+            x for x in os.listdir(tmp_dir)
+            if x.endswith(".json") and not x.startswith("_")
+        )
+        os.replace(
+            os.path.join(tmp_dir, part),
+            os.path.join(out_dir, f"changes_{v:010d}.json"),
+        )
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp_dir, ignore_errors=True)
+        n_files += 1
+        n_rows += rows
+
+    tmp = os.path.join(out_dir, WIRE_CURSOR + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"exported_to": head}, f)
+    os.replace(tmp, os.path.join(out_dir, WIRE_CURSOR))
+    store.record_consumer(consumer, head)
+    return {"status": "exported", "from": last, "to": head,
+            "files": n_files, "rows": n_rows}
