@@ -3264,6 +3264,131 @@ SQL_CMS_SKETCH_INCREMENTAL = """
 """
 
 
+def q_hdr_latency_bins(spark, sf_dir):
+    """Mergeable HDR-histogram bin table per event_type over a synthetic
+    integer latency ((event_id * 7919) % 1000000 — deterministic in both
+    engines): INTEGER-ONLY log binning (shift = bit_length - 5, bin =
+    shift*16 + v>>shift, relative error <= 1/16) so DuckDB recomputes
+    every counter exactly — no float log whose boundary rounding could
+    diverge. O(bins) state per group at any corpus size; the map-side
+    projection is one bit_length + shift per row and the shuffle carries
+    bins, never events (operators/hdr.py)."""
+    from .operators.hdr import hdr_bins
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        "event_type",
+        F.pmod(F.col("event_id") * F.lit(7919), F.lit(1_000_000)).alias("v"),
+    )
+    return hdr_bins(src, ["event_type"], "v")
+
+
+_HDR_BINS_SQL = """
+    WITH src AS (
+      SELECT event_type, (event_id * 7919) % 1000000 AS v FROM events),
+    b AS (
+      SELECT event_type, greatest(0, length(bin(v)) - 5) AS shift, v
+      FROM src WHERE v IS NOT NULL),
+    h AS (
+      SELECT event_type, (shift::BIGINT * 16 + (v >> shift))::BIGINT AS bin
+      FROM b)
+    SELECT event_type, bin, count(*)::BIGINT AS cnt
+    FROM h GROUP BY 1, 2
+"""
+
+SQL_HDR_LATENCY_BINS = _HDR_BINS_SQL
+
+
+def q_hdr_latency_quantiles(spark, sf_dir):
+    """Percentile read from the HDR histogram: p50/p90/p99 per event_type
+    as the EXACT value bounds of the rank-q bin (the true rank-q value
+    provably lies in [est_lo, est_hi], relative width <= 1/16). Windows
+    over O(bins) rows per group — never the data; this is the
+    latency-panel query (Grafana p99 over consumer lag,
+    monitoring/prometheus-rules.yaml) priced at sketch size instead of
+    the O(n)-per-query exact form (`cdc_latency_percentiles`)."""
+    from .operators.hdr import hdr_bins, hdr_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        "event_type",
+        F.pmod(F.col("event_id") * F.lit(7919), F.lit(1_000_000)).alias("v"),
+    )
+    return hdr_quantiles(
+        hdr_bins(src, ["event_type"], "v"), ["event_type"], [0.5, 0.9, 0.99]
+    )
+
+
+SQL_HDR_LATENCY_QUANTILES = f"""
+    WITH bins AS ({_HDR_BINS_SQL}),
+    c AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM bins),
+    e AS (
+      SELECT event_type, bin, cum, q, ceil(q * total) AS rnk
+      FROM c CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs),
+    hit AS (
+      SELECT event_type, q, min(bin) AS b
+      FROM e WHERE cum >= rnk GROUP BY 1, 2)
+    SELECT event_type, q::DOUBLE AS q,
+           (CASE WHEN b < 16 THEN b
+                 ELSE (b - ((b // 16 - 1) * 16)) << (b // 16 - 1)
+            END)::BIGINT AS est_lo,
+           (CASE WHEN b < 16 THEN b
+                 ELSE (((b - ((b // 16 - 1) * 16)) + 1) << (b // 16 - 1)) - 1
+            END)::BIGINT AS est_hi
+    FROM hit
+"""
+
+
+def q_hdr_sketch_incremental(spark, sf_dir):
+    """Changefeed-maintained HDR histogram == batch recompute over the
+    source's FINAL LIVE STATE (operators/hdr.py IncrementalHdrHistogram)
+    — linear like count-min, so the full-CDF feed's deletes SUBTRACT bin
+    counts and updates retract the pre-image bin: after the shared
+    3-epoch fixture (_events_3epoch_batches) the bin table hash-matches
+    DuckDB's recompute over surviving rows only. The percentile view that
+    stays fresh at O(changed rows) per epoch."""
+    import tempfile
+
+    from .operators.hdr import IncrementalHdrHistogram
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b0, b1, b2 = _events_3epoch_batches(ev)
+
+    src = TableStore(tempfile.mkdtemp(prefix="hdr_inc_src_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    sk = IncrementalHdrHistogram(
+        tempfile.mkdtemp(prefix="hdr_inc_sk_"), ["event_type"],
+        "pmod(user_id * 7919, 1000000)", n_buckets=4,
+    )
+    for epoch, batch in enumerate((b0, b1, b2)):
+        engine.apply_batch(batch, epoch)
+        sk.update(spark, src)
+    return sk.read(spark)
+
+
+SQL_HDR_SKETCH_INCREMENTAL = """
+    WITH live AS (
+      SELECT event_type,
+             ((CASE WHEN event_id % 7 = 0 THEN user_id + 1000000
+                    ELSE user_id END) * 7919) % 1000000 AS v
+      FROM events WHERE event_id % 11 <> 0),
+    b AS (
+      SELECT event_type, greatest(0, length(bin(v)) - 5) AS shift, v
+      FROM live WHERE v IS NOT NULL),
+    h AS (
+      SELECT event_type, (shift::BIGINT * 16 + (v >> shift))::BIGINT AS bin
+      FROM b)
+    SELECT event_type, bin, count(*)::BIGINT AS cnt
+    FROM h GROUP BY 1, 2
+"""
+
+
 def q_text_pii_scrub(spark, sf_dir):
     """PII redaction over the documents table (functions/text.py:PII_RULES
     — email/IPv4/SSN/phone), per-rule audit counts + scrubbed sha256. The
@@ -3555,6 +3680,15 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "cms_sketch_incremental": (
         q_cms_sketch_incremental,
         SQL_CMS_SKETCH_INCREMENTAL,
+    ),
+    "hdr_latency_bins": (q_hdr_latency_bins, SQL_HDR_LATENCY_BINS),
+    "hdr_latency_quantiles": (
+        q_hdr_latency_quantiles,
+        SQL_HDR_LATENCY_QUANTILES,
+    ),
+    "hdr_sketch_incremental": (
+        q_hdr_sketch_incremental,
+        SQL_HDR_SKETCH_INCREMENTAL,
     ),
     "hll_sketch_incremental": (
         q_hll_sketch_incremental,

@@ -190,6 +190,15 @@ class EngineConfig:
     cms_sketch_group_cols: tuple = ()
     cms_sketch_value_expr: str = ""
     cms_sketch_buckets: int = 8
+    # approximate QUANTILE sketch (operators/hdr.py): a changefeed-
+    # maintained HDR histogram advanced in the same epoch loop — linear
+    # like count-min (deletes subtract, updates retract), O(bins) state
+    # per group, integer-exact log binning with relative error <= 1/16.
+    # The p99-latency-panel view at sketch cost instead of O(n)/query.
+    hdr_sketch_dir: str | None = None
+    hdr_sketch_group_cols: tuple = ()
+    hdr_sketch_value_expr: str = ""
+    hdr_sketch_buckets: int = 8
     # streaming-maintained incremental JOIN view (delta join,
     # operators/join_view.py): when join_view_dir is set, every epoch also
     # advances an IncrementalJoinView of THIS engine's table (the fact)
@@ -1692,6 +1701,16 @@ class CdcApplyEngine:
                 self.config.cms_sketch_value_expr,
                 n_buckets=self.config.cms_sketch_buckets,
             )
+        hdr_sketch = None
+        if self.config.hdr_sketch_dir:
+            from ..operators.hdr import IncrementalHdrHistogram
+
+            hdr_sketch = IncrementalHdrHistogram(
+                self.config.hdr_sketch_dir,
+                list(self.config.hdr_sketch_group_cols),
+                self.config.hdr_sketch_value_expr,
+                n_buckets=self.config.hdr_sketch_buckets,
+            )
         join_view = None
         join_dim = None
         if self.config.join_view_dir:
@@ -1782,6 +1801,9 @@ class CdcApplyEngine:
                 # signed counter adds, writer-fenced: a replayed range is
                 # a noop, so retraction never double-subtracts
                 cms_sketch.update(df.sparkSession, self.store)
+            if hdr_sketch is not None:
+                # same linear-sketch contract as the count-min twin
+                hdr_sketch.update(df.sparkSession, self.store)
             cfg = self.config  # hot-reload may swap the object per epoch
             if (
                 cfg.retention_ms is not None
