@@ -405,6 +405,32 @@ def main(argv: list[str] | None = None) -> None:
     sk.add_argument("--group-cols", default="event_type",
                     help="comma-separated group columns (must match the view)")
 
+    hk = sub.add_parser(
+        "hot-keys",
+        help="count-min heavy hitters: keys whose estimated frequency in "
+             "the persisted sketch reaches a threshold (the skew-salting "
+             "feed; est >= true count always, so no hot key is missed)",
+    )
+    hk.add_argument("sketch_root")
+    hk.add_argument("candidates",
+                    help="parquet path of candidate keys to score")
+    hk.add_argument("--group-cols", default="event_type",
+                    help="comma-separated group columns (must match the view)")
+    hk.add_argument("--value-col", default="user_id")
+    hk.add_argument("--min-count", type=int, default=100)
+
+    pc = sub.add_parser(
+        "percentiles",
+        help="HDR-histogram quantile view: per-group [lo, hi] value bounds "
+             "of the rank-q bins (relative width <= 1/16) from the "
+             "persisted bin table — the p99 panel at sketch cost",
+    )
+    pc.add_argument("sketch_root")
+    pc.add_argument("--group-cols", default="event_type",
+                    help="comma-separated group columns (must match the view)")
+    pc.add_argument("--q", default="0.5,0.95,0.99",
+                    help="comma-separated quantiles")
+
     args = ap.parse_args(argv)
     if args.cmd == "catalog":  # pure metadata op — no Spark session needed
         import os as _os
@@ -899,6 +925,27 @@ def main(argv: list[str] | None = None) -> None:
         groups = [c for c in args.group_cols.split(",") if c]
         sk = IncrementalHllSketch(args.sketch_root, groups, "")
         for r in sk.estimate(spark).orderBy(*groups).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "hot-keys":
+        from .operators.cms import IncrementalCmsSketch
+
+        groups = [c for c in args.group_cols.split(",") if c]
+        sk = IncrementalCmsSketch(args.sketch_root, groups, "")
+        cand = spark.read.parquet(args.candidates).select(
+            *groups, args.value_col
+        ).distinct()
+        out = sk.estimate(spark, cand, args.value_col).filter(
+            f"est >= {int(args.min_count)}"
+        )
+        for r in out.orderBy(*groups, args.value_col).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "percentiles":
+        from .operators.hdr import IncrementalHdrHistogram
+
+        groups = [c for c in args.group_cols.split(",") if c]
+        sk = IncrementalHdrHistogram(args.sketch_root, groups, "")
+        qs = [float(x) for x in args.q.split(",") if x]
+        for r in sk.quantiles(spark, qs).orderBy(*groups, "q").collect():
             print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "lag":
         from pyspark.sql import functions as F
