@@ -190,3 +190,113 @@ def test_wire_schema_sidecar_evolves(spark, tmp_path):
     }
     assert got[str(0)] == ("y0", 0)
     assert got[str(7)] == ("x7", None)  # pre-evolution row null-padded
+
+
+def test_wire_ring_converges_with_lww_and_echo_damping(spark, tmp_path):
+    """The three-cluster LWW ring (tests/test_ring_topology.py) carried
+    over the JSON wire instead of in-process cascades: each hop is
+    export_changefeed_json at the source + ordered batch apply of the
+    not-yet-applied wire files at the destination (the batch analogue of
+    tailing with source_format=json). Convergence and echo damping must
+    survive the wire because the export uses the same exact per-version
+    diff: a losing/echo apply leaves state byte-identical, no new version
+    commits, the next export is a noop, the ring drains."""
+    import json as _json
+    import os
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+
+    def _img(repo, path, content):
+        return Row(repo=repo, path=path, commit="c0", lang="py",
+                   content=content)
+
+    def _ev(partition, lsn, op, image, ts):
+        return Row(partition=partition, lsn=lsn, op=op,
+                   before=image if op == "d" else None,
+                   after=None if op == "d" else image,
+                   ts_ms=ts, headers=None, source_topic="repos")
+
+    def _ts(s):
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S").replace(
+            tzinfo=timezone.utc)
+
+    def _mk(name):
+        store = TableStore(str(tmp_path / name), n_buckets=4)
+        engine = CdcApplyEngine(store, EngineConfig(
+            metrics=False, conflict_policy="lww", cluster_id=name))
+        return store, engine
+
+    a, eng_a = _mk("a")
+    b, eng_b = _mk("b")
+    c, eng_c = _mk("c")
+
+    eng_a.apply_batch(spark.createDataFrame([
+        _ev(0, 0, "c", _img("org/shared", "k.py", "K-from-A"),
+            _ts("2026-01-01 00:00:03")),
+        _ev(1, 0, "c", _img("org/a", "a.py", "A-local"),
+            _ts("2026-01-01 00:00:01")),
+    ], CHANGELOG_SCHEMA), 0)
+    eng_b.apply_batch(spark.createDataFrame([
+        _ev(0, 0, "c", _img("org/shared", "k.py", "K-from-B"),
+            _ts("2026-01-01 00:00:01")),
+        _ev(1, 0, "c", _img("org/b", "b.py", "B-local"),
+            _ts("2026-01-01 00:00:01")),
+    ], CHANGELOG_SCHEMA), 0)
+    eng_c.apply_batch(spark.createDataFrame([
+        _ev(0, 0, "c", _img("org/shared", "k.py", "K-from-C"),
+            _ts("2026-01-01 00:00:05")),
+        _ev(1, 0, "c", _img("org/c", "c.py", "C-local"),
+            _ts("2026-01-01 00:00:01")),
+    ], CHANGELOG_SCHEMA), 0)
+
+    def wire_hop(src_store, wire_dir, dst_engine):
+        """One wire hop: export at the source, apply new files at dst.
+        Returns the list of wire versions applied."""
+        export_changefeed_json(spark, src_store, wire_dir, n_partitions=2)
+        if not os.path.isdir(wire_dir):
+            return []
+        files = sorted(
+            f for f in os.listdir(wire_dir) if f.startswith("changes_")
+        )
+        if not files:
+            return []
+        schema = wire_read_schema(wire_dir)
+        writer = f"wire:{os.path.abspath(wire_dir)}"
+        done = max(dst_engine.store.writer_epoch(writer), 0)
+        applied = []
+        for f in files:
+            v = int(f[len("changes_"):-len(".json")])
+            if v <= done:
+                continue
+            df = spark.read.schema(schema).json(os.path.join(wire_dir, f))
+            dst_engine.apply_batch(df, v, writer_id=writer)
+            applied.append(v)
+        return applied
+
+    w_ab = str(tmp_path / "wire_ab")
+    w_bc = str(tmp_path / "wire_bc")
+    w_ca = str(tmp_path / "wire_ca")
+    history = []
+    for _ in range(12):
+        applied = (
+            wire_hop(a, w_ab, eng_b),
+            wire_hop(b, w_bc, eng_c),
+            wire_hop(c, w_ca, eng_a),
+        )
+        history.append(applied)
+        if applied == ([], [], []):
+            break
+    assert history[-1] == ([], [], [])
+    assert len(history) < 12  # drained, not capped
+
+    states = [
+        {r["path"]: r["content"] for r in s.read_state(spark).collect()}
+        for s in (a, b, c)
+    ]
+    assert states[0] == states[1] == states[2] == {
+        "k.py": "K-from-C",  # newest origin stamp wins over two wire hops
+        "a.py": "A-local", "b.py": "B-local", "c.py": "C-local",
+    }
