@@ -848,6 +848,12 @@ def bench_incremental_hll(spark, sf_dir: str, work_dir: str) -> dict:
         os.path.join(work_dir, "cms_sk"), ["event_type"], "user_id",
         n_buckets=8,
     )
+    from kp_data_replication_spark.operators.hdr import IncrementalHdrHistogram
+
+    hdr = IncrementalHdrHistogram(
+        os.path.join(work_dir, "hdr_sk"), ["event_type"],
+        "pmod(user_id * 7919, 1000000)", n_buckets=8,
+    )
     engine.apply_batch(envelope(ev, "c", 0), 0)
     t0 = time.time()
     sk.update(spark, src)
@@ -866,6 +872,9 @@ def bench_incremental_hll(spark, sf_dir: str, work_dir: str) -> dict:
     t0 = time.time()
     cms_inc = cms.update(spark, src)
     cms_inc_sec = time.time() - t0
+    t0 = time.time()
+    hdr_inc = hdr.update(spark, src)
+    hdr_catchup_sec = time.time() - t0
 
     t0 = time.time()
     n_groups = (
@@ -891,8 +900,12 @@ def bench_incremental_hll(spark, sf_dir: str, work_dir: str) -> dict:
         "cms_epoch_update_sec": round(cms_inc_sec, 3),
         "cms_register_updates_epoch": cms_inc["n_register_updates"],
         "cms_dirty_buckets": cms_inc["dirty_buckets"],
+        # HDR quantile twin: one catch-up across BOTH versions (multi-
+        # version ranges collapse to one CDF diff — the resume shape)
+        "hdr_catchup_sec": round(hdr_catchup_sec, 3),
+        "hdr_bin_updates": hdr_inc["n_bin_updates"],
     }
-    log(f"incremental hll+cms sketches: {out}")
+    log(f"incremental hll+cms+hdr sketches: {out}")
     return out
 
 
