@@ -190,3 +190,25 @@ def test_streaming_integrated_hdr_kill_and_resume(spark, tmp_path):
     assert _bin_map(sk.read(spark)) == _bin_map(
         hdr_bins(src.read_state(spark), ["lang"], vexpr)
     )
+
+
+def test_hdr_plans_stay_partitioned_and_jvm_side(spark, lat):
+    """Plan audit: the bin projection partial-aggregates into ONE hash
+    exchange (registers shuffle, not events); the quantile read's windows
+    partition by the group — never a SinglePartition window; everything
+    stays JVM-side."""
+    from kp_data_replication_spark.plans.audit import (
+        assert_no_row_python,
+        count_exchanges,
+        plan_string,
+    )
+
+    bins = hdr_bins(lat, ["g"], "v")
+    assert count_exchanges(bins) == 1
+    assert_no_row_python(bins)
+    p = plan_string(bins, mode="simple")
+    assert "partial_sum" in p or "partial" in p.lower()
+
+    qs = hdr_quantiles(bins, ["g"], [0.5, 0.99])
+    assert "SinglePartition" not in plan_string(qs)
+    assert_no_row_python(qs)
