@@ -300,3 +300,44 @@ def test_wire_ring_converges_with_lww_and_echo_damping(spark, tmp_path):
         "k.py": "K-from-C",  # newest origin stamp wins over two wire hops
         "a.py": "A-local", "b.py": "B-local", "c.py": "C-local",
     }
+
+
+def test_corrupted_wire_line_quarantines_to_dlq(spark, tmp_path):
+    """Wire durability meets errors.tolerance: a corrupted JSON line in a
+    wire file (torn copy, bit rot) parses to null key fields under the
+    explicit read schema; with dlq_dir set the malformed split
+    quarantines it and applies the REST of the file — the merge is never
+    poisoned and nothing is silently dropped."""
+    import json as _json
+
+    src, eng, batches = _mk_upstream(spark, tmp_path)
+    wire = str(tmp_path / "wire")
+    eng.apply_batch(spark.createDataFrame(batches[0], CHANGELOG_SCHEMA), 0)
+    export_changefeed_json(spark, src, wire)
+
+    # corrupt one line: valid JSON, but key fields unparseable -> null
+    wf = os.path.join(wire, "changes_0000000001.json")
+    lines = open(wf).read().splitlines()
+    doc = _json.loads(lines[0])
+    doc["lsn"] = "not-a-number"
+    doc["op"] = None
+    lines[0] = _json.dumps(doc)
+    with open(wf, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    dst = TableStore(str(tmp_path / "B"), n_buckets=4)
+    dlq = str(tmp_path / "dlq")
+    remote = CdcApplyEngine(dst, EngineConfig(metrics=False, dlq_dir=dlq))
+    q = remote.start_stream(spark, wire, str(tmp_path / "cp"),
+                            wire_read_schema(wire), source_format="json")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    good = _state(spark, src)
+    got = _state(spark, dst)
+    assert len(got) == len(good) - 1          # one row quarantined
+    assert set(got) < set(good)
+    n_dlq = spark.read.option("recursiveFileLookup", "true").parquet(
+        dlq).count()
+    assert n_dlq == 1
