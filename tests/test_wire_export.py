@@ -341,3 +341,43 @@ def test_corrupted_wire_line_quarantines_to_dlq(spark, tmp_path):
     n_dlq = spark.read.option("recursiveFileLookup", "true").parquet(
         dlq).count()
     assert n_dlq == 1
+
+
+def test_wire_exporter_pins_retention_against_vacuum(spark, tmp_path):
+    """The exporter registers as a changefeed consumer on the source, so
+    a lagging wire export pins the versions it still needs: aggressive
+    vacuum retains them, the next export catches up incrementally (no
+    FileNotFoundError, no gap on the wire), and once caught up the pin
+    advances and vacuum expires the old versions."""
+    src, eng, batches = _mk_upstream(spark, tmp_path)
+    wire = str(tmp_path / "wire")
+
+    eng.apply_batch(spark.createDataFrame(batches[0], CHANGELOG_SCHEMA), 0)
+    assert export_changefeed_json(spark, src, wire)["files"] == 1
+    consumer = f"wire-export:{os.path.abspath(wire)}"
+    assert src.consumers()[consumer] == 1
+
+    # source races ahead two versions; aggressive vacuum would keep only
+    # the head — the exporter's floor pins v1..head
+    for e, b in enumerate(batches[1:], start=1):
+        eng.apply_batch(spark.createDataFrame(b, CHANGELOG_SCHEMA), e)
+    report = src.vacuum(keep_versions=1)
+    assert report["removed_manifests"] == 0
+
+    out = export_changefeed_json(spark, src, wire)
+    assert out["status"] == "exported" and out["to"] == 3
+    files = sorted(f for f in os.listdir(wire) if f.startswith("changes_"))
+    assert files == [f"changes_{v:010d}.json" for v in (1, 2, 3)]
+    assert src.consumers()[consumer] == 3
+
+    # pin advanced: vacuum can now expire below the window
+    src.vacuum(keep_versions=1)
+    # and a fresh remote replaying the complete wire still converges
+    dst = TableStore(str(tmp_path / "B"), n_buckets=4)
+    remote = CdcApplyEngine(dst, EngineConfig(metrics=False))
+    q = remote.start_stream(spark, wire, str(tmp_path / "cp"),
+                            wire_read_schema(wire), source_format="json")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    assert _state(spark, dst) == _state(spark, src)
