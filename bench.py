@@ -52,6 +52,7 @@ LLM_QUERIES = [
     "dedup_simhash",
     "decontaminate",
     "dedup_embedding_cosine",
+    "semdedup_keep",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
@@ -72,6 +73,7 @@ LLM_QUERIES = [
     "pack_greedy",
     "text_stats",
     "text_repetition",
+    "bpe_pair_counts",
     "text_rolling_fingerprint",
     "text_pii_scrub",
     "text_compression_ratio",

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql import Window as W
 
 # deterministic, tiny English stopword list (shared with oracle SQL)
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
@@ -235,6 +236,54 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(len_ok + stop_ok + punct_ok, 4).alias("quality"),
             fingerprint_sha(c).alias("fingerprint_sha"),
         )
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """First-iteration BPE merge-candidate counts (Sennrich et al. 2016,
+    arXiv 1508.07909): the frequency of every adjacent character pair,
+    weighted by word frequency — the statistic a tokenizer trainer computes
+    to pick its next merge.
+
+    Scale shape is the word-frequency compression every real BPE trainer
+    uses: tokenize once, aggregate to DISTINCT (word, count) first (map-side
+    combine over a vocabulary-bounded domain — Heaps' law keeps this
+    sublinear in corpus size), and only then explode the per-word character
+    bigrams weighted by the count. A 100-TB corpus with a ~10M-type
+    vocabulary explodes ~10M short arrays, not 10^13 token occurrences.
+    The final pair aggregate lives on an alphabet^2-bounded domain (~5k keys
+    for ASCII), so the global top-n window is a single-partition sort over
+    a few thousand rows — safe at any corpus size.
+
+    Output: (pair, pair_count, rank) for the top_n pairs, ties broken by
+    pair text for determinism. Pure JVM expressions end-to-end.
+    """
+    wcounts = (
+        df.select(F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = (
+        wcounts.select(
+            "wc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+    )
+    w = W.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("pair", "pair_count", "rank")
     )
 
 

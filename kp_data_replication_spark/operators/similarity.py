@@ -426,6 +426,98 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): coarse-cluster the corpus, then inside each cluster drop
+    every vector that has a lower-id near-duplicate (cosine >= threshold).
+
+    The cluster equi-join is what makes this the 10^10-vector shape: the
+    pairwise cosine never runs corpus x corpus, only within cells whose
+    population is ~1/n_cells of the corpus (the paper uses ~100k clusters at
+    browser-scale; n_cells is the same knob). The keep rule is the greedy
+    deterministic variant — keep the lowest id of each near-dup chain —
+    rather than the paper's keep-farthest-from-centroid, so the whole
+    pipeline stays exactly reproducible in the SQL oracle (same trade the
+    sampled-centroid IVF makes vs trained k-means).
+
+    Default centroids are the deterministic lowest-``n_cells``-ids sample
+    (exact-oracle friendly, identical to :func:`cosine_topk_ivf`); pass a
+    ``centroids`` frame (e.g. :func:`train_ivf_centroids`) for data-adaptive
+    cells. At real scale the cell assignment is done once at ingest and
+    persisted (see operators/ann_incremental.py) — this batch form exists
+    for the oracle and for one-shot curation runs.
+
+    Output: one row per input vector —
+    (vec_id, cell, dup_of, is_kept) where dup_of is the smallest same-cell
+    id above threshold (-1 when none) and is_kept = (dup_of == -1).
+    """
+    if centroids is not None:
+        cents = centroids.select(F.col("cell"), F.col("_centroid"))
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell"),
+                F.col(vec_col).alias("_centroid"),
+            )
+        )
+    cents = cents.select(
+        "cell", "_centroid", norm_expr(F.col("_centroid")).alias("_cenn")
+    )
+    # corpus -> nearest cell: one broadcast join + max_by argmax (ties break
+    # toward the larger cell id, mirroring the SQL oracle's ORDER BY
+    # sim DESC, cell DESC) — same assignment block as cosine_topk_ivf
+    assigned = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("_n")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_sim",
+            dot_expr(F.col(vec_col), F.col("_centroid"))
+            / (F.col("_n") * F.col("_cenn")),
+        )
+        .groupBy(id_col, vec_col, "_n")
+        .agg(F.max_by("cell", F.struct(F.col("_sim"), F.col("cell"))).alias("cell"))
+    )
+    a = assigned.select(
+        "cell", F.col(id_col).alias("_id1"),
+        F.col(vec_col).alias("_v1"), F.col("_n").alias("_n1"),
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("_id2"),
+        F.col(vec_col).alias("_v2"), F.col("_n").alias("_n2"),
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("_id1") < F.col("_id2"))
+        .withColumn(
+            "_cos",
+            dot_expr(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .groupBy(F.col("_id2").alias(id_col))
+        .agg(F.min("_id1").alias("dup_of"))
+    )
+    return (
+        assigned.join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+    )
+
+
 @F.pandas_udf(T.DoubleType())
 def cosine_to_query_numpy(v: pd.Series, q: pd.Series) -> pd.Series:
     """Arrow/numpy twin of cosine_expr for wide vectors: stacks the Arrow

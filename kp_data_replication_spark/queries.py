@@ -2646,6 +2646,73 @@ SQL_DEDUP_EMBEDDING_COSINE = f"""
 """
 
 
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup semantic deduplication (operators/similarity.py:semdedup —
+    Abbas et al. 2023): coarse-cluster into 16 cells, drop every vector with
+    a lower-id same-cell neighbor above the cosine threshold. The cell
+    equi-join bounds the pairwise cosine to ~1/n_cells of the corpus per
+    side — the paper's shape for browser-scale corpora. Deterministic
+    sampled centroids + greedy keep-lowest-id make it exactly
+    SQL-reproducible (the trained-centroid variant rides
+    train_ivf_centroids, same as IVF)."""
+    from .operators.similarity import semdedup
+
+    return semdedup(_emb(spark, sf_dir), threshold=0.3, n_cells=16)
+
+
+SQL_SEMDEDUP_KEEP = f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      ORDER BY vec_id LIMIT 16),
+    c_sim AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             {_COS_SQL.format(a="e.embedding", b="c.cv")} AS sim
+      FROM embeddings e CROSS JOIN cents c),
+    c_assign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+        FROM c_sim) WHERE rn = 1),
+    dups AS (
+      SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+      FROM c_assign a JOIN c_assign b ON a.cell = b.cell
+        AND a.vec_id < b.vec_id
+        AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.3
+      GROUP BY b.vec_id)
+    SELECT c.vec_id, c.cell,
+           coalesce(d.dup_of, -1) AS dup_of,
+           d.dup_of IS NULL AS is_kept
+    FROM c_assign c LEFT JOIN dups d ON c.vec_id = d.vid
+"""
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Tokenizer-training statistic (functions/text.py:bpe_pair_counts —
+    Sennrich et al. 2016): top-50 adjacent character pairs weighted by word
+    frequency, the first BPE merge decision. The plan aggregates to the
+    vocabulary FIRST (Heaps'-law bounded) and explodes bigrams over distinct
+    words only; the final top-n window runs on an alphabet^2-bounded
+    aggregate."""
+    from .functions.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
+
+
+SQL_BPE_PAIR_COUNTS = r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents),
+    wc AS (SELECT w, count(*) AS c FROM toks WHERE len(w) >= 2 GROUP BY w),
+    prs AS (
+      SELECT substring(w, i + 1, 2) AS pair, c FROM (
+        SELECT w, c, unnest(range(len(w) - 1)) AS i FROM wc)),
+    agg AS (SELECT pair, sum(c)::BIGINT AS pair_count FROM prs GROUP BY pair)
+    SELECT pair, pair_count, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
+      FROM agg) WHERE rank <= 50
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Intra-document repetition metrics (Gopher/C4 repetition filters:
     duplicate-line ratio + top word-bigram share) — boilerplate/spam
@@ -3653,6 +3720,8 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "semdedup_keep": (q_semdedup_keep, SQL_SEMDEDUP_KEEP),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, SQL_ANN_COSINE_TOPK_LSH),
     "ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, SQL_ANN_COSINE_TOPK_IVF),

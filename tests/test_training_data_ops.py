@@ -675,3 +675,72 @@ def test_compression_ratio_python_twin_and_signal(spark):
             raw = t.encode()
             assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
     assert got[0] < 0.1 < got[1]  # boilerplate vs prose separation
+
+
+def test_semdedup_drops_planted_near_dups_keeps_singletons(spark):
+    """Greedy SemDeDup on a 2-cell fixture: near-dups of a centroid are
+    dropped with dup_of = the lowest same-cell near-dup id (chains drop
+    transitively to the chain head); vectors below the threshold survive.
+    Exactly one output row per input vector."""
+    from kp_data_replication_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),     # centroid cell 0
+        (1, [0.0, 1.0]),     # centroid cell 1
+        (2, [1.0, 0.01]),    # ~dup of 0, cell 0
+        (3, [0.01, 1.0]),    # ~dup of 1, cell 1
+        (4, [0.6, 0.8]),     # cell 1, no near-dup at 0.95
+        (5, [1.0, 0.02]),    # near both 0 and 2 -> dup_of min = 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in semdedup(df, threshold=0.95, n_cells=2).collect()}
+    assert len(got) == len(rows)
+    assert got[0].is_kept and got[1].is_kept and got[4].is_kept
+    assert got[0].dup_of == -1 and got[4].dup_of == -1
+    assert not got[2].is_kept and got[2].dup_of == 0
+    assert not got[3].is_kept and got[3].dup_of == 1
+    assert not got[5].is_kept and got[5].dup_of == 0
+    assert got[2].cell == got[0].cell and got[3].cell == got[1].cell
+    assert got[4].cell == 1
+
+
+def test_semdedup_centroid_side_is_broadcast(spark):
+    """The only crossJoin in the plan is against the broadcast centroid
+    table; the pairwise cosine is a cell equi-join (never corpus x corpus)."""
+    from kp_data_replication_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = semdedup(df, n_cells=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # centroid crossJoin, broadcast
+    assert "CartesianProduct" not in plan  # no data-x-data cartesian
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    """Pair counts equal the by-hand BPE statistic: per-occurrence within
+    words, weighted by word frequency ('aaa' x2 contributes 4 to 'aa');
+    rank breaks ties on pair text."""
+    from kp_data_replication_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "aaa bb"), (1, "AAA the")],  # lowercased before counting
+        "doc_id long, text string",
+    )
+    got = [(r.pair, r.pair_count, r.rank)
+           for r in bpe_pair_counts(df).orderBy("rank").collect()]
+    assert got == [("aa", 4, 1), ("bb", 1, 2), ("he", 1, 3), ("th", 1, 4)]
+
+
+def test_bpe_pair_counts_top_n_and_single_char_words(spark):
+    """Words shorter than 2 chars contribute nothing; top_n truncates the
+    ranked output."""
+    from kp_data_replication_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "a b c ab ab cd")], "doc_id long, text string"
+    )
+    got = [(r.pair, r.pair_count, r.rank)
+           for r in bpe_pair_counts(df, top_n=1).collect()]
+    assert got == [("ab", 2, 1)]
