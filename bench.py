@@ -68,6 +68,7 @@ LLM_QUERIES = [
     "dedup_clusters",
     "corpus_sample_stratified",
     "corpus_mixture_weights",
+    "dsir_select",
     "corpus_shard_assignment",
     "pack_chunks",
     "pack_greedy",

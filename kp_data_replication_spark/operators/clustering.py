@@ -327,3 +327,119 @@ def mixture_weights(
         F.round(p, 6).alias("pct"),
         F.round(wgt / F.max(wgt).over(w_all), 4).alias("sample_rate"),
     )
+
+
+def _feat_bucket(col: F.Column, n_buckets: int) -> F.Column:
+    """md5-hex-prefix feature hashing (DuckDB-reproducible; Spark murmur3
+    hash() has no DuckDB twin — same idiom as operators/dedup_docs.py)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def _hashed_features(df: DataFrame, id_col: str, text_col: str,
+                     n_buckets: int) -> DataFrame:
+    """Per-row hashed unigram + bigram feature-bucket occurrences.
+
+    Words come from ONE hoisted lowercase whitespace split (the
+    dedup_docs lesson: expressions referenced inside transform() lambdas
+    re-evaluate per element); bigrams are 2-slices of the bound array."""
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = words.select(
+        "doc", F.explode(F.concat(F.col("_w"), bigrams)).alias("f")
+    )
+    return feats.select("doc", _feat_bucket(F.col("f"), n_buckets).alias("b"))
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_keep: int = 100,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection via hashed n-gram importance weights
+    (Xie et al. 2023, arXiv 2302.03169): score every corpus document by how
+    much more likely its hashed unigram+bigram features are under the
+    TARGET distribution (a small in-domain probe set) than under the raw
+    corpus distribution, and keep the top ``n_keep``.
+
+    log-weight(doc) = sum over the doc's feature occurrences of
+    log10( p_target[bucket] / p_source[bucket] ), both distributions
+    Laplace-smoothed (+1 / +n_buckets). The paper then Gumbel-samples
+    proportional to the weights; this takes the deterministic top-k
+    instead so the whole pipeline is exactly SQL-reproducible (the same
+    determinism trade semdedup and the sampled-centroid IVF make).
+
+    Scale shape: the feature explode is O(tokens) but immediately
+    aggregates map-side to (doc, bucket) with bucket <= n_buckets; both
+    distribution tables are n_buckets rows, broadcast into the scoring
+    join (per-bucket log-ratios are pre-rounded so both engines sum
+    identical doubles); the global top-k is orderBy+limit — Spark's
+    TakeOrderedAndProject, a per-partition heap + driver merge of
+    n_keep rows, never a single-partition sort of the corpus. The rank
+    window runs on the n_keep-row result, bounded by the parameter.
+
+    Output: (doc_id, logw, rank) for the n_keep highest-scoring docs.
+    """
+    src_feats = _hashed_features(corpus, id_col, text_col, n_buckets)
+    tgt_feats = _hashed_features(target, id_col, text_col, n_buckets)
+
+    def dist(feats: DataFrame, p_name: str) -> DataFrame:
+        counts = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        w_all = W.partitionBy()
+        return counts.select(
+            "b",
+            (
+                (F.col("c") + F.lit(1)).cast("double")
+                / (F.sum("c").over(w_all) + F.lit(n_buckets)).cast("double")
+            ).alias(p_name),
+        )
+
+    # n_buckets-row tables; the window-over-all is bucket-sized, never
+    # corpus-sized. Left join from the source side keeps unseen-in-target
+    # buckets at the smoothing floor via the same closed form.
+    n_tgt = tgt_feats.count()
+    ratios = (
+        dist(src_feats, "p_s")
+        .join(dist(tgt_feats, "p_t"), "b", "left")
+        .select(
+            "b",
+            F.round(
+                F.log10(
+                    F.coalesce(
+                        F.col("p_t"),
+                        F.lit(1.0) / F.lit(float(n_tgt + n_buckets)),
+                    )
+                    / F.col("p_s")
+                ),
+                6,
+            ).alias("lr"),
+        )
+    )
+    doc_counts = src_feats.groupBy("doc", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    weights = (
+        doc_counts.join(F.broadcast(ratios), "b")
+        .groupBy("doc")
+        .agg(F.round(F.sum(F.col("n") * F.col("lr")), 4).alias("logw"))
+    )
+    top = weights.orderBy(F.col("logw").desc(), F.col("doc")).limit(n_keep)
+    w = W.orderBy(F.col("logw").desc(), F.col("doc"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(F.col("doc").alias(id_col), "logw", "rank")
+    )

@@ -2686,6 +2686,65 @@ SQL_SEMDEDUP_KEEP = f"""
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/clustering.py:dsir_select — Xie et
+    al. 2023): hashed unigram+bigram importance weights
+    log10(p_target/p_source) with Laplace smoothing, deterministic top-100
+    instead of Gumbel sampling so the whole pipeline is SQL-reproducible.
+    Target probe = docs 0-4 (the decontaminate convention), corpus = the
+    rest. Per-bucket log-ratios are pre-rounded so both engines sum
+    identical doubles."""
+    from .operators.clustering import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        n_keep=100,
+        n_buckets=64,
+    )
+
+
+SQL_DSIR_SELECT = r"""
+    WITH src AS (
+      SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE doc_id >= 5),
+    tgt AS (
+      SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE doc_id < 5),
+    sf AS (
+      SELECT doc, ('0x'||substr(md5(f),1,8))::BIGINT % 64 AS b FROM (
+        SELECT doc, unnest(w) AS f FROM src
+        UNION ALL
+        SELECT doc, w[i+1] || ' ' || w[i+2] AS f
+        FROM (SELECT doc, w, unnest(range(len(w)-1)) AS i FROM src))),
+    tf AS (
+      SELECT ('0x'||substr(md5(f),1,8))::BIGINT % 64 AS b FROM (
+        SELECT unnest(w) AS f FROM tgt
+        UNION ALL
+        SELECT w[i+1] || ' ' || w[i+2] AS f
+        FROM (SELECT w, unnest(range(len(w)-1)) AS i FROM tgt))),
+    sd AS (
+      SELECT b, (c+1)::DOUBLE / (sum(c) OVER () + 64)::DOUBLE AS p_s
+      FROM (SELECT b, count(*) AS c FROM sf GROUP BY b)),
+    td AS (
+      SELECT b, (c+1)::DOUBLE / (sum(c) OVER () + 64)::DOUBLE AS p_t
+      FROM (SELECT b, count(*) AS c FROM tf GROUP BY b)),
+    nt AS (SELECT count(*) AS n FROM tf),
+    lr AS (
+      SELECT sd.b,
+             round(log10(coalesce(td.p_t, 1.0/(nt.n + 64)) / sd.p_s), 6) AS lr
+      FROM sd LEFT JOIN td USING (b) CROSS JOIN nt),
+    dc AS (SELECT doc, b, count(*) AS n FROM sf GROUP BY doc, b),
+    wt AS (
+      SELECT doc, round(sum(n * lr), 4) AS logw
+      FROM dc JOIN lr USING (b) GROUP BY doc)
+    SELECT doc AS doc_id, logw, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY logw DESC, doc) AS rank FROM wt)
+    WHERE rank <= 100
+"""
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """Tokenizer-training statistic (functions/text.py:bpe_pair_counts —
     Sennrich et al. 2016): top-50 adjacent character pairs weighted by word
@@ -3722,6 +3781,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "semdedup_keep": (q_semdedup_keep, SQL_SEMDEDUP_KEEP),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, SQL_ANN_COSINE_TOPK_LSH),
     "ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, SQL_ANN_COSINE_TOPK_IVF),

@@ -187,3 +187,32 @@ def test_curate_funnel_end_to_end(spark, tmp_path):
     )
     assert packed_ids == sorted(r["doc_id"] for r in curated.collect())
     assert stats["n_tokens_packed"] == 30 * 40
+
+
+def test_dsir_select_ranks_in_domain_docs_first(spark):
+    """Importance weights order corpus docs by target-likeness: a doc made
+    of target vocabulary outranks a partial overlap, which outranks a
+    fully out-of-domain doc; output is exactly n_keep rows with dense
+    deterministic ranks."""
+    from kp_data_replication_spark.operators.clustering import dsir_select
+
+    target = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha beta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma alpha"),      # in-domain
+            (11, "zzz yyy xxx www vvv uuu"),     # out-of-domain
+            (12, "alpha beta zzz yyy"),          # partial
+        ],
+        "doc_id long, text string",
+    )
+    got = dsir_select(corpus, target, n_keep=3, n_buckets=32).collect()
+    assert [r.rank for r in got] == [1, 2, 3]
+    by_rank = {r.rank: r for r in got}
+    assert by_rank[1].doc_id == 10
+    assert by_rank[3].doc_id == 11
+    assert by_rank[1].logw > by_rank[2].logw > by_rank[3].logw
+    # n_keep truncates below the corpus size
+    top1 = dsir_select(corpus, target, n_keep=1, n_buckets=32).collect()
+    assert len(top1) == 1 and top1[0].doc_id == 10
