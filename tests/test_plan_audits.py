@@ -713,3 +713,67 @@ def test_shuffle_rank_never_plans_a_global_window(spark):
     assert "SinglePartition" not in p
     assert_broadcast_join(ranked)
     assert_no_row_python(ranked)
+
+
+def test_dsir_plan_takeordered_topk_and_broadcast_ratios(spark):
+    """dsir_select's global top-k must compile to TakeOrderedAndProject
+    (per-partition heap + driver merge) — never a corpus-wide
+    single-partition sort — and the bucket-ratio table must broadcast into
+    the scoring join. Pure JVM end-to-end."""
+    from kp_data_replication_spark.operators.clustering import dsir_select
+
+    corpus = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("word"), (F.col("id") % 17).cast("string"),
+                 F.lit(" tail")).alias("text"),
+    )
+    target = spark.range(0, 3).select(
+        F.col("id").alias("doc_id"), F.lit("word1 tail").alias("text")
+    )
+    out = dsir_select(corpus, target, n_keep=10)
+    plan = plan_string(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert_no_row_python(out)
+
+
+def test_semdedup_plan_is_broadcast_and_equijoin_only(spark):
+    """semdedup: the only nested-loop join is vs the broadcast centroid
+    table; the pairwise cosine is a hash equi-join on cell; no
+    CartesianProduct over data. Pure JVM end-to-end."""
+    from kp_data_replication_spark.operators.similarity import semdedup
+
+    emb = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    out = semdedup(emb, n_cells=4)
+    plan = plan_string(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert_no_row_python(out)
+
+
+def test_bpe_pair_counts_aggregates_vocab_before_explode(spark):
+    """bpe_pair_counts must aggregate words BEFORE the bigram explode
+    (vocab-first: the explode input is the distinct-word table, not raw
+    token occurrences) — visible as an aggregate below the Generate node."""
+    from kp_data_replication_spark.functions.text import bpe_pair_counts
+
+    docs = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta alpha gamma").alias("text"),
+    )
+    out = bpe_pair_counts(docs, top_n=5)
+    plan = plan_string(out, mode="simple")
+    # two Generates: word explode, then pair explode; a HashAggregate
+    # must sit between them (the word-count compression step)
+    gen_positions = [i for i, ln in enumerate(plan.splitlines())
+                     if "Generate explode" in ln]
+    agg_positions = [i for i, ln in enumerate(plan.splitlines())
+                     if "HashAggregate" in ln]
+    assert len(gen_positions) >= 2, plan
+    # plan prints top-down: the pair explode (first Generate) must have an
+    # aggregate BELOW it (higher line index) before the word explode (last)
+    assert any(gen_positions[0] < a < gen_positions[-1] for a in agg_positions), plan
+    assert_no_row_python(out)
