@@ -134,6 +134,15 @@ def bench_cdc_apply(spark, work_dir: str) -> dict:
     # run 0 (this host's dominant noise mode); run 0 additionally pays JIT/
     # codegen warmup, so best-of-3 is the engine, not the host
     os.sync()
+    # one UNTIMED full warmup replay: measured on this host, the first two
+    # replays run ~3x / ~1.5x the steady state (C2 JIT + codegen compile of
+    # the whole apply pipeline warms over >1 run), so without this the
+    # best-of-3 reports warmup, not the engine
+    warm_store = TableStore(os.path.join(work_dir, "target_warm"), n_buckets=64)
+    CdcApplyEngine(warm_store, EngineConfig()).replay_batch(
+        spark, cl_dir, read_schema=CHANGELOG_SCHEMA_EVOLVED
+    )
+    log("cdc apply warmup replay done (untimed)")
     runs = []
     summary = {}
     n_state = 0
