@@ -346,6 +346,14 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--pack-budget", type=int, default=2048)
     cu.add_argument("--pack-shards", type=int, default=64)
     cu.add_argument("--min-shared-bands", type=int, default=1)
+    cu.add_argument("--dsir-target", default=None,
+                    help="in-domain probe documents parquet; enables the "
+                         "DSIR selection stage")
+    cu.add_argument("--dsir-keep", type=int, default=0,
+                    help="docs to keep by importance weight (with "
+                         "--dsir-target)")
+    cu.add_argument("--scrub", action="store_true",
+                    help="redact PII in-place before packing")
 
     ac = sub.add_parser(
         "acl",
@@ -699,6 +707,9 @@ def main(argv: list[str] | None = None) -> None:
             pack_budget=args.pack_budget,
             pack_shards=args.pack_shards,
             min_shared_bands=args.min_shared_bands,
+            target_path=args.dsir_target,
+            dsir_keep=args.dsir_keep,
+            scrub=args.scrub,
         )
         print(json.dumps(stats))
     elif args.cmd == "alerts":

@@ -44,12 +44,23 @@ def curate(
     min_shared_bands: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_docs: DataFrame | None = None,
+    dsir_keep: int = 0,
+    scrub: bool = False,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Run the full curation funnel. Returns (curated_docs, packs, stats).
 
     ``min_shared_bands``: LSH candidate pairs must collide in at least this
     many bands to count as near-duplicates (1 = any collision; raise to
     trade recall for precision).
+
+    ``target_docs``/``dsir_keep``: optional DSIR stage after near-dup dedup
+    — keep only the ``dsir_keep`` docs whose hashed-n-gram importance
+    weights rank highest against the target probe set
+    (operators/clustering.py:dsir_select).
+
+    ``scrub``: redact PII in-place before packing (functions/text.py rule
+    table; map-side only), recording total match count in the stats.
     """
     n_in = docs.count()
 
@@ -72,6 +83,20 @@ def curate(
     )
     n_neardup = docs2.count()
 
+    # 2.5 optional DSIR target selection — runs on the deduplicated corpus
+    # (the paper's order: dedup first so importance weights don't double-
+    # count duplicated text)
+    n_dsir = None
+    if target_docs is not None and dsir_keep:
+        from .operators.clustering import dsir_select
+
+        sel = dsir_select(
+            docs2, target_docs, n_keep=dsir_keep,
+            id_col=id_col, text_col=text_col,
+        ).select(id_col)
+        docs2 = docs2.join(sel, id_col, "inner")
+        n_dsir = docs2.count()
+
     # 3. deterministic stratified sampling (identity when no rates given)
     if lang_rates:
         docs3 = sample_stratified(
@@ -81,6 +106,19 @@ def curate(
     else:
         docs3 = docs2
     n_sampled = docs3.count()
+
+    # 3.5 optional in-place PII scrub — BEFORE packing, so token budgets
+    # see the redacted text (placeholders change lengths)
+    pii_hits = None
+    if scrub:
+        from .functions.text import pii_counts, scrub_pii
+
+        hit_row = docs3.agg(
+            *[F.sum(c).alias(f"_h{i}")
+              for i, c in enumerate(pii_counts(F.col(text_col)))]
+        ).first()
+        pii_hits = int(sum((h or 0) for h in hit_row))
+        docs3 = docs3.withColumn(text_col, scrub_pii(F.col(text_col)))
 
     # 4. greedy no-split sequence packing
     packs = pack_greedy(
@@ -95,8 +133,13 @@ def curate(
         "n_after_sampling": n_sampled,
         "exact_dupes_removed": n_in - n_exact,
         "neardup_removed": n_exact - n_neardup,
-        "sampled_out": n_neardup - n_sampled,
+        "sampled_out": (n_dsir if n_dsir is not None else n_neardup) - n_sampled,
     }
+    if n_dsir is not None:
+        stats["n_after_dsir"] = n_dsir
+        stats["dsir_dropped"] = n_neardup - n_dsir
+    if pii_hits is not None:
+        stats["pii_hits"] = pii_hits
     return docs3, packs, stats
 
 
@@ -104,11 +147,17 @@ def curate_to_dir(
     spark: SparkSession,
     in_path: str,
     out_dir: str,
+    target_path: str | None = None,
     **kwargs,
 ) -> dict:
     """Read a documents parquet, run :func:`curate`, write
-    ``out_dir/curated`` and ``out_dir/packs``, return the funnel stats."""
+    ``out_dir/curated`` and ``out_dir/packs``, return the funnel stats.
+
+    ``target_path``: optional in-domain probe parquet for the DSIR stage
+    (pass ``dsir_keep`` too)."""
     docs = spark.read.parquet(in_path)
+    if target_path:
+        kwargs["target_docs"] = spark.read.parquet(target_path)
     curated, packs, stats = curate(docs, **kwargs)
     curated.write.mode("overwrite").parquet(os.path.join(out_dir, "curated"))
     packs.write.mode("overwrite").parquet(os.path.join(out_dir, "packs"))

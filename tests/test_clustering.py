@@ -216,3 +216,44 @@ def test_dsir_select_ranks_in_domain_docs_first(spark):
     # n_keep truncates below the corpus size
     top1 = dsir_select(corpus, target, n_keep=1, n_buckets=32).collect()
     assert len(top1) == 1 and top1[0].doc_id == 10
+
+
+def test_curate_funnel_dsir_and_scrub_stages(spark, tmp_path):
+    """The optional DSIR stage keeps exactly the dsir_keep most
+    target-like docs after dedup, and the scrub stage redacts planted PII
+    before packing (funnel stats record both)."""
+    from kp_data_replication_spark.curate import curate_to_dir
+
+    rows = (
+        # 10 in-domain docs (target vocabulary)
+        [(i, "alpha beta gamma delta " * 8, "en") for i in range(10)]
+        # 30 out-of-domain docs with a planted email each
+        + [(100 + i,
+            f"zz{i} yy{i} contact bob{i}@example.com now " * 6, "en")
+           for i in range(30)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p_in = str(tmp_path / "docs_in")
+    docs.write.parquet(p_in)
+    p_tgt = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta alpha beta")], "doc_id long, text string"
+    ).write.parquet(p_tgt)
+
+    out = str(tmp_path / "curated_out")
+    stats = curate_to_dir(
+        spark, p_in, out, target_path=p_tgt, dsir_keep=12, scrub=True,
+        pack_budget=256, pack_shards=2,
+    )
+    # the 10 identical in-domain docs collapse to 1 by exact dedup; DSIR
+    # then keeps the 12 most target-like of the 31 survivors — the
+    # in-domain survivor must be among them
+    assert stats["n_after_exact_dedup"] == 31
+    assert stats["n_after_dsir"] == 12
+    assert stats["dsir_dropped"] == 31 - 12
+    assert stats["pii_hits"] >= 11 * 6  # >=11 out-of-domain survivors x 6 emails
+    curated = spark.read.parquet(out + "/curated")
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert min(i for i in ids if i < 100) in ids  # in-domain survivor kept
+    assert curated.filter(F.col("text").contains("@example.com")).count() == 0
+    assert curated.filter(F.col("text").contains("<EMAIL>")).count() == 11
