@@ -333,6 +333,16 @@ def main(argv: list[str] | None = None) -> None:
     vc.add_argument("target")
     vc.add_argument("--keep-versions", type=int, default=2)
 
+    fs = sub.add_parser(
+        "fsck",
+        help="store consistency audit: pointer/manifest linkage, file "
+             "existence, bucket bytes, zonemap-vs-footer stats, lineage "
+             "monotonicity, consumer pins, orphans (--deep adds the "
+             "row-to-bucket routing check, one scan per bucket)",
+    )
+    fs.add_argument("target")
+    fs.add_argument("--deep", action="store_true")
+
     cu = sub.add_parser(
         "curate",
         help="corpus curation funnel: exact + near-dup dedup -> "
@@ -516,6 +526,16 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "vacuum":  # pure metadata/file op — no Spark session needed
         print(json.dumps(TableStore(args.target).vacuum(args.keep_versions)))
         return
+    if args.cmd == "fsck":
+        from .sources.fsck import fsck
+
+        spark = (
+            get_spark(app_name="kp-cdc-fsck", cpus=args.cpus)
+            if args.deep else None
+        )
+        report = fsck(TableStore(args.target), spark=spark, deep=args.deep)
+        print(json.dumps(report))
+        raise SystemExit(0 if report["ok"] else 1)
     if args.cmd == "clone":  # pure metadata op — no Spark session needed
         clone = TableStore(args.target).clone(
             args.clone_dir, version=args.version, pin=not args.no_pin

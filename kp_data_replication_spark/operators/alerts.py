@@ -101,6 +101,13 @@ DEFAULT_RULES: list[AlertRule] = [
                      "the last %s epochs but applied none', partition, "
                      "n_events_recent, window_epochs)",
     ),
+    AlertRule(
+        "ThroughputDrop", "anomaly",
+        "n_epochs >= 4 AND ewma > 0 AND n_last < 0.25 * ewma",
+        summary_expr="format_string('partition %s applied %s rows last "
+                     "epoch vs EWMA baseline %.1f — >75%% drop', "
+                     "partition, n_last, ewma)",
+    ),
 ]
 
 ALERT_SCHEMA = T.StructType([
@@ -150,6 +157,42 @@ def evaluate_alerts(
     if not out:
         return spark.createDataFrame([], ALERT_SCHEMA)
     return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def throughput_anomaly(
+    metrics: DataFrame, alpha: float = 0.3
+) -> DataFrame:
+    """Per-partition EWMA throughput baseline vs the LAST epoch — the
+    adaptive-threshold signal a static rule cannot express (Prometheus'
+    ``predict_linear``/``avg_over_time`` deviation idiom): a partition
+    whose apply rate collapses relative to ITS OWN recent history fires
+    even when the absolute volume would pass any fixed floor.
+
+    The EWMA folds over all epochs BEFORE the last (the candidate), so the
+    anomalous epoch never contaminates its own baseline. Per-partition
+    epoch history is control-plane sized (one row per epoch), so the
+    collect_list + fold runs over tiny arrays — never O(data).
+
+    Output: (partition, n_epochs, ewma, n_last).
+    """
+    hist = metrics.groupBy("partition").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("epoch"), F.col("n_applied")))
+        ).alias("h")
+    )
+    base = F.slice(F.col("h"), 1, F.size("h") - 1)
+    ewma = F.aggregate(
+        base,
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(1.0 - alpha)
+        + F.lit(alpha) * x["n_applied"].cast("double"),
+    )
+    return hist.select(
+        "partition",
+        F.size("h").alias("n_epochs"),
+        F.round(ewma, 4).alias("ewma"),
+        F.element_at("h", -1)["n_applied"].alias("n_last"),
+    )
 
 
 def engine_alert_sources(
@@ -220,6 +263,7 @@ def engine_alert_sources(
             )
             .withColumn("window_epochs", F.lit(liveness_epochs))
         )
+        sources["anomaly"] = throughput_anomaly(m)
 
     if dlq_dir is not None:
         try:

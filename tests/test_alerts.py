@@ -153,3 +153,35 @@ def test_alerts_cli(tmp_path):
                "--bucket-budget-bytes", "1")
     summary = json.loads(out)
     assert summary["n_alerts"] > 0 and "buckets" in summary["sources"]
+
+
+def test_throughput_drop_fires_on_ewma_anomaly(spark):
+    """A partition whose last-epoch apply count collapses vs its own EWMA
+    baseline fires ThroughputDrop; a steady partition and a too-short
+    history do not. The anomalous epoch never contaminates its baseline."""
+    from kp_data_replication_spark.operators.alerts import (
+        DEFAULT_RULES,
+        evaluate_alerts,
+        throughput_anomaly,
+    )
+
+    rows = []
+    # p0: steady 100/epoch over 6 epochs -> no alert
+    rows += [(0, e, 100) for e in range(6)]
+    # p1: 100/epoch for 5 epochs then 3 -> fires (3 < 0.25 * ewma)
+    rows += [(1, e, 100) for e in range(5)] + [(1, 5, 3)]
+    # p2: only 2 epochs of history -> below n_epochs floor, no alert
+    rows += [(2, 0, 100), (2, 1, 0)]
+    m = spark.createDataFrame(rows, "partition int, epoch long, n_applied long")
+
+    anom = {r.partition: r for r in throughput_anomaly(m).collect()}
+    assert anom[0].n_last == 100 and anom[0].ewma > 50
+    assert anom[1].n_last == 3 and anom[1].ewma > 50  # baseline excludes the drop
+    assert anom[2].n_epochs == 2
+
+    fired = evaluate_alerts(spark, {"anomaly": throughput_anomaly(m)},
+                            [r for r in DEFAULT_RULES
+                             if r.name == "ThroughputDrop"]).collect()
+    assert [r.alert for r in fired] == ["ThroughputDrop"]
+    assert '"partition":1' in fired[0].labels
+    assert "partition 1 applied 3" in fired[0].summary
