@@ -1013,6 +1013,7 @@ def main() -> None:
     )
 
     work_dir = tempfile.mkdtemp(prefix="kp_bench_")
+    t_bench0 = time.time()
     try:
         cdc = bench_cdc_apply(spark, work_dir)
 
@@ -1095,6 +1096,7 @@ def main() -> None:
             out["retention_expiry"] = retention
         if mor is not None:
             out["mor_write"] = mor
+        out["bench_wall_sec"] = round(time.time() - t_bench0, 1)
         print(json.dumps(out), flush=True)
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
