@@ -333,6 +333,15 @@ def main(argv: list[str] | None = None) -> None:
     vc.add_argument("target")
     vc.add_argument("--keep-versions", type=int, default=2)
 
+    de = sub.add_parser(
+        "describe",
+        help="table snapshot + per-version change log (rows/bytes deltas, "
+             "schema fields added/removed, MoR layers, changefeed files) — "
+             "DESCRIBE HISTORY analogue, pure manifest metadata",
+    )
+    de.add_argument("target")
+    de.add_argument("--no-versions", action="store_true")
+
     fs = sub.add_parser(
         "fsck",
         help="store consistency audit: pointer/manifest linkage, file "
@@ -525,6 +534,11 @@ def main(argv: list[str] | None = None) -> None:
         return
     if args.cmd == "vacuum":  # pure metadata/file op — no Spark session needed
         print(json.dumps(TableStore(args.target).vacuum(args.keep_versions)))
+        return
+    if args.cmd == "describe":  # pure metadata op — no Spark session needed
+        print(json.dumps(
+            TableStore(args.target).describe(with_versions=not args.no_versions)
+        ))
         return
     if args.cmd == "fsck":
         from .sources.fsck import fsck

@@ -2024,6 +2024,79 @@ class TableStore:
         os.replace(self.pointer_path + ".tmp", self.pointer_path)
         return {"purged": n_purged, "version": version, "buckets": sel}
 
+    def describe(self, with_versions: bool = True) -> dict:
+        """Table snapshot + version log — the Delta ``DESCRIBE
+        HISTORY`` / Iceberg snapshots-metadata-table analogue, pure
+        manifest metadata (no data reads, no Spark session).
+
+        The per-version log reports what each commit CHANGED: rows/bytes
+        deltas from the manifest's own stats, dirty bucket count, schema
+        fields added/removed vs the previous retained version (the
+        schema-registry compatibility trail of docs/consideration.md:15-18),
+        MoR layer counts, and whether a changefeed file rides the commit.
+        """
+        head = self.current_version()
+        out: dict = {
+            "root": self.root,
+            "version": head,
+            "tags": self.tags(),
+            "consumers": self.consumers(),
+        }
+        if head == 0:
+            out["empty"] = True
+            return out
+        cur = self.manifest(head)
+        stats = cur.get("stats", {})
+        out.update({
+            "epoch": cur["epoch"],
+            "writers": cur.get("writers", {}),
+            "n_buckets": cur["n_buckets"],
+            "n_files": sum(len(fs) for fs in cur["buckets"].values()),
+            "bytes": sum(int(v) for v in cur.get("bucket_bytes", {}).values()),
+            "rows": (
+                sum(e.get("rows", 0) for e in stats.values()) if stats else None
+            ),
+            "schema_fields": [
+                f["name"] for f in cur["schema"].get("fields", [])
+            ],
+            "mor_layered_buckets": len(cur.get("mor", {})),
+            "constraints": sorted(self.constraints()),
+        })
+        if not with_versions:
+            return out
+        mdir = os.path.join(self.root, "manifests")
+        versions = sorted(
+            int(fn[1:-5]) for fn in os.listdir(mdir)
+            if fn.startswith("v") and fn.endswith(".json")
+        )
+        log = []
+        prev_fields: set[str] | None = None
+        prev_bytes = 0
+        for v in versions:
+            m = self.manifest(v)
+            fields = {f["name"] for f in m["schema"].get("fields", [])}
+            total = sum(int(x) for x in m.get("bucket_bytes", {}).values())
+            ent = {
+                "version": v,
+                "epoch": m["epoch"],
+                "n_files": sum(len(fs) for fs in m["buckets"].values()),
+                "bytes": total,
+                "bytes_delta": total - prev_bytes,
+                "has_changes": "changes" in m,
+                "mor_layered_buckets": len(m.get("mor", {})),
+            }
+            if prev_fields is not None:
+                added = sorted(fields - prev_fields)
+                removed = sorted(prev_fields - fields)
+                if added:
+                    ent["schema_added"] = added
+                if removed:
+                    ent["schema_removed"] = removed
+            prev_fields, prev_bytes = fields, total
+            log.append(ent)
+        out["versions"] = log
+        return out
+
     @_locked
     def vacuum(self, keep_versions: int = 2) -> dict:
         """Garbage-collect unreachable files (Iceberg expire_snapshots +

@@ -155,3 +155,60 @@ def test_fsck_cli_exit_codes(spark, tmp_path):
     assert out.returncode == 1
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert any(e.startswith("F1") for e in rep["errors"])
+
+
+def test_describe_reports_snapshot_and_version_log(spark, tmp_path):
+    """describe() reads ONLY manifests: snapshot totals match the store,
+    the version log carries per-commit deltas, and a schema-evolving batch
+    shows up as schema_added at exactly its version."""
+    store = _build(spark, tmp_path, name="t4")
+    head = store.current_version()
+    d = store.describe()
+    assert d["version"] == head and d["n_buckets"] == 4
+    assert d["n_files"] > 0 and d["bytes"] > 0
+    assert {"repo", "path"} <= set(d["schema_fields"])
+    log = d["versions"]
+    assert [e["version"] for e in log] == list(range(1, head + 1))
+    assert log[0]["bytes_delta"] == log[0]["bytes"]
+    assert all(e["has_changes"] in (True, False) for e in log)
+
+    # evolve the schema: apply a batch carrying a brand-new column
+    ev = spark.createDataFrame(
+        [(0, 10 ** 9, "c", "r0", "p_new", "body", "zz")],
+        "partition int, lsn long, op string, repo string, path string, "
+        "content string, brand_new string",
+    ).select(
+        "partition", "lsn", "op",
+        F.lit(None).cast(
+            "struct<repo:string,path:string,content:string,brand_new:string>"
+        ).alias("before"),
+        F.struct("repo", "path", "content", "brand_new").alias("after"),
+        F.lit(None).cast("timestamp").alias("ts_ms"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+        F.lit("repos").alias("source_topic"),
+    )
+    from kp_data_replication_spark.streaming.apply import (
+        CdcApplyEngine,
+        EngineConfig,
+    )
+
+    CdcApplyEngine(store, EngineConfig(metrics=False)).apply_batch(ev, 99)
+    d2 = store.describe()
+    assert d2["version"] == head + 1
+    last = d2["versions"][-1]
+    assert last.get("schema_added") == ["brand_new"]
+    assert "brand_new" in d2["schema_fields"]
+    # CLI surface
+    import json as _json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "kp_data_replication_spark.cli",
+         "describe", store.root],
+        capture_output=True, text=True,
+        env=dict(os.environ, PYTHONPATH="/root/repo"), cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    rep = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["version"] == head + 1
