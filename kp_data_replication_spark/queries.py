@@ -2745,6 +2745,107 @@ SQL_DSIR_SELECT = r"""
 """
 
 
+def q_lm_doc_scores(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm.py — Wenzek et al.
+    2020 / Brants et al. 2007): a bigram stupid-backoff model trained on
+    the trusted slice (lang = 'en') scores EVERY document by mean bigram
+    log10-prob. The model is a count table (no float weights), so DuckDB
+    reproduces train + score exactly; per-leg log-probs are pre-rounded
+    to 6 decimals (the dsir_select idiom) so a last-ulp log10 divergence
+    can't reach the hash. Scale: counts are vocabulary-bounded (Heaps),
+    the corpus side is touched once, the token total rides a broadcast
+    1-row crossJoin."""
+    from .operators.lm import lm_counts, lm_score
+
+    docs = _docs(spark, sf_dir)
+    counts = lm_counts(docs.filter(F.col("lang") == "en"))
+    return lm_score(docs, counts)
+
+
+SQL_LM_DOC_SCORES = r"""
+    WITH tr AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+      FROM documents WHERE lang = 'en'),
+    uni AS (
+      SELECT w AS w1, count(*)::BIGINT AS c1
+      FROM (SELECT unnest(ws) AS w FROM tr) WHERE w <> '' GROUP BY w),
+    tot AS (SELECT sum(c1)::BIGINT AS t FROM uni),
+    bic AS (
+      SELECT w1, w2, count(*)::BIGINT AS c2 FROM (
+        SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        FROM tr)
+      WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+    bip AS (
+      SELECT b.w1, b.w2, round(log10(b.c2 / u.c1), 6) AS lp_bi
+      FROM bic b JOIN uni u USING (w1)),
+    unip AS (
+      SELECT w1 AS w2, round(log10((0.4)::DOUBLE * c1 / t.t), 6) AS lp_uni
+      FROM uni CROSS JOIN tot t),
+    db AS (
+      SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+             unnest(ws[2:len(ws)]) AS w2
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+            FROM documents)),
+    scored AS (
+      SELECT d.doc_id,
+             coalesce(bp.lp_bi, up.lp_uni,
+                      round(log10((0.4)::DOUBLE / t.t), 6)) AS lp
+      FROM db d
+      LEFT JOIN bip bp ON bp.w1 = d.w1 AND bp.w2 = d.w2
+      LEFT JOIN unip up ON up.w2 = d.w2
+      CROSS JOIN tot t
+      WHERE d.w1 <> '' AND d.w2 <> '')
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(lp), 4) AS avg_logp
+    FROM scored GROUP BY doc_id
+"""
+
+
+def q_lm_counts_incremental(spark, sf_dir):
+    """Changefeed-maintained LM count table == batch recompute over the
+    source's FINAL LIVE STATE (operators/lm.py IncrementalLmCounts): gram
+    counts are LINEAR, so the full-CDF feed's deletes subtract and
+    updates retract the pre-image text — after the shared 3-epoch
+    insert/update/delete fixture the model hash-matches DuckDB's
+    recompute over the surviving documents only. O(changed docs) per
+    epoch, MERGE into dirty gram buckets only, writer-fenced idempotent
+    replay — the continuously-fresh quality model a continuously-
+    ingesting corpus needs."""
+    import tempfile
+
+    from .operators.lm import IncrementalLmCounts
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    src = TableStore(tempfile.mkdtemp(prefix="lm_inc_src_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    view = IncrementalLmCounts(
+        tempfile.mkdtemp(prefix="lm_inc_view_"), text_col="content",
+        n_buckets=4,
+    )
+    for epoch, batch in enumerate(_incremental_fixture_batches(spark, sf_dir)):
+        engine.apply_batch(batch, epoch)
+        view.update(spark, src)
+    return view.read(spark)
+
+
+SQL_LM_COUNTS_INCREMENTAL = r"""
+    WITH final AS (
+      SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0),
+    wsrc AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS ws FROM final),
+    uni AS (
+      SELECT 1 AS g, w AS w1, '' AS w2, count(*)::BIGINT AS c
+      FROM (SELECT unnest(ws) AS w FROM wsrc) WHERE w <> '' GROUP BY w),
+    bi AS (
+      SELECT 2 AS g, w1, w2, count(*)::BIGINT AS c FROM (
+        SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        FROM wsrc)
+      WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2)
+    SELECT g, w1, w2, c FROM uni UNION ALL SELECT g, w1, w2, c FROM bi
+"""
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """Tokenizer-training statistic (functions/text.py:bpe_pair_counts —
     Sennrich et al. 2016): top-50 adjacent character pairs weighted by word
@@ -2770,6 +2871,71 @@ SQL_BPE_PAIR_COUNTS = r"""
       SELECT *, row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
       FROM agg) WHERE rank <= 50
 """
+
+
+def q_bpe_encode_tokens(spark, sf_dir):
+    """Exact BPE train + encode (functions/bpe.py — Sennrich et al. 2016):
+    learn 10 merges over the word-frequency vocabulary (one vocab-bounded
+    aggregate per round, argmax pair by (count desc, pattern asc)), then
+    encode every document with a pure-JVM replace chain and report the
+    REAL tokenizer token budget per doc. The whole train-then-encode
+    pipeline is integer-count + bytewise-tiebreak deterministic, so the
+    DuckDB oracle (a generated 10-stage CTE chain with scalar-subquery
+    argmaxes) reproduces it hash-exactly."""
+    from .functions.bpe import bpe_encode_tokens, bpe_train_merges
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train_merges(docs, n_merges=10)
+    return bpe_encode_tokens(docs, merges)
+
+
+def _sql_bpe_encode(n_merges: int) -> str:
+    """Generate the DuckDB twin of bpe_train_merges + bpe_encode_tokens:
+    per merge stage a pair-count CTE + a LIMIT 1 argmax CTE + a folded
+    vocab CTE; encoding inlines the learned merges as scalar subqueries
+    (coalesced to a no-op sentinel when a tiny corpus runs dry, matching
+    functions/bpe.py BPE_NOOP)."""
+    sym = r"regexp_extract_all(seq, '\(([^)]*)\)', 1)"
+    stages = [r"""
+    v0 AS MATERIALIZED (
+      SELECT w, count(*)::BIGINT AS wc,
+             regexp_replace(w, '(.)', '(\1)', 'g') AS seq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+            FROM documents)
+      GROUP BY w)"""]
+    for k in range(n_merges):
+        stages.append(f"""
+    p{k} AS MATERIALIZED (
+      SELECT pat, sum(wc)::BIGINT AS c FROM (
+        SELECT wc, unnest(list_transform(range(greatest(len(s) - 1, 0)),
+                 i -> '(' || s[i+1] || ')(' || s[i+2] || ')')) AS pat
+        FROM (SELECT wc, {sym} AS s FROM v{k})
+      ) GROUP BY pat),
+    m{k} AS MATERIALIZED (SELECT pat, replace(pat, ')(', '') AS rep
+             FROM p{k} ORDER BY c DESC, pat LIMIT 1),
+    v{k + 1} AS MATERIALIZED (
+      SELECT w, wc, replace(seq,
+               coalesce((SELECT pat FROM m{k}), chr(1)),
+               coalesce((SELECT rep FROM m{k}), chr(1))) AS seq
+      FROM v{k})""")
+    enc = r"regexp_replace(w, '(.)', '(\1)', 'g')"
+    for k in range(n_merges):
+        enc = (f"replace({enc}, coalesce((SELECT pat FROM m{k}), chr(1)), "
+               f"coalesce((SELECT rep FROM m{k}), chr(1)))")
+    return f"""
+    WITH {",".join(stages)},
+    dw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+      FROM documents),
+    enc AS (SELECT doc_id, {enc} AS seq FROM dw)
+    SELECT doc_id, count(*)::BIGINT AS n_words,
+           sum(len({sym}))::BIGINT AS n_bpe_tokens
+    FROM enc GROUP BY doc_id
+"""
+
+
+SQL_BPE_ENCODE_TOKENS = _sql_bpe_encode(10)
 
 
 def q_text_repetition(spark, sf_dir):
@@ -3781,7 +3947,13 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "semdedup_keep": (q_semdedup_keep, SQL_SEMDEDUP_KEEP),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "bpe_encode_tokens": (q_bpe_encode_tokens, SQL_BPE_ENCODE_TOKENS),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "lm_doc_scores": (q_lm_doc_scores, SQL_LM_DOC_SCORES),
+    "lm_counts_incremental": (
+        q_lm_counts_incremental,
+        SQL_LM_COUNTS_INCREMENTAL,
+    ),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_cosine_topk_lsh": (q_ann_cosine_topk_lsh, SQL_ANN_COSINE_TOPK_LSH),
     "ann_cosine_topk_ivf": (q_ann_cosine_topk_ivf, SQL_ANN_COSINE_TOPK_IVF),
