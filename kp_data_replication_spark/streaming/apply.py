@@ -232,6 +232,17 @@ class EngineConfig:
     # contract as the other derived stores.
     text_index_dir: str | None = None
     text_index_buckets: int = 8
+    # streaming-maintained n-gram LANGUAGE MODEL (operators/lm.py): when
+    # lm_counts_dir is set, every epoch also advances the bigram
+    # stupid-backoff count table from the target's full-CDF changefeed —
+    # gram counts are linear (deletes subtract, updates retract the
+    # pre-image text), so the model equals a batch retrain over the live
+    # corpus at every epoch: the continuously-fresh CCNet-style quality
+    # scorer for a continuously-ingesting corpus. Same fenced kill/resume
+    # contract as the other derived stores.
+    lm_counts_dir: str | None = None
+    lm_counts_text_col: str = "content"
+    lm_counts_buckets: int = 8
     # retention.ms (provisioning.md:188), by mechanism: rows whose
     # retention-timestamp column (epoch MILLISECONDS, like the Kafka
     # config) fell behind the window are expired every
@@ -1761,6 +1772,15 @@ class CdcApplyEngine:
                 self.config.text_index_dir,
                 n_buckets=self.config.text_index_buckets,
             )
+        lm_view = None
+        if self.config.lm_counts_dir:
+            from ..operators.lm import IncrementalLmCounts
+
+            lm_view = IncrementalLmCounts(
+                self.config.lm_counts_dir,
+                text_col=self.config.lm_counts_text_col,
+                n_buckets=self.config.lm_counts_buckets,
+            )
 
         def _apply(df: DataFrame, eid: int) -> None:
             self.apply_batch(df, eid, writer_id=writer_id)
@@ -1804,6 +1824,10 @@ class CdcApplyEngine:
             if hdr_sketch is not None:
                 # same linear-sketch contract as the count-min twin
                 hdr_sketch.update(df.sparkSession, self.store)
+            if lm_view is not None:
+                # linear gram counts, writer-fenced: the LM retrains
+                # itself O(changed docs) inside the epoch loop
+                lm_view.update(df.sparkSession, self.store)
             cfg = self.config  # hot-reload may swap the object per epoch
             if (
                 cfg.retention_ms is not None

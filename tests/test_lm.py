@@ -183,6 +183,81 @@ def test_incremental_equals_recompute_every_epoch(spark, tmp_path):
     assert a == b
 
 
+def test_streaming_integrated_lm_kill_and_resume(spark, tmp_path):
+    """The LM count table advances INSIDE the streaming epoch loop
+    (EngineConfig.lm_counts_dir), same resume contract as the sibling
+    incremental views — worst crash window is table committed / process
+    dies before the model advance; on resume the re-delivered epoch
+    no-ops at the table (fenced) and the model catches up from its own
+    fenced watermark WITHOUT double-subtracting, ending equal to a batch
+    retrain over the live corpus."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+
+    def _env(doc_id, op, text, lsn):
+        img = Row(repo="corpus", path=str(doc_id), commit="c0", lang="en",
+                  content=text)
+        return Row(
+            partition=doc_id % 4, lsn=lsn, op=op,
+            before=img if op == "d" else None,
+            after=None if op == "d" else img,
+            ts_ms=None, headers=None, source_topic="repos",
+        )
+
+    cl = tmp_path / "cl"
+    cl.mkdir()
+    src = TableStore(str(tmp_path / "ssrc"), n_buckets=4)
+    cp = str(tmp_path / "scp")
+    lm_dir = str(tmp_path / "slm")
+    engine = CdcApplyEngine(
+        src,
+        EngineConfig(metrics=False, lm_counts_dir=lm_dir,
+                     lm_counts_text_col="content", lm_counts_buckets=4),
+    )
+    view = IncrementalLmCounts(lm_dir, text_col="content", n_buckets=4)
+
+    def put(name, rows):
+        tmp = str(tmp_path / ("_w_" + name))
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    str(cl / (name + ".parquet")))
+
+    put("f0", [_env(0, "c", "alpha beta gamma", 0),
+               _env(1, "c", "beta gamma delta", 1)])
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    assert view.update(spark, src)["status"] == "noop"  # stream kept it fresh
+
+    # crash window: epoch 1's TABLE half commits under the stream's writer
+    # identity, the process "dies" before the model advance
+    put("f1", [_env(0, "d", "alpha beta gamma", 100),
+               _env(2, "c", "epsilon beta", 101)])
+    stream_writer = f"stream:{os.path.abspath(cp)}"
+    df1 = spark.read.schema(CHANGELOG_SCHEMA).parquet(str(cl / "f1.parquet"))
+    assert engine.apply_batch(df1, 1, writer_id=stream_writer)[
+        "status"] == "committed"
+    assert view.store.writer_epoch(
+        f"lm-counts:{os.path.abspath(src.root)}") < src.current_version()
+
+    # resume: table no-ops (fenced), model catches up in the same loop
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    live = src.read_state(spark).select(
+        F.col("path").alias("doc_id"), F.col("content").alias("text")
+    )
+    assert _counts_map(view.read(spark)) == _counts_map(lm_counts(live))
+    # the deleted doc's grams really retracted: only doc 0 carried 'alpha'
+    assert (1, "alpha", "") not in _counts_map(view.read(spark))
+
+
 def test_incremental_registers_consumer_pin(spark, tmp_path):
     """The view registers itself in the source's consumer registry so
     vacuum cannot drop changefeed versions it still needs."""
