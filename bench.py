@@ -75,6 +75,9 @@ LLM_QUERIES = [
     "text_stats",
     "text_repetition",
     "bpe_pair_counts",
+    "bpe_encode_tokens",
+    "lm_doc_scores",
+    # lm_counts_incremental joins the fixture-building exclusion above
     "text_rolling_fingerprint",
     "text_pii_scrub",
     "text_compression_ratio",

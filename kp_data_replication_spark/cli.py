@@ -373,6 +373,12 @@ def main(argv: list[str] | None = None) -> None:
                          "--dsir-target)")
     cu.add_argument("--scrub", action="store_true",
                     help="redact PII in-place before packing")
+    cu.add_argument("--lm-cut", type=float, default=None,
+                    help="LM perplexity head-cut: keep docs whose mean "
+                         "bigram log10-prob >= this (CCNet-style)")
+    cu.add_argument("--lm-train-lang", default=None,
+                    help="train the LM on this lang slice of the deduped "
+                         "corpus (default: whole deduped corpus)")
 
     ac = sub.add_parser(
         "acl",
@@ -744,6 +750,8 @@ def main(argv: list[str] | None = None) -> None:
             target_path=args.dsir_target,
             dsir_keep=args.dsir_keep,
             scrub=args.scrub,
+            lm_cut=args.lm_cut,
+            lm_train_lang=args.lm_train_lang,
         )
         print(json.dumps(stats))
     elif args.cmd == "alerts":

@@ -47,6 +47,8 @@ def curate(
     target_docs: DataFrame | None = None,
     dsir_keep: int = 0,
     scrub: bool = False,
+    lm_cut: float | None = None,
+    lm_train_lang: str | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Run the full curation funnel. Returns (curated_docs, packs, stats).
 
@@ -97,6 +99,24 @@ def curate(
         docs2 = docs2.join(sel, id_col, "inner")
         n_dsir = docs2.count()
 
+    # 2.7 optional LM perplexity head-cut (CCNet order: dedup first so the
+    # model doesn't overweight duplicated text, then score) — train the
+    # bigram stupid-backoff model on the trusted slice of the deduped
+    # corpus and keep docs whose mean bigram log10-prob clears the cut
+    n_lm = None
+    if lm_cut is not None:
+        from .operators.lm import lm_counts, lm_select
+
+        train = (
+            docs2.filter(F.col("lang") == lm_train_lang)
+            if lm_train_lang else docs2
+        )
+        docs2 = lm_select(
+            docs2, lm_counts(train, text_col=text_col), min_avg_logp=lm_cut,
+            id_col=id_col, text_col=text_col,
+        )
+        n_lm = docs2.count()
+
     # 3. deterministic stratified sampling (identity when no rates given)
     if lang_rates:
         docs3 = sample_stratified(
@@ -133,11 +153,20 @@ def curate(
         "n_after_sampling": n_sampled,
         "exact_dupes_removed": n_in - n_exact,
         "neardup_removed": n_exact - n_neardup,
-        "sampled_out": (n_dsir if n_dsir is not None else n_neardup) - n_sampled,
+        "sampled_out": (
+            n_lm if n_lm is not None
+            else n_dsir if n_dsir is not None
+            else n_neardup
+        ) - n_sampled,
     }
     if n_dsir is not None:
         stats["n_after_dsir"] = n_dsir
         stats["dsir_dropped"] = n_neardup - n_dsir
+    if n_lm is not None:
+        stats["n_after_lm_cut"] = n_lm
+        stats["lm_dropped"] = (
+            n_dsir if n_dsir is not None else n_neardup
+        ) - n_lm
     if pii_hits is not None:
         stats["pii_hits"] = pii_hits
     return docs3, packs, stats

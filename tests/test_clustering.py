@@ -257,3 +257,37 @@ def test_curate_funnel_dsir_and_scrub_stages(spark, tmp_path):
     assert min(i for i in ids if i < 100) in ids  # in-domain survivor kept
     assert curated.filter(F.col("text").contains("@example.com")).count() == 0
     assert curated.filter(F.col("text").contains("<EMAIL>")).count() == 11
+
+
+def test_curate_funnel_lm_cut_stage(spark, tmp_path):
+    """The optional LM stage (CCNet-style perplexity head-cut) trains the
+    bigram model on the trusted lang slice of the deduped corpus and
+    drops the gibberish tail; in-domain docs and the funnel stats
+    survive consistently."""
+    from kp_data_replication_spark.curate import curate_to_dir
+
+    # 20 distinct "fluent" docs over a SHARED 29-word vocabulary (per-doc
+    # multiplicative stride => zero shingle overlap, so LSH dedup keeps
+    # them all, while every bigram is in-model for the LM)
+    vocab = [f"w{k}" for k in range(29)]
+    rows = (
+        [(i, " ".join(vocab[(j * (i + 2)) % 29] for j in range(30)), "en")
+         for i in range(20)]
+        # gibberish: unique OOV tokens, every bigram hits the floor
+        + [(100 + i, " ".join(f"zx{i}_{j}" for j in range(30)), "xx")
+           for i in range(8)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p_in = str(tmp_path / "docs_lm_in")
+    docs.write.parquet(p_in)
+
+    out = str(tmp_path / "curated_lm_out")
+    stats = curate_to_dir(
+        spark, p_in, out, lm_cut=-2.5, lm_train_lang="en",
+        pack_budget=512, pack_shards=2,
+    )
+    assert stats["n_after_lm_cut"] == 20
+    assert stats["lm_dropped"] == 8
+    curated = spark.read.parquet(out + "/curated")
+    assert curated.filter(F.col("lang") == "xx").count() == 0
+    assert curated.filter(F.col("lang") == "en").count() == 20
