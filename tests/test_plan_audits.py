@@ -777,3 +777,45 @@ def test_bpe_pair_counts_aggregates_vocab_before_explode(spark):
     # aggregate BELOW it (higher line index) before the word explode (last)
     assert any(gen_positions[0] < a < gen_positions[-1] for a in agg_positions), plan
     assert_no_row_python(out)
+
+
+def test_lm_score_stays_jvm_and_scans_corpus_once(spark):
+    """lm_score: no Python anywhere (pure JVM expressions + joins), the
+    scalar token total rides BROADCAST nested-loop crossJoins (never a
+    shuffle of the corpus against a 1-row side), and the corpus relation
+    appears exactly twice in the scan set — once as the training slice,
+    once as the scoring side — i.e. the count-table joins never re-scan
+    the corpus per leg."""
+    from kp_data_replication_spark.operators.lm import lm_counts, lm_score
+
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma doc"), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = lm_score(docs, lm_counts(docs.filter("lang = 'en'")))
+    assert_no_row_python(out)
+    plan = plan_string(out, mode="simple")
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row totals side
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_encoder_is_expression_only_trainer_aggregates_vocab(spark):
+    """bpe_encode_tokens: the merge chain is literal replace expressions —
+    no UDF, no join, nothing but scan -> explode -> project -> aggregate."""
+    from kp_data_replication_spark.functions.bpe import (
+        bpe_encode_tokens,
+        bpe_train_merges,
+    )
+
+    docs = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"),
+        F.lit("lower lowest newer newest").alias("text"),
+    )
+    merges = bpe_train_merges(docs, n_merges=3)
+    out = bpe_encode_tokens(docs, merges)
+    plan = plan_string(out, mode="simple")
+    assert "Join" not in plan, plan
+    assert_no_row_python(out)
+    assert "ArrowEvalPython" not in plan, plan
