@@ -79,26 +79,37 @@ def _doc_unigrams(df: DataFrame, text_col: str) -> DataFrame:
     ).filter(F.col("w") != "")
 
 
-def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) — one row per adjacent token pair, map-side.
+def _bigram_pairs(ws: Column) -> Column:
+    """Adjacent-pair structs from a (pre-projected) token array.
 
+    Callers must hoist the tokenization into its own projection first
+    (the analyze_documents lesson: this expression references the array
+    ~4 times, and an inlined regex split would re-tokenize the multi-KB
+    text per reference — the HOF-hoisting perf find of round 3).
     The sequence guard matters: Spark's ``sequence(1, 0)`` DESCENDS
     instead of returning empty, so single-token documents must short-
     circuit to an empty array.
     """
-    w = words(F.lower(F.col(text_col)))
-    pairs = F.when(
-        F.size(w) >= 2,
+    return F.when(
+        F.size(ws) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
+            F.sequence(F.lit(1), F.size(ws) - 1),
             lambda i: F.struct(
-                F.element_at(w, i).alias("w1"),
-                F.element_at(w, i + 1).alias("w2"),
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair, map-side."""
     return (
-        df.select(F.col(id_col).alias("_id"), F.explode(pairs).alias("p"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            words(F.lower(F.col(text_col))).alias("_ws"),
+        )
+        .select("_id", F.explode(_bigram_pairs(F.col("_ws"))).alias("p"))
         .select("_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
@@ -340,20 +351,9 @@ def _signed_counts(signed: DataFrame, text_col: str) -> DataFrame:
         .agg(F.sum("_sign").cast("long").alias("c"))
         .select(F.lit(1).alias("g"), "w1", F.lit(UNIGRAM_W2).alias("w2"), "c")
     )
-    b = signed.select(F.col("_sign"), F.col(text_col))
-    w = words(F.lower(F.col(text_col)))
-    pairs = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.struct(
-                F.element_at(w, i).alias("w1"),
-                F.element_at(w, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bi = (
-        b.select("_sign", F.explode(pairs).alias("p"))
+        signed.select("_sign", words(F.lower(F.col(text_col))).alias("_ws"))
+        .select("_sign", F.explode(_bigram_pairs(F.col("_ws"))).alias("p"))
         .select("_sign", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
         .groupBy("w1", "w2")
