@@ -894,6 +894,121 @@ SQL_DEDUP_SUBSTRING_SPANS = """
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer et al. 2003) via the
+    two-sliding-extrema closed form (operators/winnow.py)."""
+    from .operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=16, w=8)
+
+
+# the selection CTE is shared by the fingerprint and match-pair oracles;
+# frames mirror the Spark windows exactly (rows-based, min fwd / max back)
+_WINNOW_SEL_SQL = """
+    d AS (SELECT doc_id AS doc, text AS t,
+                 CAST(length(text) - 15 AS BIGINT) AS n
+          FROM documents WHERE length(text) >= 23),
+    p AS (SELECT doc, n, unnest(generate_series(1, n, 1)) AS pos, t FROM d),
+    g AS (SELECT doc, n, CAST(pos AS BIGINT) AS pos,
+                 md5(substr(t, CAST(pos AS INTEGER), 16)) AS h
+          FROM p),
+    m AS (SELECT doc, n, pos, h,
+                 CASE WHEN pos <= n - 7 THEN
+                   min(h) OVER (PARTITION BY doc ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                 END AS wm
+          FROM g),
+    s AS (SELECT doc, pos, h,
+                 max(wm) OVER (PARTITION BY doc ORDER BY pos
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                   AS mx
+          FROM m)
+"""
+
+SQL_WINNOW_FINGERPRINTS = f"""
+    WITH {_WINNOW_SEL_SQL}
+    SELECT doc, pos, h AS fp FROM s WHERE h = mx
+"""
+
+
+def q_winnow_match_pairs(spark, sf_dir):
+    """MOSS-style partial-clone candidates: docs sharing >= 2 winnowing
+    fingerprints, document-frequency cap before the self-join."""
+    from .operators.winnow import winnow_match_pairs
+
+    return winnow_match_pairs(
+        _docs(spark, sf_dir), k=16, w=8, min_shared=2, max_df=256
+    )
+
+
+SQL_WINNOW_MATCH_PAIRS = f"""
+    WITH {_WINNOW_SEL_SQL},
+    sel AS (SELECT DISTINCT doc, h AS fp FROM s WHERE h = mx),
+    rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 256),
+    sf AS (SELECT sel.doc, sel.fp FROM sel JOIN rare USING (fp))
+    SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS n_shared
+    FROM sf a JOIN sf b ON a.fp = b.fp AND a.doc < b.doc
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_repo_fork_pairs(spark, sf_dir):
+    """Repo-level fork detection (operators/forks.py): two replication
+    sites assign each document to a repo; site s moves every 7th doc one
+    repo over (the fork drift), so r_i/s_i pairs are near-identical file
+    sets and everything else shares almost nothing."""
+    from .operators.forks import fork_pairs
+
+    docs = _docs(spark, sf_dir)
+    sha = F.md5("text")
+    r = docs.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 10).cast("string")).alias(
+            "repo"
+        ),
+        sha.alias("sha"),
+    )
+    s = docs.select(
+        F.concat(
+            F.lit("s"),
+            (
+                (
+                    F.col("doc_id")
+                    + F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)
+                )
+                % 10
+            ).cast("string"),
+        ).alias("repo"),
+        sha.alias("sha"),
+    )
+    return fork_pairs(r.unionAll(s), min_jaccard=0.3, max_df=64)
+
+
+SQL_REPO_FORK_PAIRS = """
+    WITH f AS (
+      SELECT 'r' || CAST(doc_id % 10 AS VARCHAR) AS repo, md5(text) AS sha
+      FROM documents
+      UNION ALL
+      SELECT 's' || CAST((doc_id + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0
+                                    END) % 10 AS VARCHAR),
+             md5(text)
+      FROM documents),
+    sets AS (SELECT DISTINCT repo, sha FROM f),
+    rare AS (SELECT sha FROM sets GROUP BY sha HAVING count(*) <= 64),
+    capped AS (SELECT sets.repo, sets.sha FROM sets JOIN rare USING (sha)),
+    sizes AS (SELECT repo, count(*) AS sz FROM capped GROUP BY repo),
+    inter AS (
+      SELECT a.repo AS repo1, b.repo AS repo2, count(*) AS n_common
+      FROM capped a JOIN capped b ON a.sha = b.sha AND a.repo < b.repo
+      GROUP BY 1, 2)
+    SELECT repo1, repo2, n_common, s1.sz AS n1, s2.sz AS n2,
+           round(n_common::DOUBLE / (s1.sz + s2.sz - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.repo = repo1
+    JOIN sizes s2 ON s2.repo = repo2
+    WHERE n_common::DOUBLE / (s1.sz + s2.sz - n_common) >= 0.3
+"""
+
+
 def q_dedup_minhash_sig(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir))
 
@@ -4004,6 +4119,9 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
         q_corpus_sample_stratified,
         SQL_CORPUS_SAMPLE_STRATIFIED,
     ),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "winnow_match_pairs": (q_winnow_match_pairs, SQL_WINNOW_MATCH_PAIRS),
+    "repo_fork_pairs": (q_repo_fork_pairs, SQL_REPO_FORK_PAIRS),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pack_greedy": (q_pack_greedy, SQL_PACK_GREEDY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

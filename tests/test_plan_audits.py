@@ -819,3 +819,60 @@ def test_bpe_encoder_is_expression_only_trainer_aggregates_vocab(spark):
     assert "Join" not in plan, plan
     assert_no_row_python(out)
     assert "ArrowEvalPython" not in plan, plan
+
+
+def test_winnow_selection_single_doc_exchange_pure_jvm(spark):
+    """winnow_fingerprints: both sliding-extremum windows share one
+    (partition by doc, order by pos) sort — the plan must contain exactly
+    ONE shuffle exchange (on doc) and ONE sort, no Python anywhere (the
+    whole selection is expression + window), no broadcast/cartesian."""
+    from kp_data_replication_spark.operators.winnow import winnow_fingerprints
+
+    docs = spark.range(0, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the quick brown fox jumps over the lazy dog "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    out = winnow_fingerprints(docs, k=16, w=8)
+    plan = plan_string(out, mode="simple")
+    # one doc-key exchange at most (zero here: the Range source already
+    # clusters doc, and Spark proves it through the alias)
+    assert count_exchanges(out) <= 1, plan
+    assert plan.count("+- Sort ") == 1, plan  # one sort feeds both windows
+    assert plan.count("Window") == 2, plan
+    assert "Join" not in plan, plan
+    assert_no_row_python(out)
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_winnow_match_pairs_df_cap_before_equijoin(spark):
+    """winnow_match_pairs: candidate-bounded fp equi-join only — no
+    cartesian product, no SinglePartition exchange, JVM-side throughout."""
+    from kp_data_replication_spark.operators.winnow import winnow_match_pairs
+
+    docs = spark.range(0, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shared prefix of realistic length here "),
+                 (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    out = winnow_match_pairs(docs, k=16, w=8)
+    plan = plan_string(out, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert_no_row_python(out)
+
+
+def test_fork_pairs_equijoin_only_no_cartesian(spark):
+    """fork_pairs: repo pair space must never materialize — sha equi-join
+    with the df cap upstream; no cartesian, no global exchange, pure JVM."""
+    from kp_data_replication_spark.operators.forks import fork_pairs
+
+    files = spark.range(0, 400).select(
+        F.concat(F.lit("r"), (F.col("id") % 20).cast("string")).alias("repo"),
+        F.concat(F.lit("sha"), (F.col("id") % 97).cast("string")).alias("sha"),
+    )
+    out = fork_pairs(files, min_jaccard=0.01, max_df=50)
+    plan = plan_string(out, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert_no_row_python(out)
