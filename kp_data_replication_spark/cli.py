@@ -77,6 +77,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="read AS OF this committed version (default: current)")
     st.add_argument("--tag", default=None,
                     help="read AS OF this named tag (overrides --version)")
+    st.add_argument("--as-of-ms", type=int, default=None, dest="as_of_ms",
+                    help="read AS OF this wall-clock timestamp (epoch ms; "
+                         "newest commit stamp <= ts wins)")
 
     tg = sub.add_parser("tag", help="pin/unpin a named version ref (vacuum retains tagged versions)")
     tg.add_argument("target")
@@ -610,6 +613,8 @@ def main(argv: list[str] | None = None) -> None:
         version = args.version
         if args.tag is not None:
             version = store.tag_version(args.tag)
+        if getattr(args, "as_of_ms", None) is not None:
+            version = store.version_as_of(args.as_of_ms)
         if version is None:
             version = store.current_version()
         df = store.read_state(spark, version=version)

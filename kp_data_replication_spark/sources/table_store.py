@@ -80,6 +80,24 @@ def bucket_expr(n_buckets: int, key_cols: list[str] | None = None) -> F.Column:
     return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def _stamp_commit_ts(manifest: dict, floor_ms: int | None = None) -> None:
+    """Wall-clock commit stamp (Iceberg snapshot timestamp-millis
+    analogue) enabling AS-OF-TIMESTAMP time travel. Strictly monotone per
+    table: two commits landing in the same millisecond still order by
+    version, so version_as_of(ts) is well-defined and agrees with commit
+    order. The floor is the previous manifest's stamp — callers whose
+    manifest inherits it via **prev already carry it; commit() passes it
+    explicitly. Metadata only: the stamp never reaches data files or
+    content hashes, so replay determinism is untouched."""
+    import time as _time
+
+    prev_ts = manifest.get("committed_at_ms") if floor_ms is None else floor_ms
+    now = int(_time.time() * 1000)
+    manifest["committed_at_ms"] = (
+        now if prev_ts is None else max(now, prev_ts + 1)
+    )
+
+
 def _locked(fn):
     """Serialize a version-advancing method under the table's write lock."""
     import functools
@@ -559,6 +577,7 @@ class TableStore:
         spark: SparkSession,
         buckets: list[int] | None = None,
         version: int | None = None,
+        timestamp_ms: int | None = None,
         include_deleted: bool = False,
         key_prefilter: F.Column | None = None,
         where: list[tuple] | None = None,
@@ -571,6 +590,10 @@ class TableStore:
         version (Iceberg snapshot read). None = current. Data files are
         immutable and manifests are retained until :meth:`vacuum`, so any
         unexpired version reads consistently while writers keep committing.
+
+        ``timestamp_ms``: AS-OF-TIMESTAMP time travel — resolved to a
+        version via :meth:`version_as_of` (newest commit stamp <= ts).
+        Mutually exclusive with ``version``.
 
         ``include_deleted``: LWW tables persist tombstone rows (nulls +
         the delete's conflict stamp, ``_lww_deleted=true``) so concurrent/
@@ -612,6 +635,12 @@ class TableStore:
         null-rejecting, so the residual filter also excludes LWW
         tombstone data-nulls regardless of ``include_deleted``.
         """
+        if timestamp_ms is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass version= OR timestamp_ms=, not both"
+                )
+            version = self.version_as_of(timestamp_ms)
         m = self.current_manifest() if version is None else self.manifest(version)
         schema = None if m is None else T.StructType.fromJson(m["schema"])
         if schema is None:
@@ -1114,6 +1143,9 @@ class TableStore:
         if new_stats:
             manifest["stats"] = new_stats
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
+        _stamp_commit_ts(
+            manifest, floor_ms=(prev or {}).get("committed_at_ms")
+        )
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(mpath + ".tmp", mpath)
@@ -1552,6 +1584,7 @@ class TableStore:
         # (same reasoning as rewrite_buckets).
         os.makedirs(os.path.join(target_root, "manifests"), exist_ok=True)
         mpath = os.path.join(target_root, "manifests", "v1.json")
+        _stamp_commit_ts(manifest)
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(mpath + ".tmp", mpath)
@@ -1563,6 +1596,31 @@ class TableStore:
         return target
 
     # ---------- maintenance ----------
+    def version_as_of(self, ts_ms: int) -> int:
+        """AS-OF-TIMESTAMP resolution: the newest committed version whose
+        commit stamp is <= ts_ms (Iceberg snapshot-at-timestamp /
+        Delta timestampAsOf semantics). Stamps are strictly monotone per
+        table (see _stamp_commit_ts) so the answer is unambiguous even for
+        same-millisecond commit bursts. Raises if the timestamp predates
+        the oldest retained version — after vacuum, older history is gone
+        and silently returning a later state would be a lie.
+
+        Metadata-only: walks retained manifests (one small JSON each),
+        never opens data files."""
+        best: int | None = None
+        for v in self.versions():
+            m = self.manifest(v)
+            ts = (m or {}).get("committed_at_ms")
+            if ts is not None and ts <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no committed version at or before ts_ms={ts_ms} "
+                "(timestamp predates the oldest retained version, or the "
+                "table is empty)"
+            )
+        return best
+
     def versions(self) -> list[int]:
         """Committed (pointer-reachable, unexpired) versions, ascending."""
         current = self.current_version()
@@ -1802,6 +1860,7 @@ class TableStore:
             else:
                 manifest.pop("mor", None)
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
+        _stamp_commit_ts(manifest)
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(mpath + ".tmp", mpath)
@@ -1917,6 +1976,7 @@ class TableStore:
         manifest.pop("changes", None)  # logical no-op: see rewrite_buckets
         manifest.pop("mor", None)  # full rewrite folds every delta layer
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
+        _stamp_commit_ts(manifest)
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(mpath + ".tmp", mpath)
@@ -2016,6 +2076,7 @@ class TableStore:
         )
         manifest.pop("changes", None)
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
+        _stamp_commit_ts(manifest)
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(mpath + ".tmp", mpath)

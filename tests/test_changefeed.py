@@ -813,3 +813,63 @@ def test_change_file_fast_path_survives_maintenance_versions(spark, tmp_path):
     assert table_changes(
         spark, store, v_rw - 1, v_rw, use_change_files=True, allow_relaxed=True
     ).count() == 0
+
+
+def test_version_as_of_timestamp_resolution(spark, stepped):
+    """Commit stamps are strictly monotone per table and version_as_of
+    resolves AS-OF-TIMESTAMP reads (Iceberg snapshot-at-timestamp /
+    Delta timestampAsOf semantics)."""
+    d, shared = stepped  # reuse only the changelog dir (the shared store
+    store = TableStore(shared.root + "_asof", n_buckets=8)  # may be vacuumed)
+    engine = CdcApplyEngine(store, FAST)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    for epoch, group in enumerate([files[0:2], files[2:4], files[4:6]]):
+        engine.apply_batch(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[f"{d}/{f}" for f in group]
+            ),
+            epoch,
+        )
+    vs = store.versions()
+    assert vs == [1, 2, 3]
+    stamps = {v: store.manifest(v)["committed_at_ms"] for v in vs}
+    ordered = [stamps[v] for v in vs]
+    assert ordered == sorted(ordered) and len(set(ordered)) == len(ordered)
+    for v in vs:
+        assert store.version_as_of(stamps[v]) == v
+    assert store.version_as_of(stamps[vs[-1]] + 10_000_000) == vs[-1]
+    with pytest.raises(ValueError):
+        store.version_as_of(stamps[vs[0]] - 1)
+    # read path: timestamp resolves to the same state as the version read
+    assert _sha_state(spark, store, version=1) == sorted(
+        (r["repo"], r["path"], r["sha"])
+        for r in store.read_state(spark, timestamp_ms=stamps[1])
+        .select("repo", "path", F.sha2("content", 256).alias("sha"))
+        .collect()
+    )
+    with pytest.raises(ValueError):
+        store.read_state(spark, version=1, timestamp_ms=stamps[1])
+
+
+def test_maintenance_versions_are_stamped_monotone(spark, stepped):
+    """Layout-maintenance versions (rebucket) also land a commit stamp
+    after their predecessor, so timestamp travel crosses maintenance
+    versions without ambiguity."""
+    d, store = stepped
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))[:2]
+    tw = TableStore(store.root + "_tsmono", n_buckets=8)
+    CdcApplyEngine(tw, FAST).apply_batch(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[f"{d}/{f}" for f in files]
+        ),
+        0,
+    )
+    before = tw.current_version()
+    ts_before = tw.manifest(before)["committed_at_ms"]
+    tw.rebucket(spark, new_n_buckets=4)
+    after = tw.current_version()
+    assert after > before
+    ts_after = tw.manifest(after)["committed_at_ms"]
+    assert ts_after > ts_before
+    assert tw.version_as_of(ts_after) == after
+    assert tw.version_as_of(ts_after - 1) == before
