@@ -1160,6 +1160,74 @@ SQL_DEDUP_INCREMENTAL_LSH_PAIRS = f"""
 """
 
 
+def q_clone_index_pairs(spark, sf_dir):
+    """Incremental changefeed-maintained winnowing CLONE index == full
+    recompute (operators/clone_index.py). Replays the shared 3-epoch
+    insert/update/delete fixture through the CDC engine, advancing the
+    persisted fingerprint index after EVERY epoch (O(changed files)
+    each), then mines pairs from the INDEX alone. The DuckDB oracle runs
+    the winnowing selection + distinct-shared-fingerprint self-join over
+    the FINAL corpus state — hash equality proves incremental maintenance
+    converges to full recompute."""
+    import tempfile
+
+    from .operators.clone_index import IncrementalCloneIndex
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    src = TableStore(tempfile.mkdtemp(prefix="clone_idx_src_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalCloneIndex(
+        tempfile.mkdtemp(prefix="clone_idx_"), n_buckets=4, k=16, w=8
+    )
+    for epoch, batch in enumerate(_incremental_fixture_batches(spark, sf_dir)):
+        engine.apply_batch(batch, epoch)
+        index.update(spark, src)
+
+    p1 = F.col("path1").cast("long")
+    p2 = F.col("path2").cast("long")
+    return (
+        index.all_pairs(spark)
+        .filter(F.col("n_shared_bands") >= 2)
+        .select(
+            # the index orders pairs by STRING key; re-canonicalize
+            F.least(p1, p2).alias("doc1"),
+            F.greatest(p1, p2).alias("doc2"),
+            F.col("n_shared_bands").alias("n_shared"),
+        )
+    )
+
+
+SQL_CLONE_INDEX_PAIRS = """
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 != 0),
+    d AS (SELECT doc_id AS doc, text AS t,
+                 CAST(length(text) - 15 AS BIGINT) AS n
+          FROM final WHERE length(text) >= 23),
+    p AS (SELECT doc, n, unnest(generate_series(1, n, 1)) AS pos, t FROM d),
+    g AS (SELECT doc, n, CAST(pos AS BIGINT) AS pos,
+                 md5(substr(t, CAST(pos AS INTEGER), 16)) AS h
+          FROM p),
+    m AS (SELECT doc, n, pos, h,
+                 CASE WHEN pos <= n - 7 THEN
+                   min(h) OVER (PARTITION BY doc ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                 END AS wm
+          FROM g),
+    s AS (SELECT doc, pos, h,
+                 max(wm) OVER (PARTITION BY doc ORDER BY pos
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                   AS mx
+          FROM m),
+    sel AS (SELECT DISTINCT doc, h AS fp FROM s WHERE h = mx)
+    SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS n_shared
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc < b.doc
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_dedup_clusters_incremental(spark, sf_dir):
     """Incremental duplicate-CLUSTER maintenance == full recompute
     (operators/clusters_incremental.py — the last derived artifact made
@@ -4119,6 +4187,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
         q_corpus_sample_stratified,
         SQL_CORPUS_SAMPLE_STRATIFIED,
     ),
+    "clone_index_pairs": (q_clone_index_pairs, SQL_CLONE_INDEX_PAIRS),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_match_pairs": (q_winnow_match_pairs, SQL_WINNOW_MATCH_PAIRS),
     "repo_fork_pairs": (q_repo_fork_pairs, SQL_REPO_FORK_PAIRS),

@@ -156,6 +156,13 @@ class EngineConfig:
     # without ever re-tokenizing the corpus. Same fenced resume contract.
     decontam_index_dir: str | None = None
     decontam_index_buckets: int = 8
+    # streaming-maintained winnowing CLONE index (operators/clone_index.py):
+    # per-file selected winnowing fingerprints advance O(changed files) in
+    # the same epoch loop, so partial-clone candidates over a continuously
+    # ingesting code corpus never cost a corpus re-fingerprint. Same fenced
+    # resume contract as the dedup index.
+    clone_index_dir: str | None = None
+    clone_index_buckets: int = 8
     # streaming-maintained incremental AGGREGATE view (exact IVM,
     # operators/agg_view.py): when agg_view_dir is set, every micro-batch
     # epoch also advances an IncrementalAggView over the target table —
@@ -1758,6 +1765,14 @@ class CdcApplyEngine:
                 self.config.decontam_index_dir,
                 n_buckets=self.config.decontam_index_buckets,
             )
+        clone_index = None
+        if self.config.clone_index_dir:
+            from ..operators.clone_index import IncrementalCloneIndex
+
+            clone_index = IncrementalCloneIndex(
+                self.config.clone_index_dir,
+                n_buckets=self.config.clone_index_buckets,
+            )
         scd2 = None
         if self.config.scd2_dir:
             from ..operators.scd import Scd2View
@@ -1800,6 +1815,10 @@ class CdcApplyEngine:
             if decontam is not None:
                 # same fenced O(changed-docs) contract as the dedup index
                 decontam.update(df.sparkSession, self.store)
+            if clone_index is not None:
+                # winnowing fingerprints are per-file local state — same
+                # replace/retract contract as the band index
+                clone_index.update(df.sparkSession, self.store)
             if scd2 is not None:
                 # per-version exact catch-up: a multi-version gap (crash
                 # between table commit and timeline advance) preserves
