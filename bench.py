@@ -77,7 +77,11 @@ LLM_QUERIES = [
     "bpe_pair_counts",
     "bpe_encode_tokens",
     "lm_doc_scores",
-    # lm_counts_incremental joins the fixture-building exclusion above
+    # lm_counts_incremental / clone_index_pairs join the fixture-building
+    # exclusion above (clone epoch costs: bench_incremental_clone below)
+    "winnow_fingerprints",
+    "winnow_match_pairs",
+    "repo_fork_pairs",
     "text_rolling_fingerprint",
     "text_pii_scrub",
     "text_compression_ratio",
@@ -319,6 +323,90 @@ def bench_incremental_dedup(spark, sf_dir: str, work_dir: str) -> dict:
         "n_labeled_full": n_labeled_full,
     }
     log(f"incremental dedup: {out}")
+    return out
+
+
+def bench_incremental_clone(spark, sf_dir: str, work_dir: str) -> dict:
+    """O(batch) vs O(corpus) evidence for the changefeed-maintained
+    winnowing clone index: full fingerprint build over the documents
+    corpus, then a ~1% epoch — the epoch must cost a small fraction of
+    both the full build and a full winnow match-pair recompute."""
+    from pyspark.sql import functions as F
+
+    from kp_data_replication_spark.operators.clone_index import (
+        IncrementalCloneIndex,
+    )
+    from kp_data_replication_spark.operators.winnow import winnow_match_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+    img = F.struct(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+    def envelope(sel, op, lsn_base, image):
+        is_del = F.lit(op == "d")
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            F.lit(op).alias("op"),
+            F.when(is_del, image).alias("before"),
+            F.when(~is_del, image).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    src = TableStore(os.path.join(work_dir, "clone_src"), n_buckets=64)
+    engine = CdcApplyEngine(
+        src, EngineConfig(metrics=False, changefeed_files=True)
+    )
+    index = IncrementalCloneIndex(
+        os.path.join(work_dir, "clone_idx"), n_buckets=16
+    )
+
+    engine.apply_batch(envelope(docs, "c", 0, img), 0)
+    t0 = time.time()
+    index.update(spark, src)
+    full_sec = time.time() - t0
+
+    changed = docs.filter(F.col("doc_id") % 100 == 0)
+    img_v2 = F.struct(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("content"),
+    )
+    engine.apply_batch(envelope(changed, "u", 100_000_000, img_v2), 1)
+    t0 = time.time()
+    out_inc = index.update(spark, src, emit_pairs=True)
+    n_pairs_new = out_inc["pairs"].count()
+    inc_sec = time.time() - t0
+
+    # the O(corpus) alternative: re-winnow + self-join the whole corpus
+    t0 = time.time()
+    n_pairs_full = winnow_match_pairs(
+        src.read_state(spark).select(
+            F.col("path").alias("doc_id"), F.col("content").alias("text")
+        )
+    ).count()
+    recompute_sec = time.time() - t0
+    docs.unpersist()
+    out = {
+        "n_docs": n_docs,
+        "full_build_sec": round(full_sec, 3),
+        "epoch_update_sec": round(inc_sec, 3),
+        "full_recompute_pairs_sec": round(recompute_sec, 3),
+        "n_changed_epoch": out_inc["n_changed"],
+        "n_new_pairs_epoch": n_pairs_new,
+        "n_pairs_full": n_pairs_full,
+    }
+    log(f"incremental clone index: {out}")
     return out
 
 
@@ -1046,6 +1134,9 @@ def main() -> None:
         ann_inc = (
             bench_incremental_ann(spark, sf_dir, work_dir) if llm_on else None
         )
+        clone_inc = (
+            bench_incremental_clone(spark, sf_dir, work_dir) if llm_on else None
+        )
         aggv_inc = (
             bench_incremental_agg_view(spark, sf_dir, work_dir)
             if llm_on else None
@@ -1087,6 +1178,8 @@ def main() -> None:
             out["dedup_incremental"] = dedup_inc
         if ann_inc is not None:
             out["ann_incremental"] = ann_inc
+        if clone_inc is not None:
+            out["clone_index_incremental"] = clone_inc
         if aggv_inc is not None:
             out["agg_view_incremental"] = aggv_inc
         if tidx_inc is not None:

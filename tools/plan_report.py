@@ -232,15 +232,74 @@ def main() -> None:
         formatted(probe),
     ))
 
+    # winnowing selection: two sliding extrema over one sort
+    from kp_data_replication_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    wdocs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("def handler(evt): return dispatch(evt, table) # variant "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    sections.append((
+        "Winnowing fingerprint selection (two sliding extrema)",
+        "The classic sequential window-minimum scan compiles to two plain "
+        "ROWS-frame window aggregates (min forward, max backward) sharing "
+        "ONE (doc, pos) sort — no UDF, no join, at most one exchange; the "
+        "k-gram md5 digests are generated map-side in the same codegen "
+        "stage as the position explode.",
+        formatted(winnow_fingerprints(wdocs, k=16, w=8)),
+    ))
+    sections.append((
+        "Winnow match pairs (df-capped fingerprint equi-join)",
+        "Candidate pairs only: the document-frequency cap aggregates and "
+        "filters BEFORE the self-equi-join on fp, so boilerplate "
+        "fingerprints never reach the quadratic join; no cartesian "
+        "product, no single-partition exchange.",
+        formatted(winnow_match_pairs(wdocs, k=16, w=8)),
+    ))
+
+    # repo fork detection: df-capped sha equi-join
+    from kp_data_replication_spark.operators.forks import fork_pairs
+
+    ffiles = spark.range(600).select(
+        F.concat(F.lit("r"), (F.col("id") % 30).cast("string")).alias("repo"),
+        F.concat(F.lit("sha"), (F.col("id") % 211).cast("string")).alias("sha"),
+    )
+    sections.append((
+        "Repo fork pairs (file-sha set Jaccard)",
+        "Repo pairs meet ONLY through a shared rare file sha (df cap "
+        "before the join); sizes join back on the slim (repo, sz) "
+        "aggregates. The repo-pair space never materializes.",
+        formatted(fork_pairs(ffiles, min_jaccard=0.01, max_df=64)),
+    ))
+
+    # PRESERVE sections this script does not generate (several plan
+    # records are captured by one-off session scripts and appended by
+    # hand — regeneration must never clobber them)
+    extra = ""
+    if os.path.exists(out_md):
+        body = open(out_md).read()
+        gen_titles = {t for t, _, _ in sections}
+        for chunk in body.split("\n## ")[1:]:
+            title = chunk.split("\n", 1)[0].strip()
+            if title not in gen_titles:
+                extra += "\n## " + chunk.rstrip("\n") + "\n"
     with open(out_md, "w") as f:
         f.write(
             "# PLANS — executed physical plans of the hot path\n\n"
             "Generated by `python tools/plan_report.py` on a live session "
-            "(plans, not prose — regenerate any time). The properties below "
+            "(hand-recorded sections are preserved across regeneration). "
+            "The properties below "
             "are also ASSERTED by tests/test_plan_audits.py.\n"
         )
         for title, claim, plan in sections:
             f.write(f"\n## {title}\n\n{claim}\n\n```\n{plan.strip()}\n```\n")
+        f.write(extra)
     print(f"wrote {out_md}")
     spark.stop()
 
