@@ -254,6 +254,38 @@ def main(argv: list[str] | None = None) -> None:
                     help="also write this advance's NEW candidate pairs "
                          "(changed docs vs the index) to this parquet dir")
 
+    ci = sub.add_parser(
+        "clone-index",
+        help="advance the incremental winnowing clone index from a source "
+             "table's changefeed (O(changed files) per call)",
+    )
+    ci.add_argument("source", help="source TableStore root (the CDC target)")
+    ci.add_argument("index", help="index TableStore root (created on first run)")
+    ci.add_argument("--buckets", type=int, default=32)
+    ci.add_argument("--text-col", default="content")
+    ci.add_argument("--k", type=int, default=16, help="k-gram length")
+    ci.add_argument("--w", type=int, default=8, help="winnow window")
+    ci.add_argument("--pairs-out", default=None,
+                    help="also write this advance's NEW clone-candidate "
+                         "pairs to this parquet dir")
+    ci.add_argument("--matches-out", default=None,
+                    help="write the corpus-wide df-capped clone match view "
+                         "from the persisted index to this parquet dir")
+
+    fk = sub.add_parser(
+        "forks",
+        help="repo-level fork detection: near-duplicate repositories by "
+             "Jaccard over file-content sha sets",
+    )
+    fk.add_argument("target", help="table root (state provides repo + content_sha)")
+    fk.add_argument("--min-jaccard", type=float, default=0.3)
+    fk.add_argument("--max-df", type=int, default=64,
+                    help="drop shas present in more repos than this "
+                         "(boilerplate files carry no fork signal)")
+    fk.add_argument("--out", default=None, help="write pairs to this parquet dir")
+    fk.add_argument("--limit", type=int, default=50,
+                    help="rows printed when --out is not given")
+
     ti = sub.add_parser(
         "text-index",
         help="advance the incremental inverted text index (BM25 postings) "
@@ -836,6 +868,46 @@ def main(argv: list[str] | None = None) -> None:
             out["pairs_out"] = args.pairs_out
             out["n_new_pairs"] = spark.read.parquet(args.pairs_out).count()
         print(json.dumps(out))
+    elif args.cmd == "clone-index":
+        from .operators.clone_index import IncrementalCloneIndex
+
+        index = IncrementalCloneIndex(
+            args.index, n_buckets=args.buckets, k=args.k, w=args.w
+        )
+        out = index.update(
+            spark, TableStore(args.source), text_col=args.text_col,
+            emit_pairs=args.pairs_out is not None,
+        )
+        pairs = out.pop("pairs", None)
+        if pairs is not None:
+            pairs.write.mode("overwrite").parquet(args.pairs_out)
+            out["pairs_out"] = args.pairs_out
+            out["n_new_pairs"] = spark.read.parquet(args.pairs_out).count()
+        if args.matches_out is not None:
+            index.match_view(spark).write.mode("overwrite").parquet(
+                args.matches_out
+            )
+            out["matches_out"] = args.matches_out
+            out["n_matches"] = spark.read.parquet(args.matches_out).count()
+        print(json.dumps(out))
+    elif args.cmd == "forks":
+        from pyspark.sql import functions as F
+
+        from .operators.forks import fork_pairs, repo_file_sets
+
+        files = repo_file_sets(TableStore(args.target).read_state(spark))
+        pairs = fork_pairs(
+            files, min_jaccard=args.min_jaccard, max_df=args.max_df
+        )
+        if args.out:
+            pairs.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({
+                "out": args.out, "n_pairs": spark.read.parquet(args.out).count()
+            }))
+        else:
+            rows = pairs.orderBy(F.col("jaccard").desc()).limit(
+                args.limit).collect()
+            print(json.dumps([r.asDict() for r in rows]))
     elif args.cmd == "text-index":
         from .operators.text_index import IncrementalTextIndex
 

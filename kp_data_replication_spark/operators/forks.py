@@ -43,10 +43,20 @@ def repo_file_sets(
     state: DataFrame,
     repo_col: str = "repo",
     sha_col: str = "content_sha",
+    content_col: str = "content",
 ) -> DataFrame:
-    """Distinct (repo, sha) file-set rows from a table state."""
+    """Distinct (repo, sha) file-set rows from a table state.
+
+    Uses the persisted ``sha_col`` when the state carries one; otherwise
+    derives sha2-256 over ``content_col`` at the scan (one map-side hash,
+    the same digest ``final_state`` projects)."""
+    sha = (
+        F.col(sha_col)
+        if sha_col in state.columns
+        else F.sha2(F.col(content_col), 256)
+    )
     return state.select(
-        F.col(repo_col).alias("repo"), F.col(sha_col).alias("sha")
+        F.col(repo_col).alias("repo"), sha.alias("sha")
     ).distinct()
 
 

@@ -155,3 +155,28 @@ def test_export_shards_subcommand(tmp_path):
     assert x["n_shards"] == want_shards
     import glob as _glob
     assert len(_glob.glob(out + "/_shard=*")) == want_shards
+
+
+def test_clone_index_and_forks_subcommands(tmp_path):
+    cl = str(tmp_path / "cl")
+    tgt = str(tmp_path / "tgt")
+    idx = str(tmp_path / "cidx")
+    _run("gen", cl, "--keys", "60", "--versions", "2",
+         "--partitions", "2", "--files", "2")
+    _run("replay", cl, tgt)
+
+    out = json.loads(_run("clone-index", tgt, idx, "--buckets", "4",
+                          "--pairs-out", str(tmp_path / "pairs"),
+                          "--matches-out", str(tmp_path / "matches")))
+    assert out["status"] == "committed" and out["n_changed"] > 0
+    assert out["n_matches"] >= 0 and out["n_new_pairs"] >= 0
+    # second run with no new source version is a noop
+    out2 = json.loads(_run("clone-index", tgt, idx, "--buckets", "4"))
+    assert out2["status"] == "noop"
+
+    forks = json.loads(_run("forks", tgt, "--min-jaccard", "0.0",
+                            "--max-df", "1000"))
+    assert isinstance(forks, list)
+    if forks:
+        r = forks[0]
+        assert {"repo1", "repo2", "n_common", "n1", "n2", "jaccard"} <= set(r)
