@@ -82,6 +82,7 @@ LLM_QUERIES = [
     "winnow_fingerprints",
     "winnow_match_pairs",
     "repo_fork_pairs",
+    "code_stats",
     "text_rolling_fingerprint",
     "text_pii_scrub",
     "text_compression_ratio",

@@ -894,6 +894,71 @@ SQL_DEDUP_SUBSTRING_SPANS = """
 """
 
 
+def q_code_stats(spark, sf_dir):
+    """StarCoder-style source-code quality statistics + keep verdict
+    (functions/code.py) — pure JVM expressions over one hoisted line
+    split, scan-speed filters with SQL-auditable thresholds."""
+    from .functions.code import analyze_code, code_quality_flag
+
+    return analyze_code(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).select(
+        "doc_id",
+        "n_lines",
+        "max_line_len",
+        "avg_line_len",
+        "blank_frac",
+        "comment_frac",
+        "indent_frac",
+        "alnum_frac",
+        "is_autogen",
+        code_quality_flag(),
+    )
+
+
+SQL_CODE_STATS = r"""
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents),
+    s AS (
+      SELECT doc_id, text, ls,
+             len(ls) AS n_lines,
+             list_transform(ls, x -> length(x)) AS lens,
+             list_transform(ls, x -> trim(x)) AS tls
+      FROM d),
+    t AS (
+      SELECT doc_id,
+             CAST(n_lines AS BIGINT) AS n_lines,
+             CAST(coalesce(list_max(lens), 0) AS BIGINT) AS max_line_len,
+             round(CAST(list_sum(lens) AS DOUBLE) / n_lines, 4)
+               AS avg_line_len,
+             round(CAST(len(list_filter(tls, x -> length(x) = 0)) AS DOUBLE)
+                   / n_lines, 4) AS blank_frac,
+             CASE WHEN n_lines - len(list_filter(tls, x -> length(x) = 0)) > 0
+                  THEN round(
+                    CAST(len(list_filter(tls,
+                         x -> regexp_matches(x, '^(#|//|--|\*|/\*)')))
+                         AS DOUBLE)
+                    / (n_lines - len(list_filter(tls, x -> length(x) = 0))),
+                    4)
+                  ELSE 0.0 END AS comment_frac,
+             round(CAST(len(list_filter(ls,
+                        x -> regexp_matches(x, '^[ \t]'))) AS DOUBLE)
+                   / n_lines, 4) AS indent_frac,
+             CASE WHEN length(text) > 0
+                  THEN round(CAST(length(regexp_replace(
+                         text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                       / length(text), 4)
+                  ELSE 0.0 END AS alnum_frac,
+             (contains(lower(text), 'auto-generated')
+              OR contains(lower(text), 'do not edit')) AS is_autogen
+      FROM s)
+    SELECT *,
+           (max_line_len <= 1000 AND avg_line_len <= 100.0
+            AND alnum_frac >= 0.25 AND NOT is_autogen) AS keep
+    FROM t
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprint selection (Schleimer et al. 2003) via the
     two-sliding-extrema closed form (operators/winnow.py)."""
@@ -4190,6 +4255,7 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "clone_index_pairs": (q_clone_index_pairs, SQL_CLONE_INDEX_PAIRS),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_match_pairs": (q_winnow_match_pairs, SQL_WINNOW_MATCH_PAIRS),
+    "code_stats": (q_code_stats, SQL_CODE_STATS),
     "repo_fork_pairs": (q_repo_fork_pairs, SQL_REPO_FORK_PAIRS),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pack_greedy": (q_pack_greedy, SQL_PACK_GREEDY),
