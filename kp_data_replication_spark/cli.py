@@ -272,6 +272,21 @@ def main(argv: list[str] | None = None) -> None:
                     help="write the corpus-wide df-capped clone match view "
                          "from the persisted index to this parquet dir")
 
+    fi = sub.add_parser(
+        "fork-index",
+        help="advance the incremental per-file content-sha fork index "
+             "(O(changed files) per call); optionally emit the fork sweep "
+             "from the index alone",
+    )
+    fi.add_argument("source", help="source TableStore root (the CDC target)")
+    fi.add_argument("index", help="index TableStore root (created on first run)")
+    fi.add_argument("--buckets", type=int, default=32)
+    fi.add_argument("--text-col", default="content")
+    fi.add_argument("--min-jaccard", type=float, default=0.3)
+    fi.add_argument("--max-df", type=int, default=64)
+    fi.add_argument("--pairs-out", default=None,
+                    help="write the index-only fork sweep to this parquet dir")
+
     fk = sub.add_parser(
         "forks",
         help="repo-level fork detection: near-duplicate repositories by "
@@ -889,6 +904,20 @@ def main(argv: list[str] | None = None) -> None:
             )
             out["matches_out"] = args.matches_out
             out["n_matches"] = spark.read.parquet(args.matches_out).count()
+        print(json.dumps(out))
+    elif args.cmd == "fork-index":
+        from .operators.forks import IncrementalForkIndex
+
+        index = IncrementalForkIndex(args.index, n_buckets=args.buckets)
+        out = index.update(
+            spark, TableStore(args.source), text_col=args.text_col
+        )
+        if args.pairs_out is not None:
+            index.fork_pairs_view(
+                spark, min_jaccard=args.min_jaccard, max_df=args.max_df
+            ).write.mode("overwrite").parquet(args.pairs_out)
+            out["pairs_out"] = args.pairs_out
+            out["n_pairs"] = spark.read.parquet(args.pairs_out).count()
         print(json.dumps(out))
     elif args.cmd == "forks":
         from pyspark.sql import functions as F

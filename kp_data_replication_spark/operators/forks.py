@@ -110,3 +110,68 @@ def fork_pairs(
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------- index
+from pyspark.sql import SparkSession, types as T  # noqa: E402
+
+from .dedup_incremental import IncrementalDedupIndex  # noqa: E402
+
+FORK_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("sha", T.StringType()),
+    ]
+)
+
+
+class IncrementalForkIndex(IncrementalDedupIndex):
+    """Persisted per-file content-sha index maintained from the
+    changefeed — the cheapest derived store in the family (one 64-char
+    digest per file) and the one that turns fork detection from an
+    O(corpus-bytes) sweep into an O(index) sweep.
+
+    Why it pays: :func:`repo_file_sets` over a raw state must read the
+    content column (the corpus bytes) to hash it; this index hashes each
+    file ONCE when the changefeed delivers it (O(changed files) per
+    epoch on the shared skeleton: manifest-pruned read, dirty-bucket
+    MERGE, writer fencing, retention pin) and the periodic fork sweep
+    then scans ~40 bytes/file instead of the file. At 100 TB of source
+    text the sha index is ~tens of GB — the difference between a
+    nightly job and an interactive one.
+
+    ``fork_pairs_view`` runs the standard df-capped Jaccard over the
+    index. The band-pair miners of the parent are not meaningful for a
+    single-digest feature and raise."""
+
+    FEATURE_COL = "sha"
+    WRITER_PREFIX = "fork-index"
+    INDEX_SCHEMA = FORK_INDEX_SCHEMA
+
+    def __init__(self, root: str, n_buckets: int = 8):
+        super().__init__(root, n_buckets=n_buckets)
+
+    def _changed_features(self, upserts: DataFrame, text_col: str) -> DataFrame:
+        # sha2 is total (defined for empty text), so no left-join guard
+        # is needed — every upsert key gets exactly one replacement row
+        return upserts.select(
+            "repo", "path", F.sha2(F.col(text_col), 256).alias("sha")
+        )
+
+    def pairs_for(self, *a, **kw):  # pragma: no cover - guard
+        raise NotImplementedError(
+            "fork index has no band pairs; use fork_pairs_view"
+        )
+
+    all_pairs = pairs_for
+
+    def fork_pairs_view(
+        self,
+        spark: SparkSession,
+        min_jaccard: float = 0.3,
+        max_df: int = 64,
+    ) -> DataFrame:
+        """Fork candidates from the INDEX alone (corpus text untouched)."""
+        files = self.store.read_state(spark).select("repo", "sha")
+        return fork_pairs(files, min_jaccard=min_jaccard, max_df=max_df)

@@ -1293,6 +1293,92 @@ SQL_CLONE_INDEX_PAIRS = """
 """
 
 
+def q_repo_fork_pairs_incremental(spark, sf_dir):
+    """Incremental changefeed-maintained fork index == full recompute
+    (operators/forks.py IncrementalForkIndex). A MULTI-REPO 3-epoch
+    fixture: epoch 0 inserts the r-site (repo r<doc_id%10>), epoch 1
+    inserts the s-site fork copies (same text -> same sha), epoch 2
+    deletes every 11th s-file and rewrites every 7th r-file (sha drifts
+    apart). The fork sweep runs over the INDEX alone; the DuckDB oracle
+    derives the same final (repo, sha) universe directly."""
+    import tempfile
+
+    from .operators.forks import IncrementalForkIndex
+    from .sources.table_store import TableStore
+    from .streaming.apply import CdcApplyEngine, EngineConfig
+
+    docs = _docs(spark, sf_dir)
+
+    def env(sel, repo_expr, op, lsn_base, text_expr):
+        img = F.struct(
+            repo_expr.alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang").alias("lang"),
+            text_expr.alias("content"),
+        )
+        is_del = F.lit(op == "d")
+        return sel.select(
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("partition"),
+            (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            F.lit(op).alias("op"),
+            F.when(is_del, img).alias("before"),
+            F.when(~is_del, img).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    r_repo = F.concat(F.lit("r"), (F.col("doc_id") % 10).cast("string"))
+    s_repo = F.concat(F.lit("s"), (F.col("doc_id") % 10).cast("string"))
+    src = TableStore(tempfile.mkdtemp(prefix="fork_idx_src_"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalForkIndex(
+        tempfile.mkdtemp(prefix="fork_idx_"), n_buckets=4
+    )
+    b0 = env(docs, r_repo, "c", 0, F.col("text"))
+    b1 = env(docs, s_repo, "c", 10_000_000, F.col("text"))
+    b2 = env(
+        docs.filter(F.col("doc_id") % 11 == 0), s_repo, "d", 20_000_000,
+        F.col("text"),
+    ).unionByName(
+        env(
+            docs.filter(F.col("doc_id") % 7 == 0), r_repo, "u", 30_000_000,
+            F.concat(F.col("text"), F.lit(" v2")),
+        )
+    )
+    for epoch, batch in enumerate([b0, b1, b2]):
+        engine.apply_batch(batch, epoch)
+        index.update(spark, src)
+    return index.fork_pairs_view(spark, min_jaccard=0.2, max_df=64)
+
+
+SQL_REPO_FORK_PAIRS_INCREMENTAL = """
+    WITH f AS (
+      SELECT 'r' || CAST(doc_id % 10 AS VARCHAR) AS repo,
+             CASE WHEN doc_id % 7 = 0 THEN sha256(text || ' v2')
+                  ELSE sha256(text) END AS sha
+      FROM documents
+      UNION ALL
+      SELECT 's' || CAST(doc_id % 10 AS VARCHAR), sha256(text)
+      FROM documents WHERE doc_id % 11 != 0),
+    sets AS (SELECT DISTINCT repo, sha FROM f),
+    rare AS (SELECT sha FROM sets GROUP BY sha HAVING count(*) <= 64),
+    capped AS (SELECT sets.repo, sets.sha FROM sets JOIN rare USING (sha)),
+    sizes AS (SELECT repo, count(*) AS sz FROM capped GROUP BY repo),
+    inter AS (
+      SELECT a.repo AS repo1, b.repo AS repo2, count(*) AS n_common
+      FROM capped a JOIN capped b ON a.sha = b.sha AND a.repo < b.repo
+      GROUP BY 1, 2)
+    SELECT repo1, repo2, n_common, s1.sz AS n1, s2.sz AS n2,
+           round(n_common::DOUBLE / (s1.sz + s2.sz - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.repo = repo1
+    JOIN sizes s2 ON s2.repo = repo2
+    WHERE n_common::DOUBLE / (s1.sz + s2.sz - n_common) >= 0.2
+"""
+
+
 def q_dedup_clusters_incremental(spark, sf_dir):
     """Incremental duplicate-CLUSTER maintenance == full recompute
     (operators/clusters_incremental.py — the last derived artifact made
@@ -4257,6 +4343,10 @@ CDC_QUERIES: dict[str, tuple[Callable, str | None]] = {
     "winnow_match_pairs": (q_winnow_match_pairs, SQL_WINNOW_MATCH_PAIRS),
     "code_stats": (q_code_stats, SQL_CODE_STATS),
     "repo_fork_pairs": (q_repo_fork_pairs, SQL_REPO_FORK_PAIRS),
+    "repo_fork_pairs_incremental": (
+        q_repo_fork_pairs_incremental,
+        SQL_REPO_FORK_PAIRS_INCREMENTAL,
+    ),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "pack_greedy": (q_pack_greedy, SQL_PACK_GREEDY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

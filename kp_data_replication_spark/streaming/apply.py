@@ -163,6 +163,12 @@ class EngineConfig:
     # resume contract as the dedup index.
     clone_index_dir: str | None = None
     clone_index_buckets: int = 8
+    # streaming-maintained per-file content-sha FORK index
+    # (operators/forks.py IncrementalForkIndex): files hash once when the
+    # changefeed delivers them, so repo-level fork sweeps scan ~40
+    # bytes/file instead of corpus text. Same fenced resume contract.
+    fork_index_dir: str | None = None
+    fork_index_buckets: int = 8
     # streaming-maintained incremental AGGREGATE view (exact IVM,
     # operators/agg_view.py): when agg_view_dir is set, every micro-batch
     # epoch also advances an IncrementalAggView over the target table —
@@ -1773,6 +1779,14 @@ class CdcApplyEngine:
                 self.config.clone_index_dir,
                 n_buckets=self.config.clone_index_buckets,
             )
+        fork_index = None
+        if self.config.fork_index_dir:
+            from ..operators.forks import IncrementalForkIndex
+
+            fork_index = IncrementalForkIndex(
+                self.config.fork_index_dir,
+                n_buckets=self.config.fork_index_buckets,
+            )
         scd2 = None
         if self.config.scd2_dir:
             from ..operators.scd import Scd2View
@@ -1819,6 +1833,9 @@ class CdcApplyEngine:
                 # winnowing fingerprints are per-file local state — same
                 # replace/retract contract as the band index
                 clone_index.update(df.sparkSession, self.store)
+            if fork_index is not None:
+                # one digest per file; replace on upsert, retract on delete
+                fork_index.update(df.sparkSession, self.store)
             if scd2 is not None:
                 # per-version exact catch-up: a multi-version gap (crash
                 # between table commit and timeline advance) preserves

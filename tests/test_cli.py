@@ -180,3 +180,19 @@ def test_clone_index_and_forks_subcommands(tmp_path):
     if forks:
         r = forks[0]
         assert {"repo1", "repo2", "n_common", "n1", "n2", "jaccard"} <= set(r)
+
+
+def test_fork_index_subcommand(tmp_path):
+    cl = str(tmp_path / "cl")
+    tgt = str(tmp_path / "tgt")
+    idx = str(tmp_path / "fidx")
+    _run("gen", cl, "--keys", "40", "--versions", "2",
+         "--partitions", "2", "--files", "2")
+    _run("replay", cl, tgt)
+    out = json.loads(_run("fork-index", tgt, idx, "--buckets", "4",
+                          "--min-jaccard", "0.0", "--max-df", "1000",
+                          "--pairs-out", str(tmp_path / "fpairs")))
+    assert out["status"] == "committed" and out["n_changed"] > 0
+    assert out["n_pairs"] >= 0
+    assert json.loads(_run("fork-index", tgt, idx, "--buckets", "4"))[
+        "status"] == "noop"

@@ -143,3 +143,138 @@ def test_repo_file_sets_distinct(spark):
         (r["repo"], r["sha"]) for r in repo_file_sets(state).collect()
     }
     assert got == {("a", "s1"), ("a", "s2")}
+
+
+# ------------------------------------------------------- incremental index
+from pyspark.sql import Row
+
+from kp_data_replication_spark.operators.forks import IncrementalForkIndex
+from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+from kp_data_replication_spark.sources.table_store import TableStore
+from kp_data_replication_spark.streaming.apply import CdcApplyEngine, EngineConfig
+
+
+def _fenv(repo, path, op, text, lsn):
+    img = Row(repo=repo, path=path, commit="c0", lang="py", content=text)
+    return Row(
+        partition=lsn % 4, lsn=lsn, op=op,
+        before=img if op == "d" else None,
+        after=None if op == "d" else img,
+        ts_ms=None, headers=None, source_topic="repos",
+    )
+
+
+def _fork_parity(spark, src, index):
+    full = {
+        tuple(r) for r in fork_pairs(
+            repo_file_sets(src.read_state(spark)), min_jaccard=0.2, max_df=64
+        ).collect()
+    }
+    inc = {
+        tuple(r) for r in index.fork_pairs_view(
+            spark, min_jaccard=0.2, max_df=64
+        ).collect()
+    }
+    assert inc == full, (sorted(inc), sorted(full))
+    return inc
+
+
+def test_fork_index_tracks_insert_update_delete(spark, tmp_path):
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalForkIndex(str(tmp_path / "idx"), n_buckets=4)
+
+    # epoch 0: repo a files f0..f5; repo b forks f0..f4 + own f9
+    batch0 = [_fenv("a", f"f{i}", "c", f"text {i}", i) for i in range(6)]
+    batch0 += [_fenv("b", f"f{i}", "c", f"text {i}", 100 + i) for i in range(5)]
+    batch0.append(_fenv("b", "f9", "c", "unique to b", 109))
+    engine.apply_batch(spark.createDataFrame(batch0, CHANGELOG_SCHEMA), 0)
+    out0 = index.update(spark, src)
+    assert out0["status"] == "committed" and out0["n_changed"] == 12
+    pairs = _fork_parity(spark, src, index)
+    assert any(p[0] == "a" and p[1] == "b" for p in pairs)
+
+    # epoch 1: b's f0 rewritten (sha drifts), a gains f6
+    batch1 = [
+        _fenv("b", "f0", "u", "diverged content", 200),
+        _fenv("a", "f6", "c", "text 6", 201),
+    ]
+    engine.apply_batch(spark.createDataFrame(batch1, CHANGELOG_SCHEMA), 1)
+    assert index.update(spark, src)["n_changed"] == 2
+    _fork_parity(spark, src, index)
+
+    # epoch 2: delete all of b's shared files -> pair dissolves
+    batch2 = [_fenv("b", f"f{i}", "d", f"text {i}", 300 + i) for i in range(1, 5)]
+    engine.apply_batch(spark.createDataFrame(batch2, CHANGELOG_SCHEMA), 2)
+    index.update(spark, src)
+    pairs = _fork_parity(spark, src, index)
+    assert not pairs
+    assert index.update(spark, src)["status"] == "noop"
+
+
+def test_fork_index_sweep_never_reads_corpus_text(spark, tmp_path):
+    """The defining property: the sweep's scan schema is the slim index
+    row (repo, path, sha) — content bytes are not in the plan."""
+    from kp_data_replication_spark.plans.audit import plan_string
+
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalForkIndex(str(tmp_path / "idx"), n_buckets=4)
+    engine.apply_batch(
+        spark.createDataFrame(
+            [_fenv("a", "f0", "c", "long corpus text " * 50, 1)],
+            CHANGELOG_SCHEMA,
+        ),
+        0,
+    )
+    index.update(spark, src)
+    plan = plan_string(index.fork_pairs_view(spark), mode="formatted")
+    assert "content" not in plan, plan
+    assert str(tmp_path / "idx") in plan.replace("file:", "") or "sha" in plan
+
+
+def test_streaming_integrated_fork_index(spark, tmp_path):
+    """fork_index_dir advances the sha index inside the epoch loop; the
+    table-committed/index-stale crash window heals on resume."""
+    import glob
+    import os as _os
+    import shutil
+
+    cl = tmp_path / "cl"
+    cl.mkdir()
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    cp = str(tmp_path / "cp")
+    idx_dir = str(tmp_path / "idx")
+    engine = CdcApplyEngine(
+        src, EngineConfig(metrics=False, fork_index_dir=idx_dir,
+                          fork_index_buckets=4)
+    )
+    index = IncrementalForkIndex(idx_dir, n_buckets=4)
+
+    def put(name, rows):
+        tmp = str(tmp_path / ("_w_" + name))
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    str(cl / (name + ".parquet")))
+
+    put("f0", [_fenv("a", f"f{i}", "c", f"text {i}", i) for i in range(4)]
+        + [_fenv("b", f"f{i}", "c", f"text {i}", 100 + i) for i in range(3)])
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    assert index.update(spark, src)["status"] == "noop"
+    _fork_parity(spark, src, index)
+
+    # crash window: table commits, index stays stale
+    put("f1", [_fenv("b", "f3", "c", "text 3", 200)])
+    stream_writer = f"stream:{_os.path.abspath(cp)}"
+    df1 = spark.read.schema(CHANGELOG_SCHEMA).parquet(str(cl / "f1.parquet"))
+    assert engine.apply_batch(df1, 1, writer_id=stream_writer)["status"] == "committed"
+    assert index.store.writer_epoch(
+        f"fork-index:{_os.path.abspath(src.root)}") < src.current_version()
+
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    _fork_parity(spark, src, index)
