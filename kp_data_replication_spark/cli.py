@@ -429,6 +429,9 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--lm-train-lang", default=None,
                     help="train the LM on this lang slice of the deduped "
                          "corpus (default: whole deduped corpus)")
+    cu.add_argument("--code-filter", action="store_true",
+                    help="StarCoder-style code-quality gate before dedup "
+                         "(drop minified/auto-generated/symbol-soup files)")
 
     ac = sub.add_parser(
         "acl",
@@ -804,6 +807,7 @@ def main(argv: list[str] | None = None) -> None:
             scrub=args.scrub,
             lm_cut=args.lm_cut,
             lm_train_lang=args.lm_train_lang,
+            code_filter=args.code_filter,
         )
         print(json.dumps(stats))
     elif args.cmd == "alerts":

@@ -49,6 +49,7 @@ def curate(
     scrub: bool = False,
     lm_cut: float | None = None,
     lm_train_lang: str | None = None,
+    code_filter: bool = False,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Run the full curation funnel. Returns (curated_docs, packs, stats).
 
@@ -65,6 +66,22 @@ def curate(
     table; map-side only), recording total match count in the stats.
     """
     n_in = docs.count()
+
+    # 0.5 optional code-quality gate — FIRST, because it is the cheapest
+    # stage (one scan-speed projection, functions/code.py) and the
+    # StarCoder order: drop minified blobs / machine tables / symbol soup
+    # / declared auto-generated files before paying for any dedup join
+    n_code = None
+    if code_filter:
+        from .functions.code import analyze_code, code_quality_flag
+
+        kept = (
+            analyze_code(docs, text_col=text_col)
+            .filter(code_quality_flag())
+            .select(*docs.columns)
+        )
+        docs = kept
+        n_code = docs.count()
 
     # 1. exact dedup — keep the lowest id per normalized-content group
     exact_keep = dedup_exact(docs, id_col=id_col, text_col=text_col).select(
@@ -151,7 +168,9 @@ def curate(
         "n_after_exact_dedup": n_exact,
         "n_after_neardup_dedup": n_neardup,
         "n_after_sampling": n_sampled,
-        "exact_dupes_removed": n_in - n_exact,
+        "exact_dupes_removed": (
+            n_code if n_code is not None else n_in
+        ) - n_exact,
         "neardup_removed": n_exact - n_neardup,
         "sampled_out": (
             n_lm if n_lm is not None
@@ -159,6 +178,9 @@ def curate(
             else n_neardup
         ) - n_sampled,
     }
+    if n_code is not None:
+        stats["n_after_code_filter"] = n_code
+        stats["code_filtered"] = n_in - n_code
     if n_dsir is not None:
         stats["n_after_dsir"] = n_dsir
         stats["dsir_dropped"] = n_neardup - n_dsir

@@ -74,3 +74,36 @@ def test_plan_is_single_projection_no_python(spark):
     plan = plan_string(out, mode="simple")
     assert "Exchange" not in plan and "Join" not in plan, plan
     assert_no_row_python(out)
+
+
+def test_curate_code_filter_stage(spark, tmp_path):
+    """The optional code-quality gate runs FIRST in the funnel: planted
+    minified / auto-generated / symbol-soup files drop before any dedup
+    join; ordinary files flow through to packs unchanged."""
+    from pyspark.sql import functions as F
+
+    from kp_data_replication_spark.curate import curate_to_dir
+
+    rows = [
+        (i, "\n".join(f"line_{i}_{j} = {j}" for j in range(20)), "en")
+        for i in range(10)
+    ]
+    rows.append((100, "x" * 3000, "en"))                # minified blob
+    rows.append((101, "DO NOT EDIT\ngenerated()", "en"))  # declared autogen
+    rows.append((102, "@@ !! ## $$ %% ^^ && **", "en"))   # symbol soup
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p_in = str(tmp_path / "docs_in")
+    docs.withColumn("source", F.lit("s0")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(p_in)
+
+    out = str(tmp_path / "curated_out")
+    stats = curate_to_dir(
+        spark, p_in, out, pack_budget=256, pack_shards=2, code_filter=True
+    )
+    assert stats["n_input"] == 13
+    assert stats["n_after_code_filter"] == 10 and stats["code_filtered"] == 3
+    assert stats["exact_dupes_removed"] == 0  # accounting is post-gate
+    curated = {r["doc_id"] for r in
+               spark.read.parquet(out + "/curated").collect()}
+    assert curated == set(range(10))
