@@ -2159,9 +2159,22 @@ class TableStore:
         return out
 
     @_locked
-    def vacuum(self, keep_versions: int = 2) -> dict:
+    def vacuum(
+        self,
+        keep_versions: int = 2,
+        older_than_ms: int | None = None,
+        now_ms: int | None = None,
+    ) -> dict:
         """Garbage-collect unreachable files (Iceberg expire_snapshots +
         remove_orphan_files analogue).
+
+        ``older_than_ms``: age-based retention on top of the count-based
+        floor (Iceberg ``expire_snapshots(older_than=...)``): versions
+        whose commit stamp is younger than the window are ALSO kept, so
+        AS-OF-TIMESTAMP reads stay answerable across the whole window
+        while ancient history expires. Unstamped (legacy) manifests are
+        kept — their age cannot be proven. ``now_ms`` injects the clock
+        for tests.
 
         Retains the manifests of the newest ``keep_versions`` committed
         versions and every data/lineage file any of them references; deletes
@@ -2196,11 +2209,25 @@ class TableStore:
         # automatic: the operator no longer has to know to tag)
         cons = self.consumers()
         floor = min(cons.values()) if cons else None
+        recent: set[int] = set()
+        if older_than_ms is not None:
+            import time as _time
+
+            now = int(_time.time() * 1000) if now_ms is None else now_ms
+            cutoff = now - older_than_ms
+            for v in versions:
+                if v > current:
+                    continue  # above-current = crash orphan, not "recent"
+                with open(os.path.join(man_dir, f"v{v}.json")) as f:
+                    ts = json.load(f).get("committed_at_ms")
+                if ts is None or ts >= cutoff:
+                    recent.add(v)
         keep = [
             v for v in versions
             if (current - keep_versions < v <= current)
             or v in tagged
             or (floor is not None and v >= floor)
+            or v in recent
         ]
         live: set[str] = set()
         for v in keep:

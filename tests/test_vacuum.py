@@ -157,3 +157,50 @@ def test_consumer_registry_per_group_files_and_legacy_merge(tmp_path):
     s1.remove_consumer("old-flow")
     s1.remove_consumer("dedup-index")
     assert s1.consumers() == {"cascade:/dst1": 5}
+
+
+def test_vacuum_age_window_keeps_asof_reads_answerable(spark, tmp_path):
+    """older_than_ms retention (Iceberg expire_snapshots(older_than=...)):
+    versions younger than the window survive even past the count floor, so
+    AS-OF-TIMESTAMP reads stay answerable across the whole window; ancient
+    history expires."""
+    d = str(tmp_path / "cl")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=40, versions_per_key=2, n_partitions=2, files=4, dup_every=0),
+    )
+    store = TableStore(str(tmp_path / "t"), n_buckets=4)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False))
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    for i, f in enumerate(files):
+        engine.apply_batch(
+            spark.read.option("mergeSchema", "true").parquet(f"{d}/{f}"), i
+        )
+    n = store.current_version()
+    assert n >= 4
+    stamps = {v: store.manifest(v)["committed_at_ms"] for v in range(1, n + 1)}
+    rows_v3 = store.read_state(spark, version=3).count()
+
+    # window reaches back exactly to v3's stamp: v3..vn are "recent",
+    # v1..v2 are ancient -> expired despite keep_versions=1
+    now = stamps[n]
+    report = store.vacuum(
+        keep_versions=1, older_than_ms=now - stamps[3], now_ms=now
+    )
+    assert report["removed_manifests"] == 2
+    remaining = sorted(
+        int(f[1:-5]) for f in os.listdir(os.path.join(store.root, "manifests"))
+        if f.startswith("v")
+    )
+    assert remaining == list(range(3, n + 1))
+
+    # AS-OF at any stamp inside the window still resolves and reads
+    assert store.version_as_of(stamps[3]) == 3
+    assert store.read_state(spark, timestamp_ms=stamps[3]).count() == rows_v3
+    # ...while a timestamp before the window is an honest error
+    with pytest.raises(Exception):
+        store.version_as_of(stamps[1] - 1)
+
+    # without the age window the count floor alone would have kept only vn
+    report2 = store.vacuum(keep_versions=1)
+    assert report2["removed_manifests"] == n - 3
