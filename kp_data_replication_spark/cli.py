@@ -382,6 +382,20 @@ def main(argv: list[str] | None = None) -> None:
     vc = sub.add_parser("vacuum", help="expire old versions + remove crash orphans")
     vc.add_argument("target")
     vc.add_argument("--keep-versions", type=int, default=2)
+    vc.add_argument("--older-than-ms", type=int, default=None,
+                    help="also keep any version committed within this window "
+                         "(AS-OF-TIMESTAMP reads stay answerable across it)")
+
+    rs = sub.add_parser(
+        "restore",
+        help="roll the table head back to a prior version as a new commit "
+             "(Delta RESTORE analogue; pure metadata, changefeed emits the "
+             "compensating diff)")
+    rs.add_argument("target")
+    rs.add_argument("--to-version", type=int, required=True)
+    rs.add_argument("--rewind", action="store_true",
+                    help="also restore lineage watermarks + writer map so a "
+                         "fresh-checkpoint replay re-applies the tail")
 
     de = sub.add_parser(
         "describe",
@@ -591,8 +605,13 @@ def main(argv: list[str] | None = None) -> None:
                 whitelist=args.topics,
             )))
         return
+    if args.cmd == "restore":  # pure metadata op — no Spark session needed
+        v = TableStore(args.target).restore(args.to_version, rewind=args.rewind)
+        print(json.dumps({"restored_to": args.to_version, "new_version": v}))
+        return
     if args.cmd == "vacuum":  # pure metadata/file op — no Spark session needed
-        print(json.dumps(TableStore(args.target).vacuum(args.keep_versions)))
+        print(json.dumps(TableStore(args.target).vacuum(
+            args.keep_versions, older_than_ms=args.older_than_ms)))
         return
     if args.cmd == "describe":  # pure metadata op — no Spark session needed
         print(json.dumps(

@@ -1634,6 +1634,87 @@ class TableStore:
         )
 
     @_locked
+    def restore(self, to_version: int, rewind: bool = False) -> int:
+        """Roll the table head back to a prior committed version as a NEW
+        commit (Delta ``RESTORE TABLE ... VERSION AS OF`` / Iceberg
+        rollback-to-snapshot analogue) — the point-in-time recovery half of
+        the reference's DR story (`docs/index.md:32-52` runs replication
+        for failover; failback needs the replica restored to a known-good
+        point before traffic returns).
+
+        Pure metadata, O(1): the new manifest re-references ``to_version``'s
+        immutable data files (vacuum walks retained manifests for live
+        refs, so those files stay alive as long as the restored head does)
+        — no data is copied, history stays linear and time-travelable, and
+        the exact-diff changefeed emits the COMPENSATING changes
+        (deletes/updates undoing the rolled-back tail), so downstream
+        cascades converge to the restored state instead of diverging.
+        No change file is written — the relaxed fast path cannot
+        misrepresent a restore; readers fall back to the exact diff.
+
+        ``rewind=False`` (default, Delta semantics): the current lineage
+        watermarks and writer-epoch map are carried forward — a resumed
+        stream continues PAST the rolled-back tail (those events stay
+        dropped unless the log re-delivers them under higher lsns).
+
+        ``rewind=True``: ``to_version``'s lineage and writer map are
+        restored too, so re-playing the tail of the changelog (fresh
+        checkpoint) RE-APPLIES the rolled-back events — the "rewind the
+        consumer group" recovery MM2 enables via translated offsets
+        (docs/consideration.md:37-48).
+        """
+        current = self.current_version()
+        if not (1 <= to_version <= current):
+            raise ValueError(
+                f"cannot restore to v{to_version}: table is at v{current}"
+            )
+        if to_version == current:
+            return current  # no-op, Delta-compatible
+        if self.staged_version() is not None:
+            raise ValueError(
+                "a staged (write-audit-publish) version is pending: "
+                "publish_staged() or abort_staged() before restoring"
+            )
+        try:
+            target = self.manifest(to_version)
+        except FileNotFoundError:
+            target = None
+        if target is None:
+            raise ValueError(
+                f"version {to_version} was expired by vacuum; pick from "
+                f"{self.versions()}"
+            )
+        head = self.current_manifest()
+        basis = target if rewind else head
+        version = current + 1
+        manifest = {
+            "version": version,
+            "epoch": basis["epoch"],
+            "writers": dict(basis.get("writers", {})),
+            "n_buckets": target["n_buckets"],
+            "schema": target["schema"],
+            "buckets": dict(target["buckets"]),
+            "bucket_bytes": dict(target.get("bucket_bytes", {})),
+            "lineage": basis["lineage"],
+            "restored_from": to_version,
+        }
+        if target.get("mor"):
+            manifest["mor"] = dict(target["mor"])
+        if target.get("stats"):
+            manifest["stats"] = dict(target["stats"])
+        _stamp_commit_ts(manifest, floor_ms=head.get("committed_at_ms"))
+        man_dir = os.path.join(self.root, "manifests")
+        os.makedirs(man_dir, exist_ok=True)
+        mpath = os.path.join(man_dir, f"v{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        with open(self.pointer_path + ".tmp", "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(self.pointer_path + ".tmp", self.pointer_path)
+        return version
+
+    @_locked
     def rewrite_buckets(
         self,
         spark: SparkSession,
