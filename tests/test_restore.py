@@ -226,3 +226,56 @@ def test_restore_guards(spark, tmp_path):
     store2.abort_staged()
     assert store2.restore(1) == store2.current_version()
     assert store2.read_state(spark).count() == 20
+
+
+def test_restore_compensating_diff_keeps_incremental_index_consistent(
+    spark, tmp_path
+):
+    """A derived incremental index tailing the table's changefeed sees a
+    restore as ONE compensating change set and converges to full-recompute
+    parity over the RESTORED state — no rebuild, no special-casing. Runs
+    with persisted change files on, so this also proves the restore
+    version (which writes no change file) falls back to the exact diff
+    inside a mixed range."""
+    from test_dedup_incremental import (
+        BASE,
+        _env,
+        _pairs_set,
+        _state_docs,
+    )
+
+    from kp_data_replication_spark.operators.dedup_docs import minhash_lsh_pairs
+    from kp_data_replication_spark.operators.dedup_incremental import (
+        IncrementalDedupIndex,
+    )
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    engine = CdcApplyEngine(
+        src, EngineConfig(metrics=False, changefeed_files=True)
+    )
+    index = IncrementalDedupIndex(str(tmp_path / "idx"), n_buckets=4)
+
+    batches = [
+        [_env(d, "c", BASE[d], lsn=d) for d in (0, 1, 2, 3, 12)],
+        [_env(10, "c", BASE[10], lsn=100), _env(11, "c", BASE[11], lsn=101),
+         _env(2, "u", BASE[0] + " now a copy of doc zero text", lsn=102)],
+        [_env(10, "d", BASE[10], lsn=200),
+         _env(1, "u", "entirely new text sharing nothing with doc zero",
+              lsn=201)],
+    ]
+    for i, b in enumerate(batches):
+        engine.apply_batch(spark.createDataFrame(b, CHANGELOG_SCHEMA), i)
+        index.update(spark, src)
+
+    # restore to v2 (after epoch 1): doc 10 reappears, doc 1 reverts to
+    # its near-dup-of-0 text — the index must follow through the
+    # changefeed alone
+    src.restore(2)
+    out = index.update(spark, src)
+    assert out["status"] == "committed"
+
+    full = _pairs_set(minhash_lsh_pairs(_state_docs(spark, src)).collect())
+    inc = _pairs_set(index.all_pairs(spark).collect(), incremental=True)
+    assert inc == full and any({a, b} == {0, 1} for a, b, _ in inc)
+    assert any({a, b} == {10, 11} for a, b, _ in inc)
