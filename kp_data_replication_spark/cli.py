@@ -386,6 +386,22 @@ def main(argv: list[str] | None = None) -> None:
                     help="also keep any version committed within this window "
                          "(AS-OF-TIMESTAMP reads stay answerable across it)")
 
+    fg = sub.add_parser(
+        "forget",
+        help="right-to-be-forgotten / takedown: hard-delete keys from live "
+             "state AND all retained history, change files, tombstones "
+             "(GDPR Article-17; vacuum alone keeps serving them via time "
+             "travel)")
+    fg.add_argument("target")
+    fg.add_argument("--key", action="append", default=[],
+                    metavar="REPO:PATH",
+                    help="repeatable; exact (repo, path) key to forget")
+    fg.add_argument("--repo", action="append", default=[],
+                    help="repeatable; forget EVERY path of this repo")
+    fg.add_argument("--force", action="store_true",
+                    help="proceed even while shallow clones reference this "
+                         "table's files")
+
     rs = sub.add_parser(
         "restore",
         help="roll the table head back to a prior version as a new commit "
@@ -604,6 +620,17 @@ def main(argv: list[str] | None = None) -> None:
                 TableStore(args.source), store, args.alias,
                 whitelist=args.topics,
             )))
+        return
+    if args.cmd == "forget":
+        spark = get_spark(app_name="kp-cdc-forget", cpus=args.cpus)
+        keys = []
+        for k in args.key:
+            repo, _, path = k.partition(":")
+            if not path:
+                raise SystemExit(f"--key wants REPO:PATH, got {k!r}")
+            keys.append((repo, path))
+        print(json.dumps(TableStore(args.target).forget_keys(
+            spark, keys=keys, repos=args.repo, force=args.force)))
         return
     if args.cmd == "restore":  # pure metadata op — no Spark session needed
         v = TableStore(args.target).restore(args.to_version, rewind=args.rewind)

@@ -78,7 +78,13 @@ def narrow_versions(store: TableStore, v_from: int, v_to: int) -> tuple[int, int
     """
     def _preserving(v: int) -> bool:
         try:
-            return bool((store.manifest(v) or {}).get("row_preserving"))
+            m = store.manifest(v) or {}
+            # a version carrying forget_keys delete markers is never
+            # narrowable: the markers are the ONLY remaining evidence of
+            # the scrubbed deletes and must stay inside the range
+            return bool(m.get("row_preserving")) and not m.get(
+                "forget_deletes"
+            )
         except FileNotFoundError:
             # vacuumed intermediate manifest: can't prove preservation —
             # stop narrowing; the endpoint reads below validate retention
@@ -260,8 +266,62 @@ def table_changes(
     # stamp in the before image). Tables without the column are unaffected.
     old = store.read_state(spark, buckets=dirty, version=p, include_deleted=True)
     new = store.read_state(spark, buckets=dirty, version=q, include_deleted=True)
-    return diff_states(old, new, key_cols).withColumn(
+    diff = diff_states(old, new, key_cols).withColumn(
         VERSION_COL, F.lit(v_to).cast("long")
+    )
+    markers = _forget_markers(spark, store, v_from, v_to, key_cols)
+    if markers is not None:
+        # a key with a real row in the diff resolves by the diff (its
+        # final-state transition is authoritative — e.g. the upstream log
+        # lawfully re-created the path); only keys the scrub made
+        # invisible need the explicit delete. A delete for a key the
+        # consumer never held is an idempotent no-op.
+        kc = key_cols or KEY_COLS
+        pad = markers.join(diff.select(*kc), kc, "left_anti")
+        for f in diff.schema.fields:
+            if f.name in kc:
+                continue
+            if f.name == CHANGE_TYPE_COL:
+                pad = pad.withColumn(f.name, F.lit("delete"))
+            elif f.name == VERSION_COL:
+                pad = pad.withColumn(
+                    f.name, F.lit(v_to).cast("long")
+                )
+            else:
+                pad = pad.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        diff = diff.unionByName(pad.select(diff.columns))
+    return diff
+
+
+def _forget_markers(
+    spark: SparkSession,
+    store: TableStore,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str] | None,
+) -> DataFrame | None:
+    """Key-only delete markers :meth:`TableStore.forget_keys` attached to
+    versions in ``(v_from, v_to]`` — the surviving evidence of deletes
+    whose state-diff footprint the history scrub erased. None when the
+    range crosses no redaction."""
+    rels = []
+    for v in range(v_from + 1, v_to + 1):
+        try:
+            m = store.manifest(v)
+        except FileNotFoundError:
+            continue
+        if m and m.get("forget_deletes"):
+            rels.append(m["forget_deletes"])
+    if not rels:
+        return None
+    kc = key_cols or KEY_COLS
+    return (
+        spark.read.schema("repo STRING, path STRING")
+        .parquet(*[os.path.join(store.root, r) for r in rels])
+        .select(*kc)
+        .distinct()
     )
 
 
@@ -292,6 +352,23 @@ def table_changes_cdf(
         v_to = store.current_version()
     if v_to < v_from:
         raise ValueError(f"v_to={v_to} < v_from={v_from}")
+    for v in range(v_from + 1, v_to + 1):
+        try:
+            m = store.manifest(v)
+        except FileNotFoundError:
+            continue
+        if m and m.get("forget_deletes"):
+            # the retraction feed NEEDS pre-images, and forget_keys
+            # scrubbed exactly those — emitting null-padded deletes would
+            # silently corrupt downstream aggregates. Refusing is the
+            # honest contract: rebuild the derived view from current
+            # state and resume past the redaction.
+            raise ValueError(
+                f"changefeed range ({v_from}, {v_to}] crosses a "
+                f"forget_keys redaction at v{v}: the scrubbed pre-images "
+                "cannot be retracted — full_recompute the derived view, "
+                "then resume from the current version"
+            )
     p, q = narrow_versions(store, v_from, v_to)
     dirty = changed_buckets(store, p, q)
     old = store.read_state(spark, buckets=dirty, version=p)
@@ -316,6 +393,10 @@ def _changes_from_files(
     for v in range(v_from + 1, v_to + 1):
         m = store.manifest(v)
         if m is None:
+            return None
+        if m.get("forget_deletes"):
+            # a forget_keys redaction in range: its deletes exist ONLY as
+            # key markers the exact-diff path unions in — fall back
             return None
         if m.get("row_preserving") or m.get("changefeed_skip"):
             # physical-only rewrite / replica-local tombstone GC: logically

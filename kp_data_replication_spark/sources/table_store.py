@@ -1919,6 +1919,8 @@ class TableStore:
             "row_preserving": True,
         }
         manifest.pop("changefeed_skip", None)  # never inherit a purge's flag
+        manifest.pop("forget_deletes", None)  # nor a redaction's markers
+        manifest.pop("restored_from", None)
         self._refresh_stats(
             manifest,
             m,
@@ -2048,6 +2050,8 @@ class TableStore:
             "row_preserving": True,
         }
         manifest.pop("changefeed_skip", None)
+        manifest.pop("forget_deletes", None)
+        manifest.pop("restored_from", None)
         self._refresh_stats(
             manifest,
             m,
@@ -2145,6 +2149,8 @@ class TableStore:
             # re-emitted as a batch of deletes by a cascade
             "changefeed_skip": True,
         }
+        manifest.pop("forget_deletes", None)
+        manifest.pop("restored_from", None)
         # a purge DROPS tombstone rows — physical state differs, so an
         # inherited row_preserving flag (e.g. from a preceding rewrite)
         # would wrongly let an include_deleted diff narrow across it
@@ -2165,6 +2171,421 @@ class TableStore:
             json.dump({"version": version}, f)
         os.replace(self.pointer_path + ".tmp", self.pointer_path)
         return {"purged": n_purged, "version": version, "buckets": sel}
+
+    @_locked
+    def forget_keys(
+        self,
+        spark: SparkSession,
+        keys: list[tuple[str, str]] | None = None,
+        repos: list[str] | None = None,
+        force: bool = False,
+    ) -> dict:
+        """Right-to-be-forgotten / repo-takedown scrub: hard-delete the
+        given ``(repo, path)`` keys — or every path of the given
+        ``repos`` — from the LIVE state AND from every retained
+        historical version, change file, and tombstone (the GDPR
+        Article-17 / DMCA-takedown operation Delta and Iceberg both
+        document as "vacuum is not enough": time travel would otherwise
+        keep serving the data; the reference's replicated-cluster
+        topology, docs/index.md:32-52, makes every replica run it
+        independently, like :meth:`purge_tombstones`).
+
+        Two steps, in this order:
+
+        1. **Head delete commit** — affected buckets of the current
+           version are rewritten without the matching rows (tombstones
+           included) and committed as a NORMAL version, so the exact-diff
+           changefeed emits the deletes and tailing cascades/indexes
+           converge (each replica must still scrub its own history).
+        2. **History scrub** — every retained manifest's candidate files
+           (bucket-hash pruned per manifest layout, then zonemap/bloom
+           pruned where stats exist) are probed in ONE batched job; files
+           actually containing a key are rewritten 1:1 without those rows,
+           every retained manifest's references are swapped atomically
+           (bytes + zonemaps refreshed), change files are filtered the
+           same way, and only then are the original files deleted. A crash
+           mid-scrub leaves both old and new files readable and the
+           operation idempotent to re-run; unreferenced leftovers are
+           vacuum's ordinary crash orphans.
+
+        Scale shape: the probe reads only key columns of bucket+zonemap
+        pruned files; rewrites touch exactly the files that contain the
+        keys — O(matching files), never O(table). The per-file rewrite is
+        the unavoidable compliance cost (immutable formats cannot redact
+        in place).
+
+        Boundaries (documented, mechanism elsewhere): an upstream log
+        re-delivering an old insert for a forgotten key would re-create
+        it — redact the log itself (the Kafka compacted-topic delete);
+        the engine-level DLQ directory is outside the table root and must
+        be scrubbed by its owner. Shallow clones borrow this table's
+        files, so the call REFUSES while ``clone:`` consumers are
+        registered unless ``force=True`` (localize or forget on the
+        clones first). An audit line is appended to ``_redactions.jsonl``.
+
+        Returns ``{version, live_deleted, files_rewritten, rows_removed,
+        manifests_updated, change_files_rewritten}``.
+        """
+        keys = list(keys or [])
+        repos = list(repos or [])
+        if not keys and not repos:
+            raise ValueError("forget_keys: pass keys=[(repo, path), ...] "
+                             "and/or repos=[repo, ...]")
+        if self.staged_version() is not None:
+            raise ValueError(
+                "a staged (write-audit-publish) version is pending: "
+                "publish_staged() or abort_staged() before forgetting"
+            )
+        clones = [g for g in self.consumers() if g.startswith("clone:")]
+        if clones and not force:
+            raise ValueError(
+                f"shallow clones reference this table's files: {clones}; "
+                "scrub/localize them first or pass force=True"
+            )
+        head_m = self.current_manifest()
+        if head_m is None:
+            return {"version": 0, "live_deleted": 0, "files_rewritten": 0,
+                    "rows_removed": 0, "manifests_updated": 0,
+                    "change_files_rewritten": 0}
+
+        def _match_col():
+            preds = [
+                (F.col("repo") == F.lit(r)) & (F.col("path") == F.lit(p))
+                for r, p in keys
+            ] + [F.col("repo") == F.lit(r) for r in repos]
+            out = preds[0]
+            for p in preds[1:]:
+                out = out | p
+            return out
+
+        # ---- step 1: head delete commit (normal changefeed semantics) ----
+        nb_head = head_m["n_buckets"]
+        probe = (
+            self.read_state(spark, include_deleted=True)
+            .filter(_match_col())
+            .groupBy(bucket_expr(nb_head).alias(BUCKET_COL))
+            .count()
+            .collect()
+        )
+        live_deleted = sum(r["count"] for r in probe)
+        version = self.current_version()
+        if probe:
+            sel = sorted(int(r[BUCKET_COL]) for r in probe)
+            version = self.current_version() + 1
+            epoch_rel = f"data/v{version}"
+            epoch_dir = os.path.join(self.root, epoch_rel)
+            shutil.rmtree(epoch_dir, ignore_errors=True)
+            df = (
+                self.read_state(spark, buckets=sel, include_deleted=True)
+                .filter(~_match_col())
+                .withColumn(BUCKET_COL, bucket_expr(nb_head))
+            )
+            (
+                df.repartition(len(sel), F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(epoch_dir)
+            )
+            buckets_map = dict(head_m["buckets"])
+            bucket_bytes = dict(head_m.get("bucket_bytes", {}))
+            for b in sel:
+                d = os.path.join(epoch_dir, f"{BUCKET_COL}={b}")
+                buckets_map[str(b)] = sorted(
+                    f"{epoch_rel}/{BUCKET_COL}={b}/{f}"
+                    for f in (os.listdir(d) if os.path.isdir(d) else [])
+                    if f.endswith(".parquet")
+                )
+                bucket_bytes[str(b)] = sum(
+                    os.path.getsize(os.path.join(self.root, f))
+                    for f in buckets_map[str(b)]
+                )
+            manifest = {
+                **head_m,
+                "version": version,
+                "buckets": buckets_map,
+                "bucket_bytes": bucket_bytes,
+            }
+            # a CoW replace of the dirty buckets subsumes any delta layers
+            mor_counts = dict(head_m.get("mor", {}))
+            for b in sel:
+                mor_counts.pop(str(b), None)
+            if mor_counts:
+                manifest["mor"] = mor_counts
+            else:
+                manifest.pop("mor", None)
+            manifest.pop("row_preserving", None)
+            manifest.pop("changes", None)  # the diff IS the delete set
+            manifest.pop("changefeed_skip", None)
+            manifest.pop("forget_deletes", None)  # new markers attached below
+            manifest.pop("restored_from", None)
+            self._refresh_stats(
+                manifest, head_m,
+                [f for b in sel for f in buckets_map[str(b)]],
+                head_m["schema"],
+            )
+            mpath = os.path.join(self.root, "manifests", f"v{version}.json")
+            _stamp_commit_ts(manifest)
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(manifest, f)
+            os.replace(mpath + ".tmp", mpath)
+            with open(self.pointer_path + ".tmp", "w") as f:
+                json.dump({"version": version}, f)
+            os.replace(self.pointer_path + ".tmp", self.pointer_path)
+
+        # ---- step 2: history scrub over retained versions ----
+        # candidate files: per-manifest bucket-hash pruning (layouts may
+        # differ across a rebucket), then per-file zonemap/bloom pruning
+        per_nb_buckets: dict[int, set[int]] = {}
+
+        def _affected_buckets(nb: int) -> set[int]:
+            if nb not in per_nb_buckets:
+                if repos:
+                    per_nb_buckets[nb] = set(range(nb))  # path unknown
+                else:
+                    kdf = spark.createDataFrame(
+                        keys, "repo string, path string"
+                    ).select(bucket_expr(nb).alias("b"))
+                    per_nb_buckets[nb] = {
+                        int(r["b"]) for r in kdf.distinct().collect()
+                    }
+            return per_nb_buckets[nb]
+
+        key_wheres = [[("repo", "=", r), ("path", "=", p)] for r, p in keys]
+        key_wheres += [[("repo", "=", r)] for r in repos]
+        candidates: set[str] = set()
+        # the head version scans too: under merge-on-read a base layer the
+        # head still references can hold a matching row a later tombstone
+        # layer merely shadows — "not live" is not "not stored"
+        scan_versions = self.versions()
+        for v in scan_versions:
+            m = self.manifest(v)
+            stats = m.get("stats", {})
+            for b in _affected_buckets(m["n_buckets"]):
+                for fref in m["buckets"].get(str(b), []):
+                    fst = stats.get(fref)
+                    if fst is None or any(
+                        _file_may_match(fst, w) for w in key_wheres
+                    ):
+                        candidates.add(fref)
+
+        def _abs(ref: str) -> str:
+            return ref if os.path.isabs(ref) else os.path.join(self.root, ref)
+
+        # one batched probe over the two key columns only (parquet serves
+        # a subset schema per file, so era/MoR schema drift is moot):
+        # which files REALLY hold a matching row — zonemaps are ranges,
+        # this is the exact check
+        to_rewrite: list[str] = []
+        rows_removed = 0
+        if candidates:
+            cand = sorted(candidates)
+            hits = (
+                spark.read.schema("repo STRING, path STRING")
+                .parquet(*[_abs(f) for f in cand])
+                .filter(_match_col())
+                .groupBy(F.input_file_name().alias("f"))
+                .count()
+                .collect()
+            )
+            by_uri = {}
+            for r in hits:
+                by_uri[r["f"].replace("file://", "")] = r["count"]
+            for fref in cand:
+                n = by_uri.get(_abs(fref))
+                if n:
+                    to_rewrite.append(fref)
+                    rows_removed += n
+
+        # ---- delete markers: the scrub below erases the state-diff
+        # evidence that these keys ever died, so a lagging changefeed
+        # consumer crossing the scrub would keep its stale copy forever.
+        # Persist a KEY-ONLY delete-marker file (the Kafka tombstone
+        # convention: the identifier survives, the payload does not) and
+        # attach it to the head manifest; table_changes unions it into any
+        # range crossing this version ----
+        marker_keys = spark.createDataFrame(
+            keys or [("", "")], "repo string, path string"
+        ).filter(F.col("repo") != "")
+        if to_rewrite:
+            marker_keys = marker_keys.unionByName(
+                spark.read.schema("repo STRING, path STRING")
+                .parquet(*[_abs(f) for f in to_rewrite])
+                .filter(_match_col())
+            )
+        marker_keys = marker_keys.distinct()
+        prior_rel = self.current_manifest().get("forget_deletes")
+        if prior_rel and os.path.exists(_abs(prior_rel)):
+            # a second forget at the same head merges into ONE marker set
+            marker_keys = marker_keys.unionByName(
+                spark.read.parquet(_abs(prior_rel))
+                .select("repo", "path")
+            ).distinct()
+        seq = 0
+        while os.path.exists(os.path.join(
+            self.root, f"changes/forget_deletes_v{version}_{seq}.parquet"
+        )):
+            seq += 1
+        marker_rel = f"changes/forget_deletes_v{version}_{seq}.parquet"
+        (
+            marker_keys.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.root, marker_rel))
+        )
+
+        # rewrite each hit file 1:1 with ITS OWN schema (versions differ)
+        forget_rel = f"data/_forget/v{version}"
+        mapping: dict[str, str] = {}
+        base = 0
+        if to_rewrite:
+            fdir = os.path.join(self.root, forget_rel)
+            os.makedirs(fdir, exist_ok=True)
+            # a second forget at the same head version must not overwrite
+            # files the first one's manifests already reference
+            base = sum(1 for f in os.listdir(fdir) if f.endswith(".parquet"))
+        for i, fref in enumerate(sorted(to_rewrite), start=base):
+            src_abs = _abs(fref)
+            tmp_dir = os.path.join(self.root, forget_rel, f"_tmp{i}")
+            (
+                spark.read.parquet(src_abs)
+                .filter(~_match_col())
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp_dir)
+            )
+            part = next(
+                (f for f in os.listdir(tmp_dir)
+                 if f.endswith(".parquet") and not f.startswith(".")),
+                None,
+            )
+            new_rel = f"{forget_rel}/part-{i:05d}.parquet"
+            if part is not None:
+                os.replace(os.path.join(tmp_dir, part),
+                           os.path.join(self.root, new_rel))
+            else:
+                # every row matched: Spark writes no part file for an
+                # empty frame — emit an empty file with the SOURCE schema
+                # so the 1:1 reference swap stays uniform
+                import pyarrow.parquet as pq
+
+                sch = pq.read_schema(src_abs)
+                pq.write_table(
+                    sch.empty_table(), os.path.join(self.root, new_rel)
+                )
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            mapping[fref] = new_rel
+
+        # swap references in every retained manifest (atomic per manifest);
+        # originals are deleted only after every manifest points away
+        manifests_updated = 0
+        change_files_rewritten = 0
+        new_paths = set(mapping.values())
+        for v in scan_versions:
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            changed = False
+            if v == version:
+                m["forget_deletes"] = marker_rel
+                changed = True
+            new_buckets = {}
+            for b, fs in m["buckets"].items():
+                new_fs = [mapping.get(f, f) for f in fs]
+                if new_fs != fs:
+                    changed = True
+                new_buckets[b] = new_fs
+            if changed:
+                m["buckets"] = new_buckets
+                bb = dict(m.get("bucket_bytes", {}))
+                for b, fs in new_buckets.items():
+                    if any(f in new_paths for f in fs):
+                        bb[b] = sum(os.path.getsize(_abs(f)) for f in fs)
+                m["bucket_bytes"] = bb
+                if "stats" in m:
+                    stats = {
+                        p: s for p, s in m["stats"].items() if p not in mapping
+                    }
+                    if self.collect_stats:
+                        harvest = sorted(
+                            {f for fs in new_buckets.values() for f in fs}
+                            & new_paths
+                        )
+                        stats.update(
+                            collect_file_stats(
+                                self.root, harvest,
+                                stat_columns(
+                                    T.StructType.fromJson(m["schema"])
+                                ),
+                                bloom_cols=self.bloom_cols,
+                            )
+                        )
+                    if stats:
+                        m["stats"] = stats
+                    else:
+                        m.pop("stats", None)
+            # change files carry the keys' row images too
+            ch_rel = m.get("changes")
+            if ch_rel:
+                ch_dir = os.path.join(self.root, ch_rel)
+                if os.path.isdir(ch_dir):
+                    ch = spark.read.parquet(ch_dir)
+                    n_hit = ch.filter(_match_col()).count()
+                    if n_hit:
+                        new_ch = f"changes/forget_v{v}.parquet"
+                        (
+                            ch.filter(~_match_col())
+                            .coalesce(1)
+                            .write.mode("overwrite")
+                            .parquet(os.path.join(self.root, new_ch))
+                        )
+                        m["changes"] = new_ch
+                        changed = True
+                        change_files_rewritten += 1
+            if changed:
+                mpath = os.path.join(self.root, "manifests", f"v{v}.json")
+                with open(mpath + ".tmp", "w") as f:
+                    json.dump(m, f)
+                os.replace(mpath + ".tmp", mpath)
+                manifests_updated += 1
+
+        # the merged marker supersedes a prior same-version marker file
+        if prior_rel and prior_rel != marker_rel:
+            shutil.rmtree(_abs(prior_rel), ignore_errors=True)
+
+        # last: drop the originals we own (borrowed absolute refs of a
+        # clone's source are NOT ours to delete)
+        for old in mapping:
+            if not os.path.isabs(old):
+                p = os.path.join(self.root, old)
+                if os.path.exists(p):
+                    os.remove(p)
+                crc = os.path.join(
+                    os.path.dirname(p), "." + os.path.basename(p) + ".crc"
+                )
+                if os.path.exists(crc):
+                    os.remove(crc)
+        # stale change dirs replaced above
+        for v in scan_versions:
+            old_ch = os.path.join(self.root, f"changes/v{v}.parquet")
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            if m.get("changes") == f"changes/forget_v{v}.parquet" and \
+                    os.path.isdir(old_ch):
+                shutil.rmtree(old_ch, ignore_errors=True)
+
+        audit = {
+            "keys": keys, "repos": repos, "version": version,
+            "live_deleted": int(live_deleted),
+            "files_rewritten": len(mapping),
+            "rows_removed": int(rows_removed),
+            "manifests_updated": manifests_updated,
+            "change_files_rewritten": change_files_rewritten,
+        }
+        with open(os.path.join(self.root, "_redactions.jsonl"), "a") as f:
+            f.write(json.dumps(audit) + "\n")
+        return audit
 
     def describe(self, with_versions: bool = True) -> dict:
         """Table snapshot + version log — the Delta ``DESCRIBE
@@ -2320,6 +2741,8 @@ class TableStore:
                 live.add(m["lineage"])
             if m.get("changes"):
                 live.add(m["changes"])
+            if m.get("forget_deletes"):
+                live.add(m["forget_deletes"])
 
         removed_files = 0
         for sub in ("data", "lineage", "changes"):

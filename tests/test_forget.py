@@ -1,0 +1,256 @@
+"""TableStore.forget_keys: right-to-be-forgotten / repo-takedown scrub
+across the LIVE state and ALL retained history (the GDPR Article-17 op
+vacuum+time-travel makes necessary: expiring versions is not deleting a
+key that lives in versions you keep).
+
+The hard property tested here is PHYSICAL absence: after the call, no
+parquet file anywhere under the table root — data, MoR layers, change
+files — contains the key, at any retained version, while every other
+row's bytes are untouched and the changefeed/cascade machinery sees the
+live deletes as a normal version.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kp_data_replication_spark.datagen import ChangelogSpec, write_changelog
+from kp_data_replication_spark.operators.changefeed import cascade_catchup
+from kp_data_replication_spark.sources.table_store import TableStore
+from kp_data_replication_spark.streaming.apply import CdcApplyEngine, EngineConfig
+
+
+def _sha_state(spark, store, **kw):
+    return sorted(
+        hashlib.sha256(
+            f"{r['repo']}|{r['path']}|{r['content']}".encode()
+        ).hexdigest()
+        for r in store.read_state(spark, **kw).collect()
+    )
+
+
+def _build(spark, tmp_path, name="t", **eng_kw):
+    d = str(tmp_path / f"cl_{name}")
+    write_changelog(
+        spark, d,
+        ChangelogSpec(n_keys=60, versions_per_key=3, n_partitions=2,
+                      files=4, dup_every=0),
+    )
+    store = TableStore(str(tmp_path / name), n_buckets=4)
+    engine = CdcApplyEngine(store, EngineConfig(metrics=False, **eng_kw))
+    batches = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    for i, f in enumerate(batches):
+        engine.apply_batch(
+            spark.read.option("mergeSchema", "true").parquet(f"{d}/{f}"), i
+        )
+    return store, engine
+
+
+def _physical_hits(spark, root, pred_cols):
+    """Count rows matching the key predicate in EVERY parquet file under
+    the table root (data + changes), read raw — the compliance check.
+    Key-only delete-marker files are exempt by design: the identifier
+    survives (the Kafka tombstone convention), the payload must not."""
+    files = []
+    for sub in ("data", "changes"):
+        base = os.path.join(root, sub)
+        for dirpath, _, fs in os.walk(base):
+            if "forget_deletes" in dirpath:
+                continue
+            files += [
+                os.path.join(dirpath, f) for f in fs
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+    if not files:
+        return 0
+    df = spark.read.schema("repo STRING, path STRING").parquet(*files)
+    return df.filter(pred_cols).count()
+
+
+def _pick_keys(spark, store):
+    """One key still live at head, one key whose last op was a delete
+    (history-only presence)."""
+    live = store.read_state(spark).select("repo", "path").first()
+    all_hist = {
+        (r["repo"], r["path"])
+        for r in store.read_state(spark, version=2)
+        .select("repo", "path").collect()
+    }
+    head = {
+        (r["repo"], r["path"])
+        for r in store.read_state(spark).select("repo", "path").collect()
+    }
+    gone = sorted(all_hist - head)
+    assert gone, "fixture needs a key that died before head"
+    return (live["repo"], live["path"]), gone[0]
+
+
+def test_forget_scrubs_live_and_history_keeps_everything_else(
+    spark, tmp_path
+):
+    store, _ = _build(spark, tmp_path, changefeed_files=True)
+    (lr, lp), (gr, gp) = _pick_keys(spark, store)
+    keys = [(lr, lp), (gr, gp)]
+    pred = ((F.col("repo") == lr) & (F.col("path") == lp)) | (
+        (F.col("repo") == gr) & (F.col("path") == gp)
+    )
+    assert _physical_hits(spark, store.root, pred) > 0
+    head = store.current_version()
+    keep_head = {
+        (r["repo"], r["path"]): r["content"]
+        for r in store.read_state(spark).collect()
+        if (r["repo"], r["path"]) not in keys
+    }
+    keep_v2 = {
+        (r["repo"], r["path"]): r["content"]
+        for r in store.read_state(spark, version=2).collect()
+        if (r["repo"], r["path"]) not in keys
+    }
+
+    out = store.forget_keys(spark, keys=keys)
+    assert out["live_deleted"] >= 1
+    assert out["files_rewritten"] >= 1 and out["rows_removed"] >= 1
+    assert store.current_version() == head + 1
+
+    # physical absence everywhere under the root
+    assert _physical_hits(spark, store.root, pred) == 0
+    # live state: only the forgotten live key is gone, byte-for-byte
+    now = {
+        (r["repo"], r["path"]): r["content"]
+        for r in store.read_state(spark).collect()
+    }
+    assert now == keep_head
+    assert (lr, lp) not in now and (gr, gp) not in now
+    # every retained version still reads, minus exactly the forgotten keys
+    v2 = {
+        (r["repo"], r["path"]): r["content"]
+        for r in store.read_state(spark, version=2).collect()
+    }
+    assert v2 == keep_v2
+    # audit trail
+    lines = open(os.path.join(store.root, "_redactions.jsonl")).readlines()
+    assert json.loads(lines[-1])["rows_removed"] == out["rows_removed"]
+    # idempotent re-run: nothing left to do
+    again = store.forget_keys(spark, keys=keys)
+    assert again["live_deleted"] == 0 and again["files_rewritten"] == 0
+    # vacuum afterwards: no live file lost, orphan-free walk still works
+    store.vacuum(keep_versions=2)
+    assert (lr, lp) not in {
+        (r["repo"], r["path"]) for r in
+        store.read_state(spark).select("repo", "path").collect()
+    }
+
+
+def test_forget_repo_takedown_and_cascade_propagation(spark, tmp_path):
+    src, _ = _build(spark, tmp_path, name="src")
+    dst = TableStore(str(tmp_path / "dst"), n_buckets=4)
+    dst_engine = CdcApplyEngine(dst, EngineConfig(metrics=False))
+    cascade_catchup(spark, src, dst_engine, n_partitions=2)
+
+    # take down the busiest repo entirely
+    repo = (
+        src.read_state(spark).groupBy("repo").count()
+        .orderBy(F.desc("count")).first()["repo"]
+    )
+    out = src.forget_keys(spark, repos=[repo])
+    assert out["live_deleted"] > 0
+    assert _physical_hits(spark, src.root, F.col("repo") == repo) == 0
+
+    # the head delete commit is a NORMAL version: the tailing replica
+    # applies the deletes and its live state converges
+    cascade_catchup(spark, src, dst_engine, n_partitions=2)
+    assert dst.read_state(spark).filter(F.col("repo") == repo).count() == 0
+    assert _sha_state(spark, dst) == _sha_state(spark, src)
+    # ...but the replica's HISTORY still holds the repo until it scrubs
+    # itself (documented per-replica duty, like purge_tombstones)
+    assert _physical_hits(spark, dst.root, F.col("repo") == repo) > 0
+    dst.forget_keys(spark, repos=[repo])
+    assert _physical_hits(spark, dst.root, F.col("repo") == repo) == 0
+
+
+def test_forget_under_merge_on_read_layers(spark, tmp_path):
+    store, engine = _build(spark, tmp_path, table_mode="mor")
+    assert store.current_manifest().get("mor"), "fixture should be layered"
+    (lr, lp), (gr, gp) = _pick_keys(spark, store)
+    pred = ((F.col("repo") == lr) & (F.col("path") == lp)) | (
+        (F.col("repo") == gr) & (F.col("path") == gp)
+    )
+    keep = {
+        (r["repo"], r["path"]): r["content"]
+        for r in store.read_state(spark).collect()
+        if (r["repo"], r["path"]) not in {(lr, lp), (gr, gp)}
+    }
+    out = store.forget_keys(spark, keys=[(lr, lp), (gr, gp)])
+    assert out["rows_removed"] + out["live_deleted"] > 0
+    # base layers under the head that only SHADOWED the key are scrubbed
+    assert _physical_hits(spark, store.root, pred) == 0
+    # every surviving row byte-identical; the forgotten keys gone
+    now = {
+        (r["repo"], r["path"]): r["content"]
+        for r in store.read_state(spark).collect()
+    }
+    assert now == keep
+
+
+def test_forget_guards(spark, tmp_path):
+    store, _ = _build(spark, tmp_path)
+    with pytest.raises(ValueError, match="pass keys"):
+        store.forget_keys(spark)
+    clone_dir = str(tmp_path / "cl0")
+    store.clone(clone_dir)
+    key = store.read_state(spark).select("repo", "path").first()
+    with pytest.raises(ValueError, match="clones"):
+        store.forget_keys(spark, keys=[(key["repo"], key["path"])])
+    # force proceeds; borrowed refs in the clone are left intact
+    out = store.forget_keys(
+        spark, keys=[(key["repo"], key["path"])], force=True
+    )
+    assert out["live_deleted"] >= 1
+
+
+def test_forget_flows_to_incremental_index_and_cdf_refuses(spark, tmp_path):
+    """The dedup index (key-level retraction via table_changes) converges
+    across a forget through the delete markers; the full-CDF retraction
+    feed refuses the range because the pre-images it needs are scrubbed."""
+    from test_dedup_incremental import BASE, _env, _pairs_set, _state_docs
+
+    from kp_data_replication_spark.operators.changefeed import (
+        table_changes_cdf,
+    )
+    from kp_data_replication_spark.operators.dedup_docs import minhash_lsh_pairs
+    from kp_data_replication_spark.operators.dedup_incremental import (
+        IncrementalDedupIndex,
+    )
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    index = IncrementalDedupIndex(str(tmp_path / "idx"), n_buckets=4)
+
+    batches = [
+        [_env(d, "c", BASE[d], lsn=d) for d in (0, 1, 2, 3, 12)],
+        [_env(10, "c", BASE[10], lsn=100), _env(11, "c", BASE[11], lsn=101)],
+    ]
+    for i, b in enumerate(batches):
+        engine.apply_batch(spark.createDataFrame(b, CHANGELOG_SCHEMA), i)
+        index.update(spark, src)
+    pre = _pairs_set(index.all_pairs(spark).collect(), incremental=True)
+    assert any({a, b} == {0, 1} for a, b, _ in pre)
+
+    v_before = src.current_version()
+    src.forget_keys(spark, keys=[("corpus", "0"), ("corpus", "10")])
+    out = index.update(spark, src)
+    assert out["status"] == "committed"
+    full = _pairs_set(minhash_lsh_pairs(_state_docs(spark, src)).collect())
+    inc = _pairs_set(index.all_pairs(spark).collect(), incremental=True)
+    assert inc == full
+    assert not any(0 in (a, b) or 10 in (a, b) for a, b, _ in inc)
+
+    # the retraction feed is honest about what it cannot express
+    with pytest.raises(ValueError, match="redaction"):
+        table_changes_cdf(spark, src, v_before).collect()
