@@ -254,3 +254,82 @@ def test_forget_flows_to_incremental_index_and_cdf_refuses(spark, tmp_path):
     # the retraction feed is honest about what it cannot express
     with pytest.raises(ValueError, match="redaction"):
         table_changes_cdf(spark, src, v_before).collect()
+
+
+def test_forget_between_stream_runs_keeps_table_and_index_consistent(
+    spark, tmp_path
+):
+    """Operator-invoked forget between two runs of the SAME stream: the
+    resumed stream keeps applying from its checkpoint, and the
+    streaming-integrated dedup index catches up ACROSS the forget version
+    through the delete markers — no rebuild, full parity, and the key
+    stays physically absent."""
+    import glob
+    import shutil
+
+    from test_dedup_incremental import BASE, _env, _pairs_set, _state_docs
+
+    from kp_data_replication_spark.operators.dedup_docs import minhash_lsh_pairs
+    from kp_data_replication_spark.operators.dedup_incremental import (
+        IncrementalDedupIndex,
+    )
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+
+    def parity(src, index):
+        # normalize pair order: the index sorts STRING paths, the
+        # recompute sorts numeric doc ids — same pairs either way
+        full = {
+            (min(a, b), max(a, b), n) for a, b, n in
+            _pairs_set(minhash_lsh_pairs(_state_docs(spark, src)).collect())
+        }
+        inc = {
+            (min(a, b), max(a, b), n) for a, b, n in
+            _pairs_set(index.all_pairs(spark).collect(), incremental=True)
+        }
+        assert inc == full, (sorted(inc), sorted(full))
+        return inc
+
+    cl = tmp_path / "cl"
+    cl.mkdir()
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    cp = str(tmp_path / "cp")
+    idx_dir = str(tmp_path / "idx")
+    engine = CdcApplyEngine(
+        src, EngineConfig(metrics=False, dedup_index_dir=idx_dir,
+                          dedup_index_buckets=4)
+    )
+    index = IncrementalDedupIndex(idx_dir, n_buckets=4)
+
+    def put(name, rows):
+        tmp = str(tmp_path / ("_w_" + name))
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    str(cl / (name + ".parquet")))
+
+    put("f0", [_env(d, "c", BASE[d], lsn=d) for d in (0, 1, 2, 3)])
+    put("f1", [_env(10, "c", BASE[10], lsn=100),
+               _env(11, "c", BASE[11], lsn=101)])
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    parity(src, index)
+
+    # operator compliance action while the stream is down; the index is
+    # now BEHIND the table (forget committed a new version)
+    src.forget_keys(spark, keys=[("corpus", "1")])
+    assert _physical_hits(
+        spark, src.root,
+        (F.col("repo") == "corpus") & (F.col("path") == "1"),
+    ) == 0
+
+    # resume with new upstream events for OTHER docs: the stream applies
+    # them and the index crosses the forget version via the markers
+    put("f2", [_env(2, "u", BASE[10] + " drifted toward ten", lsn=200)])
+    q = engine.start_stream(spark, str(cl), cp, CHANGELOG_SCHEMA,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    pairs = parity(src, index)
+    live = {r["path"] for r in src.read_state(spark).collect()}
+    assert "1" not in live and "2" in live
+    assert not any(1 in (a, b) for a, b, _ in pairs)
