@@ -269,7 +269,12 @@ def table_changes(
     diff = diff_states(old, new, key_cols).withColumn(
         VERSION_COL, F.lit(v_to).cast("long")
     )
-    markers = _forget_markers(spark, store, v_from, v_to, key_cols)
+    # a from-zero read needs no markers: the empty->head diff already
+    # reflects the forgotten keys' absence, and the consumer holds nothing
+    markers = (
+        _forget_markers(spark, store, v_from, v_to, key_cols)
+        if v_from > 0 else None
+    )
     if markers is not None:
         # a key with a real row in the diff resolves by the diff (its
         # final-state transition is authoritative — e.g. the upstream log
@@ -352,7 +357,10 @@ def table_changes_cdf(
         v_to = store.current_version()
     if v_to < v_from:
         raise ValueError(f"v_to={v_to} < v_from={v_from}")
-    for v in range(v_from + 1, v_to + 1):
+    # a from-zero read is a FULL BUILD: old state is empty, every row is
+    # an insert, no pre-image is ever consulted — safe across any
+    # redaction (this is what rebuild_derived_view relies on)
+    for v in range(v_from + 1, v_to + 1) if v_from > 0 else ():
         try:
             m = store.manifest(v)
         except FileNotFoundError:
@@ -910,3 +918,26 @@ def export_changefeed_json(
     store.record_consumer(consumer, head)
     return {"status": "exported", "from": last, "to": head,
             "files": n_files, "rows": n_rows}
+
+
+def rebuild_derived_view(spark: SparkSession, view, src: TableStore) -> dict:
+    """Rebuild a changefeed-maintained derived store from the source's
+    CURRENT state — the documented escape hatch after
+    :meth:`~..sources.table_store.TableStore.forget_keys`
+    (``table_changes_cdf`` refuses ranges crossing a redaction because
+    the pre-images its retractions need are scrubbed).
+
+    Works on any maintained view with a ``.root`` directory and an
+    ``update(spark, src)`` method (IncrementalAggView, IncrementalLmCounts,
+    the HLL/CMS/HDR sketch stores, the text/join/SCD indexes, the
+    dedup/clone/fork/cluster index family): the view store is wiped and
+    ``update`` runs its ordinary FIRST-BUILD path — a from-zero cdf read
+    is all-inserts over live state, so no scrubbed pre-image is ever
+    needed, and the forgotten keys simply never enter the rebuilt view.
+    The writer fence restarts with the store, so subsequent updates
+    resume incrementally past the redaction.
+    """
+    import shutil as _sh
+
+    _sh.rmtree(view.root, ignore_errors=True)
+    return view.update(spark, src)

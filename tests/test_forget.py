@@ -333,3 +333,47 @@ def test_forget_between_stream_runs_keeps_table_and_index_consistent(
     live = {r["path"] for r in src.read_state(spark).collect()}
     assert "1" not in live and "2" in live
     assert not any(1 in (a, b) for a, b, _ in pairs)
+
+
+def test_forget_then_agg_view_rebuild_resumes_incremental(spark, tmp_path):
+    """A full-CDF consumer (the incremental aggregate view) refuses the
+    range crossing a forget; rebuild_derived_view rebuilds it from live
+    state (from-zero cdf = all inserts, no scrubbed pre-image needed) and
+    subsequent updates resume incrementally past the redaction."""
+    from test_agg_view import MEASURES, _assert_parity, _env
+
+    from kp_data_replication_spark.operators.agg_view import IncrementalAggView
+    from kp_data_replication_spark.operators.changefeed import (
+        rebuild_derived_view,
+    )
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA
+
+    src = TableStore(str(tmp_path / "src"), n_buckets=4)
+    engine = CdcApplyEngine(src, EngineConfig(metrics=False))
+    view = IncrementalAggView(
+        str(tmp_path / "view"), ["lang"], MEASURES, n_buckets=4
+    )
+    b0 = [
+        _env(0, "c", "tiny!", "en", 0),
+        _env(1, "c", "medium words", "en", 1),
+        _env(2, "c", "bonjour", "fr", 2),
+    ]
+    b1 = [_env(3, "c", "the longest english row of them all", "en", 10)]
+    engine.apply_batch(spark.createDataFrame(b0, CHANGELOG_SCHEMA), 0)
+    view.update(spark, src)
+    engine.apply_batch(spark.createDataFrame(b1, CHANGELOG_SCHEMA), 1)
+    view.update(spark, src)
+    _assert_parity(spark, src, view)
+
+    src.forget_keys(spark, keys=[("corpus", "0")])
+    with pytest.raises(ValueError, match="redaction"):
+        view.update(spark, src)
+    rebuild_derived_view(spark, view, src)
+    _assert_parity(spark, src, view)  # en min is no longer doc 0's 5
+
+    # incremental maintenance resumes past the redaction
+    b2 = [_env(4, "c", "salut", "fr", 20), _env(1, "d", None, "en", 21)]
+    engine.apply_batch(spark.createDataFrame(b2, CHANGELOG_SCHEMA), 2)
+    out = view.update(spark, src)
+    assert out["status"] == "committed"
+    _assert_parity(spark, src, view)
