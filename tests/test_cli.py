@@ -196,3 +196,49 @@ def test_fork_index_subcommand(tmp_path):
     assert out["n_pairs"] >= 0
     assert json.loads(_run("fork-index", tgt, idx, "--buckets", "4"))[
         "status"] == "noop"
+
+
+def test_restore_and_forget_subcommands(tmp_path):
+    cl = str(tmp_path / "cl")
+    cl2 = str(tmp_path / "cl2")
+    tgt = str(tmp_path / "tgt")
+    _run("gen", cl, "--keys", "40", "--versions", "2",
+         "--partitions", "2", "--files", "2")
+    _run("replay", cl, tgt)
+    _run("gen", cl2, "--keys", "20", "--versions", "1",
+         "--partitions", "2", "--files", "1")
+    _run("replay", cl2, tgt)
+    s = json.loads(_run("state", tgt))
+    head = s["version"]
+    assert head >= 2
+
+    r = json.loads(_run("restore", tgt, "--to-version", "1"))
+    assert r == {"restored_to": 1, "new_version": head + 1}
+    s1 = json.loads(_run("state", tgt))
+    assert s1["version"] == head + 1
+
+    # forget one live key end-to-end through the CLI
+    import duckdb  # noqa: F401  (env sanity: same interpreter the CLI uses)
+    from kp_data_replication_spark.sources.table_store import TableStore
+
+    store = TableStore(tgt)
+    man = store.current_manifest()
+    # pick any key from the state via the lineage-free lookup path:
+    # cheapest is reading one data file raw
+    import glob
+
+    import pyarrow.parquet as pq
+
+    f = glob.glob(f"{tgt}/data/**/*.parquet", recursive=True)[0]
+    t = pq.read_table(f, columns=["repo", "path"])
+    repo, path = t.column("repo")[0].as_py(), t.column("path")[0].as_py()
+    out = json.loads(_run("forget", tgt, "--key", f"{repo}:{path}"))
+    assert out["rows_removed"] + out["live_deleted"] > 0
+    # the key is gone from every file under the table root
+    for f in glob.glob(f"{tgt}/data/**/*.parquet", recursive=True):
+        t = pq.read_table(f, columns=["repo", "path"])
+        assert not any(
+            r == repo and p == path
+            for r, p in zip(t.column("repo").to_pylist(),
+                            t.column("path").to_pylist())
+        )
