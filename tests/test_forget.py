@@ -377,3 +377,21 @@ def test_forget_then_agg_view_rebuild_resumes_incremental(spark, tmp_path):
     out = view.update(spark, src)
     assert out["status"] == "committed"
     _assert_parity(spark, src, view)
+
+
+def test_forget_markers_pass_fsck_and_survive_vacuum(spark, tmp_path):
+    """The delete-marker file is first-class store metadata: fsck's
+    linkage/orphan audit accepts it, vacuum's live-ref walk retains it
+    while its version is retained, and the store stays fsck-clean after
+    the expiry pass removes the scrubbed history's other artifacts."""
+    from kp_data_replication_spark.sources.fsck import fsck
+
+    store, _ = _build(spark, tmp_path)
+    k = store.read_state(spark).select("repo", "path").first()
+    store.forget_keys(spark, keys=[(k["repo"], k["path"])])
+    marker = store.current_manifest()["forget_deletes"]
+    assert marker.startswith("changes/forget_deletes_")
+    assert fsck(store, spark=spark, deep=True)["ok"]
+    store.vacuum(keep_versions=2)
+    assert os.path.isdir(os.path.join(store.root, marker))
+    assert fsck(store, spark=spark, deep=True)["ok"]
