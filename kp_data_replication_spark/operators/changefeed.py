@@ -321,7 +321,18 @@ def _forget_markers(
             rels.append(m["forget_deletes"])
     if not rels:
         return None
-    kc = key_cols or KEY_COLS
+    kc = list(key_cols or KEY_COLS)
+    if kc != list(KEY_COLS):
+        # marker files are key-only parquet with the TABLE key schema
+        # (repo, path); padding delete rows on any other key set would
+        # either fail analysis or fabricate deletes on the wrong identity
+        raise ValueError(
+            f"changefeed range ({v_from}, {v_to}] crosses a forget_keys "
+            f"redaction whose delete markers carry the table key "
+            f"{list(KEY_COLS)}; key_cols={kc} cannot be derived from "
+            "them — read with the table key, or start the range at or "
+            "after the redaction version"
+        )
     return (
         spark.read.schema("repo STRING, path STRING")
         .parquet(*[os.path.join(store.root, r) for r in rels])

@@ -104,7 +104,12 @@ def _locked(fn):
 
     @functools.wraps(fn)
     def wrapper(self, *a, **k):
+        import time as _time
+
+        t0 = _time.perf_counter()
         with self._write_lock():
+            # acquisition wait only: everything after __enter__ is held
+            self._last_lock_wait = _time.perf_counter() - t0
             return fn(self, *a, **k)
 
     return wrapper
@@ -239,71 +244,110 @@ def _bloom_may_contain(hexstr: str, value) -> bool:
     return all((bits >> p) & 1 for p in _bloom_positions(value))
 
 
+def _harvest_file_stats(
+    root: str, rel: str, columns: list[str], bloom_cols: list[str]
+) -> tuple[str, dict]:
+    """Zonemap/bloom harvest for ONE file — top-level so it ships to
+    executors (Spark-distributed path) and to worker threads unchanged."""
+    import pyarrow.parquet as pq
+
+    want = set(columns)
+    meta = pq.ParquetFile(os.path.join(root, rel)).metadata
+    idx = {
+        meta.schema.column(i).path: i
+        for i in range(meta.num_columns)
+        if meta.schema.column(i).path in want
+    }
+    cols: dict[str, list] = {}
+    for name, ci in idx.items():
+        lo = hi = None
+        nulls = 0
+        usable = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None:
+                usable = False
+                break
+            nulls += st.null_count if st.null_count is not None else 0
+            if not st.has_min_max:
+                # all-null row group writes no min/max — not a failure
+                if st.null_count == meta.row_group(rg).num_rows:
+                    continue
+                usable = False
+                break
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        if not usable:
+            continue
+        lo, hi = _bound_pair(lo, hi)
+        cols[name] = [lo, hi, nulls]
+    ent: dict = {"rows": meta.num_rows, "cols": cols}
+    present_blooms = [
+        c for c in bloom_cols
+        if c in {meta.schema.column(i).path for i in range(meta.num_columns)}
+    ]
+    if present_blooms:
+        tbl = pq.read_table(os.path.join(root, rel), columns=present_blooms)
+        ent["bloom"] = {
+            c: _bloom_build(set(tbl.column(c).to_pylist()))
+            for c in present_blooms
+        }
+    return rel, ent
+
+
+# files-per-commit threshold above which the footer harvest runs as a
+# Spark job on executors instead of driver threads: below it the ~50ms
+# fixed job cost exceeds the harvest itself, above it driver threads
+# saturate (and at cluster scale the footers live next to the executors)
+_STATS_DISTRIBUTE_MIN = 64
+
+
 def collect_file_stats(
     root: str,
     relpaths: list[str],
     columns: list[str],
     bloom_cols: list[str] | None = None,
+    spark: SparkSession | None = None,
 ) -> dict[str, dict]:
-    """Harvest per-file zonemaps from parquet footers (driver-side,
-    metadata-only). At cluster scale this moves into the write tasks —
-    Iceberg's writers report DataFile metrics from the same footers —
-    but the manifest contract is identical. Files whose footer lacks
-    usable statistics get an empty cols map (pruning keeps them).
+    """Harvest per-file zonemaps from parquet footers — the Iceberg
+    DataFile-metrics contract. Files whose footer lacks usable statistics
+    get an empty cols map (pruning keeps them).
+
+    Never a serial driver loop: small commits harvest on a driver thread
+    pool (pyarrow footer reads release the GIL), commits touching
+    ``>= _STATS_DISTRIBUTE_MIN`` files run the harvest as a Spark job so
+    the work scales with the cluster, not the driver — a commit spanning
+    thousands of bucket files costs one short stage, not minutes of
+    driver wall.
 
     ``bloom_cols``: additionally build a per-file bloom filter over each
     listed column's values (a column-pruned read of the new file — the
     only stats path that touches data pages; see the bloom block above
     for the scale story)."""
-    import pyarrow.parquet as pq
+    if not relpaths:
+        return {}
+    blooms = list(bloom_cols or [])
+    if spark is not None and len(relpaths) >= _STATS_DISTRIBUTE_MIN:
+        sc = spark.sparkContext
+        n_slices = min(len(relpaths), sc.defaultParallelism or 8)
+        pairs = (
+            sc.parallelize(relpaths, n_slices)
+            .map(lambda rel: _harvest_file_stats(root, rel, columns, blooms))
+            .collect()
+        )
+        return dict(pairs)
+    from concurrent.futures import ThreadPoolExecutor
 
-    out: dict[str, dict] = {}
-    want = set(columns)
-    for rel in relpaths:
-        meta = pq.ParquetFile(os.path.join(root, rel)).metadata
-        idx = {
-            meta.schema.column(i).path: i
-            for i in range(meta.num_columns)
-            if meta.schema.column(i).path in want
-        }
-        cols: dict[str, list] = {}
-        for name, ci in idx.items():
-            lo = hi = None
-            nulls = 0
-            usable = True
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(ci).statistics
-                if st is None:
-                    usable = False
-                    break
-                nulls += st.null_count if st.null_count is not None else 0
-                if not st.has_min_max:
-                    # all-null row group writes no min/max — not a failure
-                    if st.null_count == meta.row_group(rg).num_rows:
-                        continue
-                    usable = False
-                    break
-                lo = st.min if lo is None or st.min < lo else lo
-                hi = st.max if hi is None or st.max > hi else hi
-            if not usable:
-                continue
-            lo, hi = _bound_pair(lo, hi)
-            cols[name] = [lo, hi, nulls]
-        ent: dict = {"rows": meta.num_rows, "cols": cols}
-        present_blooms = [
-            c for c in (bloom_cols or [])
-            if c in {meta.schema.column(i).path for i in range(meta.num_columns)}
-        ]
-        if present_blooms:
-            tbl = pq.read_table(
-                os.path.join(root, rel), columns=present_blooms
+    if len(relpaths) == 1:
+        rel, ent = _harvest_file_stats(root, relpaths[0], columns, blooms)
+        return {rel: ent}
+    with ThreadPoolExecutor(max_workers=min(16, len(relpaths))) as ex:
+        return dict(
+            ex.map(
+                lambda rel: _harvest_file_stats(root, rel, columns, blooms),
+                relpaths,
             )
-            ent["bloom"] = {
-                c: _bloom_build(set(tbl.column(c).to_pylist()))
-                for c in present_blooms
-            }
-        out[rel] = ent
-    return out
+        )
 
 
 _WHERE_OPS = ("=", "<", "<=", ">", ">=", "prefix")
@@ -470,6 +514,14 @@ class TableStore:
         # unclustered columns (see the bloom block above collect_file_stats)
         # — opt-in: harvesting reads the listed columns of each NEW file
         self.bloom_cols = list(bloom_cols or [])
+        # commit-phase telemetry: wall seconds per phase of the LAST
+        # commit and cumulative totals across the store's lifetime —
+        # bench.py publishes these so a commit-path regression decomposes
+        # into (lock, write, stats, changes, lineage, swap) instead of
+        # one opaque number
+        self.last_commit_phases: dict[str, float] = {}
+        self.commit_phase_totals: dict[str, float] = {}
+        self._last_lock_wait = 0.0
 
     def _write_lock(self):
         """Exclusive advisory lock serializing all version-advancing ops
@@ -720,6 +772,7 @@ class TableStore:
         prev: dict,
         new_relpaths: list[str],
         schema_json: dict,
+        spark: SparkSession | None = None,
     ) -> None:
         """Carry zonemaps forward by relpath (data files are immutable, so
         an inherited entry can never go stale), harvest the new files,
@@ -732,6 +785,7 @@ class TableStore:
                     new_relpaths,
                     stat_columns(T.StructType.fromJson(schema_json)),
                     bloom_cols=self.bloom_cols,
+                    spark=spark,
                 )
             )
         live = {p for fs in manifest["buckets"].values() for p in fs}
@@ -978,6 +1032,17 @@ class TableStore:
                 "merge against current state and retry"
             )
 
+        import time as _time
+
+        _phases: dict[str, float] = {"lock_wait": self._last_lock_wait}
+        _pt = _time.perf_counter()
+
+        def _phase(name: str) -> None:
+            nonlocal _pt
+            now = _time.perf_counter()
+            _phases[name] = _phases.get(name, 0.0) + (now - _pt)
+            _pt = now
+
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         prev = self.current_manifest()
         version = self.current_version() + 1
@@ -1020,11 +1085,13 @@ class TableStore:
                 to_write = merged_dirty.repartition(
                     len(dirty_buckets), F.col(BUCKET_COL)
                 )
+            _phase("plan")
             (
                 to_write.write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
                 .parquet(epoch_dir)
             )
+            _phase("write")
             written: dict[str, list[str]] = {str(b): [] for b in dirty_buckets}
             for d in os.listdir(epoch_dir):
                 if not d.startswith(f"{BUCKET_COL}="):
@@ -1046,6 +1113,7 @@ class TableStore:
                 )
                 for b, fs in written.items()
             }
+            _phase("list")
             if self.collect_stats:
                 new_stats.update(
                     collect_file_stats(
@@ -1053,8 +1121,10 @@ class TableStore:
                         [f for fs in written.values() for f in fs],
                         stat_columns(row_schema),
                         bloom_cols=self.bloom_cols,
+                        spark=merged_dirty.sparkSession,
                     )
                 )
+                _phase("stats")
             if mor:
                 # delta layer: APPEND to each dirty bucket's file list
                 for b, fs in written.items():
@@ -1088,12 +1158,14 @@ class TableStore:
                             for f in fs
                         )
 
+        _phase("retain")
         changes_rel = None
         if changes is not None and dirty_buckets:
             changes_rel = f"changes/v{version}.parquet"
             changes_dir = os.path.join(self.root, changes_rel)
             shutil.rmtree(changes_dir, ignore_errors=True)
             changes.write.mode("overwrite").parquet(changes_dir)
+            _phase("changes")
 
         lineage_rel = f"lineage/v{version}.parquet"
         lineage_dir = os.path.join(self.root, lineage_rel)
@@ -1121,6 +1193,7 @@ class TableStore:
             pq.write_table(tbl, os.path.join(lineage_dir, "part-0.parquet"))
         else:
             lineage.coalesce(1).write.mode("overwrite").parquet(lineage_dir)
+        _phase("lineage")
 
         writers = dict(prev.get("writers", {})) if prev else {}
         writers[writer_id] = epoch
@@ -1149,6 +1222,16 @@ class TableStore:
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(mpath + ".tmp", mpath)
+        _phase("manifest")
+
+        def _flush_phases() -> None:
+            self.last_commit_phases = {
+                k: round(v, 6) for k, v in _phases.items()
+            }
+            for k, v in _phases.items():
+                self.commit_phase_totals[k] = (
+                    self.commit_phase_totals.get(k, 0.0) + v
+                )
 
         if not publish:
             # write-audit-publish: everything is durable (data + manifest)
@@ -1160,12 +1243,16 @@ class TableStore:
                 json.dump({"version": version, "writer": writer_id,
                            "epoch": epoch}, f)
             os.replace(self._staged_path + ".tmp", self._staged_path)
+            _phase("swap")
+            _flush_phases()
             return version
 
         # the transaction point: everything before this line is invisible
         with open(self.pointer_path + ".tmp", "w") as f:
             json.dump({"version": version}, f)
         os.replace(self.pointer_path + ".tmp", self.pointer_path)
+        _phase("swap")
+        _flush_phases()
         return version
 
     # ---------- write-audit-publish (Iceberg WAP analogue) ----------
@@ -1926,6 +2013,7 @@ class TableStore:
             m,
             [f for b in sel for f in buckets_map[str(b)]],
             m["schema"],
+            spark=spark,
         )
         # a rewrite is a LOGICAL no-op: it must not inherit the previous
         # version's change-file pointer (a fast-path changefeed reader
@@ -2057,6 +2145,7 @@ class TableStore:
             m,
             [f for fs in buckets_map.values() for f in fs],
             m["schema"],
+            spark=spark,
         )
         manifest.pop("changes", None)  # logical no-op: see rewrite_buckets
         manifest.pop("mor", None)  # full rewrite folds every delta layer
@@ -2160,6 +2249,7 @@ class TableStore:
             m,
             [f for b in sel for f in buckets_map[str(b)]],
             m["schema"],
+            spark=spark,
         )
         manifest.pop("changes", None)
         mpath = os.path.join(self.root, "manifests", f"v{version}.json")
@@ -2322,6 +2412,7 @@ class TableStore:
                 manifest, head_m,
                 [f for b in sel for f in buckets_map[str(b)]],
                 head_m["schema"],
+                spark=spark,
             )
             mpath = os.path.join(self.root, "manifests", f"v{version}.json")
             _stamp_commit_ts(manifest)
@@ -2403,34 +2494,53 @@ class TableStore:
         # convention: the identifier survives, the payload does not) and
         # attach it to the head manifest; table_changes unions it into any
         # range crossing this version ----
-        marker_keys = spark.createDataFrame(
-            keys or [("", "")], "repo string, path string"
-        ).filter(F.col("repo") != "")
-        if to_rewrite:
-            marker_keys = marker_keys.unionByName(
-                spark.read.schema("repo STRING, path STRING")
-                .parquet(*[_abs(f) for f in to_rewrite])
-                .filter(_match_col())
-            )
-        marker_keys = marker_keys.distinct()
         prior_rel = self.current_manifest().get("forget_deletes")
-        if prior_rel and os.path.exists(_abs(prior_rel)):
-            # a second forget at the same head merges into ONE marker set
-            marker_keys = marker_keys.unionByName(
-                spark.read.parquet(_abs(prior_rel))
-                .select("repo", "path")
-            ).distinct()
-        seq = 0
-        while os.path.exists(os.path.join(
-            self.root, f"changes/forget_deletes_v{version}_{seq}.parquet"
-        )):
-            seq += 1
-        marker_rel = f"changes/forget_deletes_v{version}_{seq}.parquet"
-        (
-            marker_keys.coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.root, marker_rel))
-        )
+        marker_rel: str | None = None
+        if live_deleted or to_rewrite or prior_rel:
+            marker_keys = spark.createDataFrame(
+                keys or [("", "")], "repo string, path string"
+            ).filter(F.col("repo") != "")
+            if to_rewrite:
+                marker_keys = marker_keys.unionByName(
+                    spark.read.schema("repo STRING, path STRING")
+                    .parquet(*[_abs(f) for f in to_rewrite])
+                    .filter(_match_col())
+                )
+            marker_keys = marker_keys.distinct()
+            if prior_rel and os.path.exists(_abs(prior_rel)):
+                # a second forget at the same head merges into ONE marker set
+                marker_keys = marker_keys.unionByName(
+                    spark.read.parquet(_abs(prior_rel))
+                    .select("repo", "path")
+                ).distinct()
+            seq = 0
+            while os.path.exists(os.path.join(
+                self.root, f"changes/forget_deletes_v{version}_{seq}.parquet"
+            )):
+                seq += 1
+            marker_rel = f"changes/forget_deletes_v{version}_{seq}.parquet"
+            (
+                marker_keys.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.root, marker_rel))
+            )
+            # attach the marker to the head manifest NOW, before the
+            # per-version scrub loop: if the rewrite pass crashes midway,
+            # the redaction is already surfaced — lagging changefeed
+            # consumers see the delete markers and table_changes_cdf's
+            # refusal triggers, instead of silently missing the scrub
+            head_path = os.path.join(
+                self.root, "manifests", f"v{version}.json"
+            )
+            with open(head_path) as f:
+                head_now = json.load(f)
+            head_now["forget_deletes"] = marker_rel
+            with open(head_path + ".tmp", "w") as f:
+                json.dump(head_now, f)
+            os.replace(head_path + ".tmp", head_path)
+        # else: the keys match nothing live, nothing in retained history,
+        # and no prior marker exists — a marker would only poison
+        # table_changes_cdf ranges with a redaction that removed zero rows
 
         # rewrite each hit file 1:1 with ITS OWN schema (versions differ)
         forget_rel = f"data/_forget/v{version}"
@@ -2478,16 +2588,16 @@ class TableStore:
         # originals are deleted only after every manifest points away
         manifests_updated = 0
         change_files_rewritten = 0
+        stale_change_dirs: list[str] = []
         new_paths = set(mapping.values())
         for v in scan_versions:
             try:
                 m = self.manifest(v)
             except FileNotFoundError:
                 continue
+            # head manifest already carries forget_deletes (persisted
+            # above, before this loop — re-read picks it up)
             changed = False
-            if v == version:
-                m["forget_deletes"] = marker_rel
-                changed = True
             new_buckets = {}
             for b, fs in m["buckets"].items():
                 new_fs = [mapping.get(f, f) for f in fs]
@@ -2517,6 +2627,7 @@ class TableStore:
                                     T.StructType.fromJson(m["schema"])
                                 ),
                                 bloom_cols=self.bloom_cols,
+                                spark=spark,
                             )
                         )
                     if stats:
@@ -2531,7 +2642,17 @@ class TableStore:
                     ch = spark.read.parquet(ch_dir)
                     n_hit = ch.filter(_match_col()).count()
                     if n_hit:
-                        new_ch = f"changes/forget_v{v}.parquet"
+                        # ALWAYS a fresh seq-suffixed path: a second
+                        # forget whose keys hit an already-rewritten
+                        # change file must never overwrite the very path
+                        # it is reading from (Spark refuses; engines
+                        # without the check would destroy the input)
+                        cseq = 0
+                        while os.path.exists(os.path.join(
+                            self.root, f"changes/forget_v{v}_{cseq}.parquet"
+                        )):
+                            cseq += 1
+                        new_ch = f"changes/forget_v{v}_{cseq}.parquet"
                         (
                             ch.filter(~_match_col())
                             .coalesce(1)
@@ -2541,6 +2662,7 @@ class TableStore:
                         m["changes"] = new_ch
                         changed = True
                         change_files_rewritten += 1
+                        stale_change_dirs.append(ch_dir)
             if changed:
                 mpath = os.path.join(self.root, "manifests", f"v{v}.json")
                 with open(mpath + ".tmp", "w") as f:
@@ -2549,7 +2671,7 @@ class TableStore:
                 manifests_updated += 1
 
         # the merged marker supersedes a prior same-version marker file
-        if prior_rel and prior_rel != marker_rel:
+        if marker_rel and prior_rel and prior_rel != marker_rel:
             shutil.rmtree(_abs(prior_rel), ignore_errors=True)
 
         # last: drop the originals we own (borrowed absolute refs of a
@@ -2564,16 +2686,10 @@ class TableStore:
                 )
                 if os.path.exists(crc):
                     os.remove(crc)
-        # stale change dirs replaced above
-        for v in scan_versions:
-            old_ch = os.path.join(self.root, f"changes/v{v}.parquet")
-            try:
-                m = self.manifest(v)
-            except FileNotFoundError:
-                continue
-            if m.get("changes") == f"changes/forget_v{v}.parquet" and \
-                    os.path.isdir(old_ch):
-                shutil.rmtree(old_ch, ignore_errors=True)
+        # stale change dirs replaced above — removed only after every
+        # manifest already points at its rewritten successor
+        for d in stale_change_dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
         audit = {
             "keys": keys, "repos": repos, "version": version,
@@ -2717,6 +2833,7 @@ class TableStore:
 
             now = int(_time.time() * 1000) if now_ms is None else now_ms
             cutoff = now - older_than_ms
+            boundary: int | None = None
             for v in versions:
                 if v > current:
                     continue  # above-current = crash orphan, not "recent"
@@ -2724,6 +2841,15 @@ class TableStore:
                     ts = json.load(f).get("committed_at_ms")
                 if ts is None or ts >= cutoff:
                     recent.add(v)
+                elif boundary is None or v > boundary:
+                    boundary = v
+            # Delta/Iceberg boundary-snapshot semantics: ALSO retain the
+            # newest version strictly OLDER than the cutoff — a timestamp
+            # inside the window but before the oldest in-window commit is
+            # governed by that boundary version; without it,
+            # AS-OF-TIMESTAMP reads at the window start would raise
+            if boundary is not None:
+                recent.add(boundary)
         keep = [
             v for v in versions
             if (current - keep_versions < v <= current)

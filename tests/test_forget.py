@@ -379,6 +379,85 @@ def test_forget_then_agg_view_rebuild_resumes_incremental(spark, tmp_path):
     _assert_parity(spark, src, view)
 
 
+def test_second_forget_hits_rewritten_change_file(spark, tmp_path):
+    """A second forget whose keys hit a change file the FIRST forget
+    already rewrote must not read-and-overwrite the same path (Spark
+    refuses 'Cannot overwrite a path that is also being read from'; other
+    engines would destroy the input). Each rewrite lands on a fresh
+    seq-suffixed path; the old dir is dropped after the manifest swap."""
+    store, _ = _build(spark, tmp_path, changefeed_files=True)
+    (lr, lp), (gr, gp) = _pick_keys(spark, store)
+
+    out1 = store.forget_keys(spark, keys=[(lr, lp)])
+    assert out1["change_files_rewritten"] >= 1
+    # pick a SECOND key that shares a change file with the first: any
+    # other key of the same fixture appears in the same per-version
+    # change sets, so the rewritten forget_v*_0 files are the read path
+    out2 = store.forget_keys(spark, keys=[(gr, gp)])
+    assert out2["change_files_rewritten"] >= 1
+
+    pred = ((F.col("repo") == lr) & (F.col("path") == lp)) | (
+        (F.col("repo") == gr) & (F.col("path") == gp)
+    )
+    assert _physical_hits(spark, store.root, pred) == 0
+    # merged marker carries BOTH keys; every retained version still reads
+    marker = store.current_manifest()["forget_deletes"]
+    mk = {
+        (r["repo"], r["path"])
+        for r in spark.read.parquet(
+            os.path.join(store.root, marker)
+        ).collect()
+    }
+    assert {(lr, lp), (gr, gp)} <= mk
+    for v in store.versions():
+        store.read_state(spark, version=v).count()
+    # a third pass over the SAME keys stays a no-op that still succeeds
+    out3 = store.forget_keys(spark, keys=[(lr, lp), (gr, gp)])
+    assert out3["rows_removed"] == 0
+
+
+def test_forget_nonmatching_keys_writes_no_marker(spark, tmp_path):
+    """Keys that match nothing live, nothing in retained history, with no
+    prior marker: no marker file, no forget_deletes flag — a zero-row
+    redaction must not poison table_changes_cdf ranges or the relaxed
+    change-file fast path forever."""
+    from kp_data_replication_spark.operators.changefeed import (
+        table_changes_cdf,
+    )
+
+    store, _ = _build(spark, tmp_path, changefeed_files=True)
+    head = store.current_version()
+    out = store.forget_keys(spark, keys=[("no-such-repo", "no/such/path")])
+    assert out["live_deleted"] == 0 and out["rows_removed"] == 0
+    assert out["files_rewritten"] == 0 and out["change_files_rewritten"] == 0
+    assert store.current_version() == head  # no delete commit either
+    assert "forget_deletes" not in store.current_manifest()
+    # the retraction feed still serves ranges crossing the no-op
+    assert table_changes_cdf(spark, store, 1, head).count() >= 0
+
+
+def test_forget_markers_reject_custom_key_cols(spark, tmp_path):
+    """Delete markers carry the table key (repo, path); a table_changes
+    read with different key_cols crossing the redaction gets a clear
+    refusal instead of an AnalysisException or wrong-key padding."""
+    from kp_data_replication_spark.operators.changefeed import table_changes
+
+    store, _ = _build(spark, tmp_path)
+    k = store.read_state(spark).select("repo", "path").first()
+    v_before = store.current_version()
+    store.forget_keys(spark, keys=[(k["repo"], k["path"])])
+    with pytest.raises(ValueError, match="table key"):
+        table_changes(
+            spark, store, 1, store.current_version(),
+            key_cols=["repo"],
+        ).collect()
+    # the table-key read over the same range works
+    assert table_changes(
+        spark, store, 1, store.current_version()
+    ).count() >= 0
+    del v_before
+
+
 def test_forget_markers_pass_fsck_and_survive_vacuum(spark, tmp_path):
     """The delete-marker file is first-class store metadata: fsck's
     linkage/orphan audit accepts it, vacuum's live-ref walk retains it

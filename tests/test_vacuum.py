@@ -181,26 +181,36 @@ def test_vacuum_age_window_keeps_asof_reads_answerable(spark, tmp_path):
     stamps = {v: store.manifest(v)["committed_at_ms"] for v in range(1, n + 1)}
     rows_v3 = store.read_state(spark, version=3).count()
 
-    # window reaches back exactly to v3's stamp: v3..vn are "recent",
-    # v1..v2 are ancient -> expired despite keep_versions=1
+    rows_v2 = store.read_state(spark, version=2).count()
+
+    # window cutoff strictly BETWEEN v2's and v3's stamps: v3..vn are
+    # "recent"; v2 is the boundary snapshot (newest version OLDER than the
+    # cutoff) and must ALSO survive — a timestamp inside the window but
+    # before v3's stamp is governed by v2 (Delta/Iceberg boundary
+    # semantics); only v1 is truly unreachable from any in-window read
     now = stamps[n]
+    cutoff_ts = stamps[3] - 1
+    assert cutoff_ts > stamps[2]  # stamps are strictly monotone
     report = store.vacuum(
-        keep_versions=1, older_than_ms=now - stamps[3], now_ms=now
+        keep_versions=1, older_than_ms=now - cutoff_ts, now_ms=now
     )
-    assert report["removed_manifests"] == 2
+    assert report["removed_manifests"] == 1
     remaining = sorted(
         int(f[1:-5]) for f in os.listdir(os.path.join(store.root, "manifests"))
         if f.startswith("v")
     )
-    assert remaining == list(range(3, n + 1))
+    assert remaining == list(range(2, n + 1))
 
-    # AS-OF at any stamp inside the window still resolves and reads
+    # AS-OF at any stamp inside the window still resolves and reads —
+    # including the window START, which resolves to the boundary snapshot
     assert store.version_as_of(stamps[3]) == 3
     assert store.read_state(spark, timestamp_ms=stamps[3]).count() == rows_v3
-    # ...while a timestamp before the window is an honest error
+    assert store.version_as_of(cutoff_ts) == 2
+    assert store.read_state(spark, timestamp_ms=cutoff_ts).count() == rows_v2
+    # ...while a timestamp before the whole retained history is an error
     with pytest.raises(Exception):
         store.version_as_of(stamps[1] - 1)
 
     # without the age window the count floor alone would have kept only vn
     report2 = store.vacuum(keep_versions=1)
-    assert report2["removed_manifests"] == n - 3
+    assert report2["removed_manifests"] == n - 2
