@@ -512,6 +512,26 @@ def main(argv: list[str] | None = None) -> None:
     ct.add_argument("router_root")
     ct.add_argument("--version", type=int, default=None)
 
+    pz = sub.add_parser(
+        "pause",
+        help="gate ONE topic's flow off under the router while every "
+             "other flow keeps applying (Connect PUT /connectors/x/pause; "
+             "the rolling-migration runbook's per-connector stop)",
+    )
+    pz.add_argument("router_root")
+    pz.add_argument("topic")
+
+    rz = sub.add_parser(
+        "resume",
+        help="lift a paused flow's gate; with --changelog, a catch-up "
+             "replay closes the gap exactly once (lineage-masked) before "
+             "the flow rejoins the live loop",
+    )
+    rz.add_argument("router_root")
+    rz.add_argument("topic")
+    rz.add_argument("--changelog", default=None,
+                    help="changelog dir to replay for catch-up")
+
     sk = sub.add_parser(
         "sketch",
         help="HLL distinct-count sketch view: per-group corrected estimate "
@@ -558,6 +578,23 @@ def main(argv: list[str] | None = None) -> None:
             "catalog_version": args.version or cat.current_version(),
             "tables": cat.snapshot(args.version),
         }))
+        return
+    if args.cmd == "pause":  # pure metadata op — no Spark session needed
+        from .streaming.router import TopicRouter
+
+        print(json.dumps(TopicRouter(args.router_root).pause(args.topic)))
+        return
+    if args.cmd == "resume":
+        from .streaming.router import TopicRouter
+
+        router = TopicRouter(args.router_root)
+        spark = (
+            get_spark(app_name="kp-cdc-resume", cpus=args.cpus)
+            if args.changelog else None
+        )
+        print(json.dumps(
+            router.resume(spark, args.topic, changelog_path=args.changelog)
+        ))
         return
     if args.cmd == "txn":  # pure metadata op — no Spark session needed
         import os as _os

@@ -80,6 +80,98 @@ class TopicRouter:
             if os.path.exists(os.path.join(self.root, d, "_current"))
         )
 
+    # ---------- per-flow pause/resume (rolling-migration surface) ----------
+    # The Connect REST `PUT /connectors/{name}/pause` analogue the
+    # reference's provisioning runbook leans on (docs/mm2-provisioning.md:132
+    # stops/restarts one connector while the rest of the worker group keeps
+    # replicating). One engine loop runs every topic here, so pause is a
+    # per-topic gate INSIDE the loop: the stream keeps triggering, other
+    # flows keep applying, and the paused flow's table — including its
+    # per-partition lineage watermarks — stops moving. Resume closes the
+    # gap with a catch-up replay over the changelog: the lineage
+    # anti-filter masks everything the flow already applied, so only the
+    # events that arrived while paused land, exactly once, and the flow
+    # rejoins the live loop sha-equal with a never-paused twin.
+
+    def _pause_path(self, topic: str) -> str:
+        return os.path.join(
+            self.root, _safe_dirname(topic), "_flow_paused"
+        )
+
+    def paused_topics(self) -> list[str]:
+        return [t for t in self.topics_seen() if self.is_paused(t)]
+
+    def is_paused(self, topic: str) -> bool:
+        return os.path.exists(self._pause_path(topic))
+
+    def pause(self, topic: str) -> dict:
+        """Gate one topic's flow off without touching the others. The
+        marker snapshots the flow's applied watermarks at pause time (the
+        offsets a Connect worker would persist on PAUSED) — resume does
+        not need them for correctness (lineage is the guard) but an
+        operator auditing the drained flow does."""
+        import json
+        import time as _time
+
+        store = self.store_for(topic)
+        if not store.exists():
+            raise ValueError(
+                f"unknown topic {topic!r}: no target table under "
+                f"{self.root} (flows materialize on first sight)"
+            )
+        info = {
+            "topic": topic,
+            "paused_at_ms": int(_time.time() * 1000),
+            "watermarks": {
+                f"{r.get('consumer_group') or 'default'}:{r['partition']}":
+                    r["applied_lsn"]
+                for r in store.read_lineage_rows()
+            },
+        }
+        p = self._pause_path(topic)
+        with open(p + ".tmp", "w") as f:
+            json.dump(info, f)
+        os.replace(p + ".tmp", p)
+        return info
+
+    def resume(
+        self,
+        spark: SparkSession | None,
+        topic: str,
+        changelog_path: str | None = None,
+        read_schema: T.StructType | None = None,
+    ) -> dict:
+        """Lift the gate and close the gap. With ``changelog_path``, runs
+        a catch-up replay of the (whole) changelog filtered to this topic
+        under the dedicated replay writer: the lineage watermark
+        anti-filter reduces it to exactly the events skipped while paused
+        — at-scale cost is one pushed-filter scan, and the skipped-event
+        MERGE itself is O(missed batch). Without it, the flow simply
+        rejoins the live loop from the NEXT trigger (events that streamed
+        past while paused stay missing until a replay runs — the Connect
+        analogue of resuming a connector whose topic retention already
+        dropped the gap)."""
+        import json
+
+        p = self._pause_path(topic)
+        info = {}
+        if os.path.exists(p):
+            with open(p) as f:
+                info = json.load(f)
+            os.remove(p)
+        out: dict = {"topic": topic, "was_paused": bool(info)}
+        if changelog_path is not None:
+            if spark is None:
+                raise ValueError("catch-up resume needs a SparkSession")
+            engine = CdcApplyEngine(
+                self.store_for(topic),
+                replace(self.config, whitelist=f"^{re.escape(topic)}$"),
+            )
+            out["catchup"] = engine.replay_batch(
+                spark, changelog_path, read_schema=read_schema
+            )
+        return out
+
     def apply_batch(self, batch, epoch: int, writer_id: str = "default") -> dict:
         """Discover this batch's whitelisted topics, apply each to its own
         target (auto-created on first sight). Fencing is per (topic, writer):
@@ -89,12 +181,21 @@ class TopicRouter:
             r[0] for r in selected.select("source_topic").distinct().collect()
         )
         out = {}
+        applied = []
         for t in topics:
+            if self.is_paused(t):
+                # the flow's gate is down: this topic's events pass by
+                # unapplied (the changelog retains them; resume replays),
+                # its lineage/table stay frozen, everyone else proceeds
+                out[t] = {"epoch": epoch, "status": "paused"}
+                continue
             engine = CdcApplyEngine(
                 self.store_for(t),
                 replace(self.config, whitelist=f"^{re.escape(t)}$"),
             )
             out[t] = engine.apply_batch(batch, epoch, writer_id=f"{writer_id}:{t}")
+            applied.append(t)
+        topics = applied
         if self.use_catalog and topics:
             # one atomic snapshot publish AFTER every table commit of the
             # epoch; fenced per (writer, epoch) so a replayed epoch whose

@@ -242,3 +242,40 @@ def test_restore_and_forget_subcommands(tmp_path):
             for r, p in zip(t.column("repo").to_pylist(),
                             t.column("path").to_pylist())
         )
+
+
+def test_pause_resume_subcommands(tmp_path, spark):
+    """Per-flow gate through the CLI: pause is pure metadata, resume with
+    --changelog runs the catch-up replay in its own spark-submit-style
+    process (the operator's rolling-migration loop)."""
+    from pyspark.sql import functions as F
+
+    from kp_data_replication_spark.datagen import ChangelogSpec, write_changelog
+    from kp_data_replication_spark.streaming.apply import EngineConfig
+    from kp_data_replication_spark.streaming.router import TopicRouter
+
+    cl = str(tmp_path / "cl")
+    write_changelog(
+        spark, cl,
+        ChangelogSpec(n_keys=30, versions_per_key=1, n_partitions=2,
+                      files=1, dup_every=0),
+    )
+    root = str(tmp_path / "targets")
+    router = TopicRouter(
+        root, EngineConfig(metrics=False, whitelist="^repos"), n_buckets=4
+    )
+    batch = spark.read.option("mergeSchema", "true").parquet(cl)
+    router.apply_batch(batch.filter(F.col("lsn") <= 10), 0)
+
+    p = json.loads(_run("pause", root, "repos"))
+    assert p["topic"] == "repos" and p["watermarks"]
+    # paused: the router skips this flow's batches
+    out = router.apply_batch(batch, 1)
+    assert out["repos"]["status"] == "paused"
+
+    r = json.loads(_run("resume", root, "repos", "--changelog", cl))
+    assert r["was_paused"] and r["catchup"]["status"] == "committed"
+    from kp_data_replication_spark.datagen import compute_expected_state_pandas
+
+    n = router.store_for("repos").read_state(spark).count()
+    assert n == len(compute_expected_state_pandas(cl))

@@ -232,3 +232,131 @@ def test_catalog_pin_survives_aggressive_vacuum(spark, tmp_path):
         r["path"] for r in router.read_consistent(spark, "repos").collect()
     )
     assert got == before  # the pinned snapshot version survived
+
+
+def test_per_flow_pause_resume_under_live_stream(spark, tmp_path):
+    """Rolling-migration surface (docs/mm2-provisioning.md:132): pause ONE
+    topic's flow while the router stream keeps applying the other, then
+    resume with a catch-up replay — the paused flow converges sha-equal
+    with the never-paused one, exactly once, watermarks preserved."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA_EVOLVED
+
+    # two-topic changelog: every 'repos' event mirrored as 'repos-forks'
+    raw = str(tmp_path / "raw")
+    write_changelog(
+        spark, raw,
+        ChangelogSpec(n_keys=50, versions_per_key=2, n_partitions=2,
+                      files=4, dup_every=0),
+    )
+    cl = tmp_path / "cl"
+    cl.mkdir()
+    files = sorted(f for f in os.listdir(raw) if f.endswith(".parquet"))
+    n_half = len(files) // 2
+    for i, f in enumerate(files):
+        one = spark.read.option("mergeSchema", "true").parquet(f"{raw}/{f}")
+        two = one.unionByName(
+            one.withColumn(
+                "source_topic",
+                F.when(F.col("source_topic") == "repos",
+                       "repos-forks").otherwise(F.col("source_topic")),
+            )
+        )
+        tmp = str(tmp_path / f"_w{i}")
+        two.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    str(cl / f"f{i}.parquet"))
+
+    router = TopicRouter(
+        str(tmp_path / "targets"),
+        EngineConfig(metrics=False, whitelist="^repos"),
+        n_buckets=4,
+    )
+    cp = str(tmp_path / "cp")
+
+    # leg 1: stream the first two files — both flows materialize
+    def stage(i):
+        # the changelog contract is ordered delivery per partition; the
+        # file source orders by mtime, and copies landing inside one
+        # mtime tick would scramble it — stamp strictly increasing times
+        dst = str(live / f"f{i}.parquet")
+        shutil.copy(str(cl / f"f{i}.parquet"), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    live = tmp_path / "live"
+    live.mkdir()
+    for i in range(n_half):
+        stage(i)
+    q = router.start_stream(spark, str(live), cp, CHANGELOG_SCHEMA_EVOLVED,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    assert router.topics_seen() == ["repos", "repos-forks"]
+
+    # pause forks MID-STREAM; its watermark snapshot is recorded
+    info = router.pause("repos-forks")
+    assert info["watermarks"]
+    assert router.paused_topics() == ["repos-forks"]
+    frozen = sorted(
+        r["content_sha"]
+        for r in final_state(spark, router.store_for("repos-forks"))
+        .select("content_sha").collect()
+    )
+    frozen_v = router.store_for("repos-forks").current_version()
+
+    # leg 2: the rest of the changelog streams — repos keeps applying,
+    # the paused flow's table and lineage do not move
+    for i in range(n_half, len(files)):
+        stage(i)
+    q = router.start_stream(spark, str(live), cp, CHANGELOG_SCHEMA_EVOLVED,
+                            max_files_per_trigger=1)
+    q.awaitTermination()
+    exp = _shas(compute_expected_state_pandas(raw))
+    repos_shas = sorted(
+        r["content_sha"]
+        for r in final_state(spark, router.store_for("repos"))
+        .select("content_sha").collect()
+    )
+    assert repos_shas == exp
+    forks_store = router.store_for("repos-forks")
+    assert forks_store.current_version() == frozen_v
+    still = sorted(
+        r["content_sha"]
+        for r in final_state(spark, forks_store)
+        .select("content_sha").collect()
+    )
+    assert still == frozen
+
+    # resume with catch-up: the gap closes exactly once, sha-equal
+    out = router.resume(spark, "repos-forks", changelog_path=str(live),
+                        read_schema=CHANGELOG_SCHEMA_EVOLVED)
+    assert out["was_paused"] and out["catchup"]["status"] == "committed"
+    assert router.paused_topics() == []
+    resumed = sorted(
+        r["content_sha"]
+        for r in final_state(spark, forks_store)
+        .select("content_sha").collect()
+    )
+    assert resumed == exp
+
+    # the resumed flow rejoins the live loop: a fresh batch applies to BOTH
+    nxt = spark.read.option("mergeSchema", "true").parquet(
+        str(cl / f"f{len(files) - 1}.parquet")
+    )
+    out2 = router.apply_batch(nxt, 99)
+    assert set(out2) == {"repos", "repos-forks"}
+    assert out2["repos-forks"]["status"] != "paused"
+
+    # a replay of the catch-up is masked by lineage (exactly once)
+    again = router.resume(spark, "repos-forks", changelog_path=str(live),
+                          read_schema=CHANGELOG_SCHEMA_EVOLVED)
+    assert not again["was_paused"]
+    assert sorted(
+        r["content_sha"]
+        for r in final_state(spark, forks_store)
+        .select("content_sha").collect()
+    ) == exp
+    del json
