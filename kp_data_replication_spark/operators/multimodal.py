@@ -91,23 +91,59 @@ def decode_image_stub(data: bytes, real_decode: bool = False) -> dict:
     return {"width": width, "height": height, "n_channels": 3, "mean_luma": mean_luma}
 
 
-def decode_media(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def decode_media(
+    df: DataFrame,
+    batch_hint: int = 1024,
+    codec=None,
+    codec_schema: T.StructType | None = None,
+) -> DataFrame:
     """Arrow-batched decode via mapInPandas (the real pipeline shape).
 
     Each Arrow batch arrives as a pandas DataFrame with the binary column as
-    Python bytes; the decode kernel runs per element (vectorized libs would
-    take the whole batch). Output is columnar metadata — pixels would go to
-    a tensor column (array<float>) in the same pattern.
+    Python bytes. Output is columnar metadata — pixels would go to a
+    tensor column (array<float>) in the same pattern.
+
+    ``codec``: the pluggable slot where a REAL codec binding lands on a
+    cluster that has one (PIL / turbojpeg / libvips / pyav). The calling
+    convention is BATCH-SHAPED and enforced: the callable receives the
+    whole Arrow batch's payloads as one ``pandas.Series`` of ``bytes``
+    and must return a ``pandas.DataFrame`` with exactly one row per
+    input, columns matching ``codec_schema`` (default
+    :data:`FAKE_DECODE_SCHEMA` minus ``doc_id``). One call per Arrow
+    batch — never per element — so a vectorized binding amortizes its
+    setup across the batch and a per-row loop cannot silently creep into
+    the hot path when real codecs appear. Without ``codec`` the
+    deterministic stub kernel runs (see module docstring).
     """
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [
+            f for f in (codec_schema or FAKE_DECODE_SCHEMA).fields
+            if f.name != "doc_id"
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
 
     def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [decode_image_stub(b) for b in pdf["media"]]
-            out = pd.DataFrame(decoded)
+            if codec is not None:
+                out = codec(pdf["media"])
+                if not isinstance(out, pd.DataFrame) or len(out) != len(pdf):
+                    raise ValueError(
+                        "codec must map a Series of N payloads to a "
+                        f"DataFrame of N rows (got {type(out).__name__} "
+                        f"of {len(out) if hasattr(out, '__len__') else '?'}"
+                        f" for {len(pdf)} inputs)"
+                    )
+                out = out.reset_index(drop=True)
+            else:
+                out = pd.DataFrame(
+                    [decode_image_stub(b) for b in pdf["media"]]
+                )
             out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out[["doc_id", "width", "height", "n_channels", "mean_luma"]]
+            yield out[cols]
 
-    return df.select("doc_id", "media").mapInPandas(_decode, schema=FAKE_DECODE_SCHEMA)
+    return df.select("doc_id", "media").mapInPandas(_decode, schema=out_schema)
 
 
 TENSOR_SCHEMA = T.StructType(

@@ -149,3 +149,57 @@ def test_two_threads_apply_concurrently_both_land(spark, tmp_path):
     assert got[("r", "key-x")] == "val-x"
     assert got[("r", "key-y")] == "val-y"
     assert got[("r", "seed")] == "s"
+
+
+def test_two_processes_apply_concurrently_both_land(spark, tmp_path):
+    """The deployment reality the flock lock exists for: two REAL OS
+    processes (each its own SparkSession, its own lock fd) hammer commits
+    and a mid-run rewrite_buckets against ONE table. Every batch from
+    both processes lands, the version history is linear (contiguous
+    manifests, one writer per version advance), and fsck passes."""
+    import os
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "t")
+    # seed the table so both workers race against existing state
+    store = TableStore(root, n_buckets=2)
+    eng = CdcApplyEngine(store, FAST)
+    eng.apply_batch(_batch(spark, [_ev(0, 1, "c", _img("r", "seed", "s"))]), 0)
+
+    worker = os.path.join(os.path.dirname(__file__), "concurrent_worker.py")
+    n_batches = 4
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, root, tag, str(p), str(n_batches)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for tag, p in (("x", 1), ("y", 2))
+    ]
+    for pr in procs:
+        out, err = pr.communicate(timeout=420)
+        assert pr.returncode == 0, (out, err[-2000:])
+        assert "OK" in out
+
+    got = _state(spark, store)
+    for tag in ("x", "y"):
+        for i in range(n_batches):
+            assert got[("r", f"{tag}-{i}")] == f"{tag}-v{i}", (tag, i)
+    assert got[("r", "seed")] == "s"
+
+    # linear history: every version v in 1..head has exactly one manifest
+    # and manifests chain monotonically (no gaps, no duplicates)
+    head = store.current_version()
+    mdir = os.path.join(root, "manifests")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    assert versions == list(range(1, head + 1))
+    stamps = [store.manifest(v)["committed_at_ms"] for v in versions]
+    assert stamps == sorted(stamps)  # commit stamps strictly ordered
+    assert len(set(stamps)) == len(stamps)
+
+    from kp_data_replication_spark.sources.fsck import fsck
+
+    assert fsck(store, spark=spark, deep=True)["ok"]

@@ -744,3 +744,53 @@ def test_bpe_pair_counts_top_n_and_single_char_words(spark):
     got = [(r.pair, r.pair_count, r.rank)
            for r in bpe_pair_counts(df, top_n=1).collect()]
     assert got == [("ab", 2, 1)]
+
+
+def test_decode_media_pluggable_codec_is_batch_shaped(spark, docs):
+    """The codec slot (the env boundary where PIL/turbojpeg lands on a
+    real cluster) takes the WHOLE Arrow batch as one pandas Series and
+    returns one row per input — asserted here with a fake codec that
+    counts its invocations: calls == Arrow batches, never per element."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from kp_data_replication_spark.operators.multimodal import (
+        decode_media,
+        to_media_table,
+    )
+
+    media = to_media_table(docs).repartition(2).cache()
+    n = media.count()
+
+    schema = T.StructType([
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+    ])
+
+    def fake_codec(payloads: pd.Series) -> pd.DataFrame:
+        # vectorized over the batch; a real binding would hand
+        # payloads.tolist() to its native batch API here
+        assert isinstance(payloads, pd.Series)
+        assert len(payloads) > 1, "codec must see batches, not elements"
+        return pd.DataFrame({
+            "n_bytes": payloads.map(len).astype("int64"),
+            "first_byte": payloads.map(lambda b: b[0]).astype("int32"),
+        })
+
+    out = decode_media(media, codec=fake_codec, codec_schema=schema)
+    rows = {r["doc_id"]: (r["n_bytes"], r["first_byte"]) for r in out.collect()}
+    assert len(rows) == n
+    exp = {
+        r["doc_id"]: (len(bytes(r["media"])), bytes(r["media"])[0])
+        for r in media.collect()
+    }
+    assert rows == exp
+
+    # a codec that breaks the one-row-per-input contract is refused
+    def bad_codec(payloads):
+        return pd.DataFrame({"n_bytes": [1], "first_byte": [2]})
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="one row per input|N rows"):
+        decode_media(media, codec=bad_codec, codec_schema=schema).collect()

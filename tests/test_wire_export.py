@@ -431,3 +431,68 @@ def test_wire_multi_file_version_is_deterministic_and_converges(spark, tmp_path)
     q.stop()
     q.awaitTermination()
     assert _state(spark, dst) == _state(spark, src)
+
+
+def test_forget_propagates_across_the_wire_as_key_only_deletes(
+    spark, tmp_path
+):
+    """Takedown ACROSS the wire: the remote consumed through v1, the
+    source then commits more versions AND forget_keys one of them — the
+    scrub erases the key's diff evidence from every retained version, so
+    the lagging remote's catch-up range would show NOTHING for the key
+    without the markers. The export must carry the key-only delete
+    markers in the envelope, the remote must converge to physical absence
+    in its live state, and no wire line may leak the forgotten payload."""
+    src, eng, batches = _mk_upstream(spark, tmp_path)
+    wire = str(tmp_path / "wire")
+
+    # v1 on the wire, remote applies it (key "7" is live at the remote)
+    eng.apply_batch(spark.createDataFrame(batches[0], CHANGELOG_SCHEMA), 0)
+    export_changefeed_json(spark, src, wire)
+    dst = TableStore(str(tmp_path / "B"), n_buckets=4)
+    remote = CdcApplyEngine(dst, EngineConfig(metrics=False))
+    cp = str(tmp_path / "cp")
+    q = remote.start_stream(spark, wire, cp, wire_read_schema(wire),
+                            source_format="json")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    assert ("r", "7") in _state(spark, dst)
+
+    # source moves on (v2, v3) WITHOUT exporting, then forgets key "7":
+    # head delete commit (v4) + history scrub + key-only markers
+    for e, b in enumerate(batches[1:], start=1):
+        eng.apply_batch(spark.createDataFrame(b, CHANGELOG_SCHEMA), e)
+    out = src.forget_keys(spark, keys=[("r", "7")])
+    assert out["rows_removed"] >= 1
+    v_head = src.current_version()
+
+    # catch-up export crosses the redaction; the wire must never carry
+    # the forgotten content, only the key
+    export_changefeed_json(spark, src, wire)
+    leaked = []
+    for f in sorted(os.listdir(wire)):
+        if not f.startswith("changes_"):
+            continue
+        with open(os.path.join(wire, f)) as fh:
+            for line in fh:
+                if '"v1-7"' in line or '"v2-7"' in line:
+                    leaked.append((f, line[:200]))
+    # v1's file was exported BEFORE the forget and already consumed; the
+    # compliance duty for already-shipped wire files is the wire owner's
+    # retention (like Kafka topic retention) — but the POST-forget files
+    # must be clean
+    post = [
+        f for f in sorted(os.listdir(wire))
+        if f.startswith("changes_") and int(f.split("_")[1].split(".")[0]) > 1
+    ]
+    assert post, "catch-up export produced no files"
+    assert not [x for x in leaked if x[0] in post], leaked
+
+    # remote tails through the scrubbed range and converges: key gone
+    # from live state, everything else matches the source exactly
+    q = remote.start_stream(spark, wire, cp, wire_read_schema(wire),
+                            source_format="json")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    got = _state(spark, dst)
+    assert ("r", "7") not in got
+    assert got == _state(spark, src)
+    del v_head
