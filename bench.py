@@ -1097,6 +1097,182 @@ def bench_mor_write(spark, work_dir: str) -> dict:
     return out
 
 
+def bench_view_crossover(spark, work_dir: str) -> dict:
+    """The O(batch)-vs-O(table) crossover, MEASURED: grow the base table,
+    hold the epoch batch fixed, and report — per view family — the epoch
+    update against the two refresh alternatives an operator actually has:
+
+      * ``rebuild_sec``: full recompute INTO a fresh materialized view
+        (the real alternative for a maintained artifact — it scans the
+        table AND writes the view, exactly what the epoch path replaces);
+      * ``scan_sec``: the bare flat scan+aggregate with no materialization
+        (reported for honesty; it under-counts the alternative because a
+        downstream consumer would re-pay it EVERY query).
+
+    Round-4's rows compared a materializing epoch against the bare scan,
+    which at toy scale inverted the story. The claim this section
+    demonstrates: epoch cost stays ~flat as the base grows (it reads the
+    change files + dirty buckets only) while rebuild grows with the
+    table — the curves cross inside this sweep, without extrapolation."""
+    from pyspark.sql import functions as F
+
+    from kp_data_replication_spark.operators.agg_view import (
+        IncrementalAggView,
+        Measure,
+    )
+    from kp_data_replication_spark.operators.cms import IncrementalCmsSketch
+    from kp_data_replication_spark.operators.join_view import IncrementalJoinView
+    from kp_data_replication_spark.operators.sketches import IncrementalHllSketch
+
+    bases = [
+        int(x) for x in os.environ.get(
+            "BENCH_CROSSOVER_BASES", "20000,80000,320000"
+        ).split(",")
+    ]
+    batch_n = int(os.environ.get("BENCH_CROSSOVER_BATCH", "400"))
+    measures = [
+        Measure("count", None, "n_docs"),
+        Measure("sum", "length(content)", "sum_len", dtype="long"),
+        Measure("min", "length(content)", "min_len", dtype="long"),
+        Measure("max", "length(content)", "max_len", dtype="long"),
+        Measure("count_distinct", "length(content)", "n_len", dtype="long"),
+    ]
+
+    def img(content_expr):
+        return F.struct(
+            F.lit("corpus").alias("repo"),
+            F.col("id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.concat(F.lit("t"), F.pmod("id", 8)).alias("lang"),
+            content_expr.alias("content"),
+            F.pmod(F.col("id") * 2654435761, 1_000_003).alias("user_id"),
+        )
+
+    def envelope(sel, op, lsn_base, content_expr):
+        i = img(content_expr)
+        is_del = F.lit(op == "d")
+        return sel.select(
+            F.pmod(F.col("id"), F.lit(8)).cast("int").alias("partition"),
+            (F.col("id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+            F.lit(op).alias("op"),
+            F.when(is_del, i).alias("before"),
+            F.when(~is_del, i).alias("after"),
+            F.lit(None).cast("timestamp").alias("ts_ms"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit("repos").alias("source_topic"),
+        )
+
+    content_v1 = F.rpad(
+        F.concat(F.lit("doc-"), F.col("id"), F.lit(" ")), 200, "abcdefgh "
+    )
+    content_v2 = F.rpad(
+        F.concat(F.lit("doc-"), F.col("id"), F.lit(" v2 ")), 208, "zyxwvuts "
+    )
+    rows = []
+    for B in bases:
+        wd = os.path.join(work_dir, f"xover_{B}")
+        src = TableStore(os.path.join(wd, "src"), n_buckets=64)
+        engine = CdcApplyEngine(
+            src, EngineConfig(metrics=False, changefeed_files=True)
+        )
+        engine.apply_batch(envelope(spark.range(B), "c", 0, content_v1), 0)
+
+        dim = TableStore(os.path.join(wd, "dim"), n_buckets=4)
+        CdcApplyEngine(dim, EngineConfig(metrics=False)).apply_batch(
+            envelope(
+                spark.range(8), "c", 0,
+                F.concat(F.lit("segment-"), F.col("id")),
+            ).withColumn(
+                # dim keys are the fk domain: path 't0'..'t7'
+                "after",
+                F.col("after").withField(
+                    "path", F.concat(F.lit("t"), F.col("after.path"))
+                ),
+            ),
+            0,
+        )
+
+        def mk_views(tag):
+            return (
+                IncrementalAggView(
+                    os.path.join(wd, f"agg_{tag}"), ["lang"], measures,
+                    n_buckets=16,
+                ),
+                IncrementalHllSketch(
+                    os.path.join(wd, f"hll_{tag}"), ["lang"], "user_id",
+                    n_buckets=8,
+                ),
+                IncrementalCmsSketch(
+                    os.path.join(wd, f"cms_{tag}"), ["lang"], "user_id",
+                    n_buckets=8,
+                ),
+                IncrementalJoinView(
+                    os.path.join(wd, f"jv_{tag}"),
+                    # fact.lang ('t0'..'t7') -> dim key ('corpus', 't<k>')
+                    fk_exprs={"repo": "'corpus'", "path": "lang"},
+                    fact_cols={"doc": "content"},
+                    dim_cols={"segment": "content"},
+                    n_buckets=16,
+                ),
+            )
+
+        agg, hll, cms, jv = mk_views("live")
+        for v in (agg, hll, cms):
+            v.update(spark, src)
+        jv.update(spark, src, dim)
+
+        # fixed-size epoch: batch_n keys update while the base grows
+        engine.apply_batch(
+            envelope(spark.range(batch_n), "u", 100_000_000, content_v2), 1
+        )
+        epoch = {}
+        t0 = time.time(); agg.update(spark, src)
+        epoch["agg"] = time.time() - t0
+        t0 = time.time(); hll.update(spark, src)
+        epoch["hll"] = time.time() - t0
+        t0 = time.time(); cms.update(spark, src)
+        epoch["cms"] = time.time() - t0
+        t0 = time.time(); jv.update(spark, src, dim)
+        epoch["join"] = time.time() - t0
+
+        # the rebuild alternative: fresh view, full state in
+        agg2, hll2, cms2, jv2 = mk_views("rebuild")
+        rebuild = {}
+        t0 = time.time(); agg2.update(spark, src)
+        rebuild["agg"] = time.time() - t0
+        t0 = time.time(); hll2.update(spark, src)
+        rebuild["hll"] = time.time() - t0
+        t0 = time.time(); cms2.update(spark, src)
+        rebuild["cms"] = time.time() - t0
+        t0 = time.time(); jv2.update(spark, src, dim)
+        rebuild["join"] = time.time() - t0
+
+        # the bare scan (no materialization) for reference
+        ln = F.length("content")
+        t0 = time.time()
+        (
+            src.read_state(spark).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(ln).alias("s"),
+                 F.min(ln).alias("mn"), F.max(ln).alias("mx"),
+                 F.countDistinct(ln).alias("nd"),
+                 F.countDistinct("user_id").alias("nu"))
+            .count()
+        )
+        scan = time.time() - t0
+
+        row = {
+            "base_rows": B,
+            "batch_rows": batch_n,
+            "epoch_sec": {k: round(v, 3) for k, v in epoch.items()},
+            "rebuild_sec": {k: round(v, 3) for k, v in rebuild.items()},
+            "scan_sec": round(scan, 3),
+        }
+        rows.append(row)
+        log(f"view crossover @ {B}: {row}")
+        shutil.rmtree(wd, ignore_errors=True)
+    return {"batch_rows": batch_n, "rows": rows}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -1170,6 +1346,11 @@ def main() -> None:
             bench_mor_write(spark, work_dir)
             if os.environ.get("BENCH_MOR", "1") != "0" else None
         )
+        xover = (
+            bench_view_crossover(spark, work_dir)
+            if os.environ.get("BENCH_CROSSOVER", "1") != "0" and llm_on
+            else None
+        )
 
         total = round(cdc["apply_sec"] + sum(qtimes.values()), 3)
         out = {
@@ -1202,6 +1383,8 @@ def main() -> None:
             out["retention_expiry"] = retention
         if mor is not None:
             out["mor_write"] = mor
+        if xover is not None:
+            out["view_crossover"] = xover
         out["bench_wall_sec"] = round(time.time() - t_bench0, 1)
         # full record (samples, incremental sections, phase breakdowns) to
         # a FILE; stdout's final line is a COMPACT headline only — the

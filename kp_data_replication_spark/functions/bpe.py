@@ -81,7 +81,20 @@ def bpe_train_merges(
     Returns [(pattern, replacement)] like ('(l)(l)', '(ll)'), padded
     with no-op sentinel merges if the corpus runs dry. Each round is one
     vocabulary-bounded aggregate; the corpus itself is scanned exactly
-    once (inside bpe_vocab)."""
+    once (inside bpe_vocab).
+
+    SERIAL-DRIVER BOUND: each round ends in one ``limit(1).collect()``
+    argmax, i.e. ``n_merges`` sequential Spark jobs on the driver's
+    critical path. That is the exact shape of classical BPE training
+    (each merge's pair counts depend on the previous merge) and is fine
+    for the bounded vocab sizes this function targets (tens to a few
+    hundred merges over a checkpointed vocabulary — each job is
+    vocabulary-sized, not corpus-sized). A 32k-merge production
+    tokenizer run would mean 32k serial job round-trips: at that scale
+    batch rounds by learning the top-k NON-OVERLAPPING pairs per round
+    (k merges per job, the standard Hugging-Face-style amortization) or
+    pull the checkpointed vocabulary driver-side and finish the merge
+    loop in memory — the vocab, unlike the corpus, fits."""
     vocab = bpe_vocab(df, text_col).localCheckpoint()
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
