@@ -185,3 +185,44 @@ def test_throughput_drop_fires_on_ewma_anomaly(spark):
     assert [r.alert for r in fired] == ["ThroughputDrop"]
     assert '"partition":1' in fired[0].labels
     assert "partition 1 applied 3" in fired[0].summary
+
+
+def test_grafana_dashboard_references_only_exposed_metrics():
+    """grafana/cdc-replication.json is dashboards-as-code over the
+    engine's own exposition surface (the reference ships
+    monitoring/grafana/*.json over its JMX exporter): every metric name a
+    panel queries must exist in the exposition module's metric tables, so
+    the dashboard cannot rot silently when metrics are renamed."""
+    import json
+    import os
+    import re
+
+    from kp_data_replication_spark.operators.metrics import (
+        _PROM_METRICS,
+        _TABLE_METRICS,
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "grafana", "cdc-replication.json",
+    )
+    with open(path) as f:
+        dash = json.load(f)
+    exposed = {m[0] for m in _PROM_METRICS} | {m[0] for m in _TABLE_METRICS}
+    referenced = set()
+    for p in dash["panels"]:
+        for t in p.get("targets", []):
+            referenced |= set(re.findall(r"\bcdc_[a-z_]+", t["expr"]))
+    # the datasource variable's label_values query counts too
+    for v in dash.get("templating", {}).get("list", []):
+        q = v.get("query")
+        if isinstance(q, str):
+            referenced |= set(re.findall(r"\bcdc_[a-z_]+", q))
+    assert referenced, "dashboard queries no metrics at all"
+    unknown = referenced - exposed
+    assert not unknown, f"dashboard references unexposed metrics: {unknown}"
+    # and the dashboard covers the headline series, not a token subset
+    assert {"cdc_partition_applied_total",
+            "cdc_partition_replication_latency_ms",
+            "cdc_partition_applied_lsn",
+            "cdc_table_version"} <= referenced
