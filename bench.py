@@ -1126,10 +1126,16 @@ def bench_view_crossover(spark, work_dir: str) -> dict:
 
     bases = [
         int(x) for x in os.environ.get(
-            "BENCH_CROSSOVER_BASES", "20000,80000,320000"
+            "BENCH_CROSSOVER_BASES", "20000,160000,1280000"
         ).split(",")
     ]
-    batch_n = int(os.environ.get("BENCH_CROSSOVER_BATCH", "400"))
+    # the O(batch) regime is batch keys << bucket count: the views' exact
+    # CDF diff is dirty-bucket pruned, so a batch dirtying every bucket
+    # degenerates the "epoch" leg into a full-table diff (measured: 400
+    # keys over 64 buckets made epoch GROW with the base). 50 keys over
+    # 256 buckets keeps the diff to ~18% of the table's bytes — and at
+    # operator scale (thousands of buckets) that fraction collapses.
+    batch_n = int(os.environ.get("BENCH_CROSSOVER_BATCH", "50"))
     measures = [
         Measure("count", None, "n_docs"),
         Measure("sum", "length(content)", "sum_len", dtype="long"),
@@ -1171,7 +1177,7 @@ def bench_view_crossover(spark, work_dir: str) -> dict:
     rows = []
     for B in bases:
         wd = os.path.join(work_dir, f"xover_{B}")
-        src = TableStore(os.path.join(wd, "src"), n_buckets=64)
+        src = TableStore(os.path.join(wd, "src"), n_buckets=256)
         engine = CdcApplyEngine(
             src, EngineConfig(metrics=False, changefeed_files=True)
         )
