@@ -153,6 +153,7 @@ def bench_cdc_apply(spark, work_dir: str) -> dict:
     log("cdc apply warmup replay done (untimed)")
     runs = []
     phase_runs = []
+    engine_phase_runs = []
     summary = {}
     n_state = 0
     for i in range(repeats):
@@ -164,6 +165,7 @@ def bench_cdc_apply(spark, work_dir: str) -> dict:
         phase_runs.append({
             k: round(v, 3) for k, v in store.commit_phase_totals.items()
         })
+        engine_phase_runs.append(summary.get("phases") or {})
         n_state = store.read_state(spark).count()
         log(f"cdc apply[{i}]: {spec.n_events} events -> {n_state} rows in {runs[-1]:.1f}s")
         log(f"  commit phases[{i}]: {phase_runs[-1]}")
@@ -180,6 +182,10 @@ def bench_cdc_apply(spark, work_dir: str) -> dict:
         # per-phase commit wall (summed over the best run's epochs): the
         # decomposition that turns an apply regression into a named phase
         "commit_phases": phase_runs[best],
+        # the engine loop's own phase report for the same run (read_plan /
+        # compact / merge_commit / mor_fold / rebucket / metrics_wait) —
+        # together the two cover the whole apply wall
+        "apply_phases": engine_phase_runs[best],
     }
 
 
