@@ -23,6 +23,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _pairwise_partitions(df: DataFrame) -> int:
+    """Partition count for pairwise-scoring stages.
+
+    The corpus parquet files are written with few row groups, so a scan
+    yields 1-2 input splits; any join that then evaluates a per-PAIR cosine
+    runs its fan-out (corpus x candidates) inside those 1-2 tasks — measured
+    110s single-task vs 4.6s at 64 tasks for the same 20M-pair join at sf1.
+    An explicit round-robin repartition ahead of the pairwise stage spreads
+    the fan-out over the cluster. Scale-adaptive: derived from
+    defaultParallelism (cores in local mode, executors x cores on a real
+    cluster), never a local[32] constant; 2x smooths per-bucket skew.
+    """
+    return 2 * df.sparkSession.sparkContext.defaultParallelism
+
+
 def dot_expr(a, b) -> F.Column:
     """Dot product of two array<float/double> columns, JVM-side."""
     return F.aggregate(
@@ -70,7 +85,7 @@ def cosine_topk_bruteforce(
         F.col(vec_col).alias("_qvec"),
         norm_expr(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(
+    c = corpus.repartition(_pairwise_partitions(corpus)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         norm_expr(F.col(vec_col)).alias("_cn"),
@@ -158,7 +173,7 @@ def cosine_topk_lsh(
     # first() probe; None on an empty corpus keeps the dynamic fallback)
     first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = first["d"] if first is not None else None
-    c = corpus.select(
+    c = corpus.repartition(_pairwise_partitions(corpus)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         norm_expr(F.col(vec_col)).alias("_cn"),
@@ -233,7 +248,11 @@ def train_ivf_centroids(
     # hoisted row norms, persisted: every Lloyd iteration's assignment AND
     # update job reuses the materialized (id, vec, norm) sample instead of
     # re-reading + re-norming the corpus
-    dfn = df.select("_id", "_v", norm_expr(F.col("_v")).alias("_vn")).persist()
+    dfn = (
+        df.repartition(_pairwise_partitions(df))
+        .select("_id", "_v", norm_expr(F.col("_v")).alias("_vn"))
+        .persist()
+    )
     for _ in range(max(0, n_iters)):
         cdf = spark.createDataFrame(list(enumerate(cents)), cent_schema).select(
             "cell", "_centroid", norm_expr(F.col("_centroid")).alias("_cenn")
@@ -337,7 +356,8 @@ def cosine_topk_ivf(
     )
     # corpus -> nearest cell (one broadcast join, argmax via max_by)
     c_assigned = (
-        corpus.select(
+        corpus.repartition(_pairwise_partitions(corpus))
+        .select(
             F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("_cn")
         )
         .crossJoin(F.broadcast(cents))
@@ -406,7 +426,7 @@ def embedding_neardup_pairs(
     coarse quantizer) bounds the pair blowup; cosine filters inside buckets.
     Output: (id1, id2, cos_sim).
     """
-    a = df.select(
+    a = df.repartition(_pairwise_partitions(df)).select(
         F.col(bucket_col).alias("_b"), F.col(id_col).alias("id1"),
         F.col(vec_col).alias("_v1"), norm_expr(F.col(vec_col)).alias("_n1"),
     )
@@ -476,7 +496,8 @@ def semdedup(
     # toward the larger cell id, mirroring the SQL oracle's ORDER BY
     # sim DESC, cell DESC) — same assignment block as cosine_topk_ivf
     assigned = (
-        corpus.select(
+        corpus.repartition(_pairwise_partitions(corpus))
+        .select(
             F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("_n")
         )
         .crossJoin(F.broadcast(cents))
@@ -630,7 +651,7 @@ def cosine_topk_sq8(
     if stats is None:
         stats = sq8_stats(corpus, vec_col)
     mn, span = stats
-    c = corpus.select(
+    c = corpus.repartition(_pairwise_partitions(corpus)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         norm_expr(F.col(vec_col)).alias("_cn"),
