@@ -345,19 +345,33 @@ def _hashed_features(df: DataFrame, id_col: str, text_col: str,
     Words come from ONE hoisted lowercase whitespace split (the
     dedup_docs lesson: expressions referenced inside transform() lambdas
     re-evaluate per element); bigrams are 2-slices of the bound array."""
-    words = df.select(
+    n_parts = 2 * df.sparkSession.sparkContext.defaultParallelism
+    words = df.repartition(n_parts).select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_w"),
     )
-    bigrams = F.when(
-        F.size("_w") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_w") - 1),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # one explode over 2*len-1 feature INDICES: i <= len is unigram w[i],
+    # i > len is bigram (w[i-len], w[i-len+1]). Same multiset of features
+    # as concat(unigrams, bigrams); explode + element_at + concat_ws are
+    # all codegen expressions, where the transform() lambda
+    # (CodegenFallback) built an interpreted array per document. The
+    # repartition spreads the tokenize fan-out (the parquet scan yields
+    # 1-2 splits).
+    sz = F.size("_w")
     feats = words.select(
-        "doc", F.explode(F.concat(F.col("_w"), bigrams)).alias("f")
+        "doc", "_w", sz.alias("_sz"),
+        F.explode(F.sequence(F.lit(1), sz * 2 - 1)).alias("_i"),
+    ).select(
+        "doc",
+        F.when(
+            F.col("_i") <= F.col("_sz"), F.element_at(F.col("_w"), F.col("_i"))
+        ).otherwise(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("_w"), F.col("_i") - F.col("_sz")),
+                F.element_at(F.col("_w"), F.col("_i") - F.col("_sz") + F.lit(1)),
+            )
+        ).alias("f"),
     )
     return feats.select("doc", _feat_bucket(F.col("f"), n_buckets).alias("b"))
 
@@ -394,11 +408,22 @@ def dsir_select(
 
     Output: (doc_id, logw, rank) for the n_keep highest-scoring docs.
     """
-    src_feats = _hashed_features(corpus, id_col, text_col, n_buckets)
     tgt_feats = _hashed_features(target, id_col, text_col, n_buckets)
 
-    def dist(feats: DataFrame, p_name: str) -> DataFrame:
-        counts = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    # ONE corpus feature pass: the (doc, bucket) counts feed both the
+    # source distribution (per-bucket totals = sum of per-doc counts,
+    # integer-exact) and the scoring join — previously the tokenize+
+    # explode+md5 pipeline ran once for dist(src) and again for the
+    # scoring counts. localCheckpoint materializes the ~docs x buckets
+    # table once.
+    doc_counts = (
+        _hashed_features(corpus, id_col, text_col, n_buckets)
+        .groupBy("doc", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+
+    def dist_from_counts(counts: DataFrame, p_name: str) -> DataFrame:
         w_all = W.partitionBy()
         return counts.select(
             "b",
@@ -408,13 +433,16 @@ def dsir_select(
             ).alias(p_name),
         )
 
+    src_counts = doc_counts.groupBy("b").agg(F.sum("n").alias("c"))
+    tgt_counts = tgt_feats.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+
     # n_buckets-row tables; the window-over-all is bucket-sized, never
     # corpus-sized. Left join from the source side keeps unseen-in-target
     # buckets at the smoothing floor via the same closed form.
     n_tgt = tgt_feats.count()
     ratios = (
-        dist(src_feats, "p_s")
-        .join(dist(tgt_feats, "p_t"), "b", "left")
+        dist_from_counts(src_counts, "p_s")
+        .join(dist_from_counts(tgt_counts, "p_t"), "b", "left")
         .select(
             "b",
             F.round(
@@ -428,9 +456,6 @@ def dsir_select(
                 6,
             ).alias("lr"),
         )
-    )
-    doc_counts = src_feats.groupBy("doc", "b").agg(
-        F.count(F.lit(1)).alias("n")
     )
     weights = (
         doc_counts.join(F.broadcast(ratios), "b")

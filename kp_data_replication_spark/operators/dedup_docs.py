@@ -34,28 +34,52 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _fanout_partitions(df: DataFrame) -> int:
+    """Partition count for per-row fan-out stages (tokenize/explode).
+
+    The corpus parquet files scan as 1-2 input splits, so the whole
+    tokenize+explode pipeline otherwise runs in 1-2 tasks. Scale-adaptive:
+    derived from defaultParallelism, not a local-mode constant; 2x smooths
+    per-document length skew."""
+    return 2 * df.sparkSession.sparkContext.defaultParallelism
+
+
 # ---------------------------------------------------------------- shingles
 def _word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (the Jaccard/MinHash unit).
 
     The tokenization is HOISTED into its own projection: referencing the
-    `split()` expression inside the transform() lambda makes codegen
+    `split()` expression inside a per-position lambda makes codegen
     re-evaluate the regex split once PER SHINGLE POSITION (O(words^2) per
     document — measured 11x slower at sf0.1); materializing the word array
-    first evaluates it once per row, and each shingle is a 3-slice of the
-    bound array."""
-    words = df.select(
+    first evaluates it once per row. Shingle extraction explodes the
+    POSITION sequence and builds each n-gram with element_at — explode +
+    element_at + concat_ws are all codegen expressions, where the previous
+    transform() lambda (a higher-order function, CodegenFallback) built an
+    interpreted array-of-strings per document. Values are identical:
+    concat_ws over the same n consecutive words. The repartition ahead of
+    the tokenize stage spreads the fan-out over the cluster (the scan
+    itself yields 1-2 splits)."""
+    words = df.repartition(_fanout_partitions(df)).select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
     )
-    shingles = F.when(
-        F.size("_w") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return words.select("doc", F.explode(shingles).alias("shingle")).distinct()
+    idx = F.explode(
+        F.when(
+            F.size("_w") >= n, F.sequence(F.lit(1), F.size("_w") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    return (
+        words.select("doc", "_w", idx.alias("i"))
+        .select(
+            "doc",
+            F.concat_ws(
+                " ",
+                *[F.element_at(F.col("_w"), F.col("i") + F.lit(j)) for j in range(n)],
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
@@ -81,29 +105,42 @@ def ngram_jaccard_pairs(
     the rare-shingle universe (sizes use the same filtered set, so the
     measure stays a true Jaccard). None disables the cap.
     """
-    sh = _word_shingles(df, id_col, text_col, n)
+    # the shingle pipeline feeds FOUR consumers (df-cap, sizes, both join
+    # sides); without materialization Spark re-runs the tokenize+explode+
+    # distinct subtree per consumer (measured: 16 parquet scans in the
+    # sf1 plan, ~4x the query wall). localCheckpoint computes it once;
+    # the cap is a broadcast ANTI join against the (tiny) HOT set rather
+    # than a shuffle join against the (corpus-sized) rare set — identical
+    # semantics (df <= max_df), no shuffle of the shingle stream.
+    sh = _word_shingles(df, id_col, text_col, n).localCheckpoint()
     if max_df is not None:
-        rare = (
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
+            .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
+    # sizes are attached to the SLIM shingle stream (broadcast, 1 row/doc)
+    # BEFORE the pair join, so the threshold filter runs directly on the
+    # aggregate output: at sf1 the candidate aggregate holds 114M distinct
+    # pairs, and joining sizes after it meant two more passes over that
+    # stream; grouping by (doc, sz) on both sides is the same grouping
+    # (sz is functionally dependent on doc) with the filter applied in
+    # place.
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc").alias("doc1"), "shingle")
-    b = sh.select(F.col("doc").alias("doc2"), "shingle")
-    inter = (
+    szb = F.broadcast(sizes)
+    a = sh.join(szb, "doc").select(
+        F.col("doc").alias("doc1"), F.col("sz").alias("sz1"), "shingle"
+    )
+    b = sh.join(szb, "doc").select(
+        F.col("doc").alias("doc2"), F.col("sz").alias("sz2"), "shingle"
+    )
+    return (
         a.join(b, "shingle")
         .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
+        .groupBy("doc1", "doc2", "sz1", "sz2")
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("sz").alias("sz2"))
-    return (
-        inter.join(s1, "doc1")
-        .join(s2, "doc2")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4),
@@ -132,27 +169,43 @@ def shingle_hash(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _minhash_wide(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """One row per doc with all k minhash values as columns (_m0.._mk).
+
+    Plan: distinct shingles -> hash to int -> ONE groupBy(doc) computing
+    the k permutation minima as k aggregate expressions. Replaces the
+    k-way broadcast-params explode (k x the shingle stream through the
+    aggregate) with k map-side min columns over the un-exploded stream;
+    the shuffle then carries one partial row per (map partition, doc)
+    instead of k. Identical integer math: min((a*H+b) mod p) per doc."""
+    sh = _word_shingles(df, id_col, text_col, n).withColumn(
+        "h", shingle_hash(F.col("shingle"))
+    )
+    return sh.groupBy("doc").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"_m{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """k=16 MinHash signature per document.
 
-    Plan: distinct shingles -> hash to int -> broadcast-joined with the 16
-    (a, b) permutation rows -> min((a*H+b) mod p) per (doc, i). The explode
-    factor is k, bounded; aggregation is map-side partial.
-    Output: (doc, i, minhash).
+    One groupBy(doc) with k min-aggregate columns (see
+    :func:`_minhash_wide`), stacked back to the (doc, i, minhash) contract
+    with a bounded posexplode.
     """
-    spark = df.sparkSession
-    params = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)], "i int, a long, b long"
-    )
-    sh = _word_shingles(df, id_col, text_col, n).withColumn(
-        "h", shingle_hash(F.col("shingle"))
-    )
-    return (
-        sh.crossJoin(F.broadcast(params))
-        .groupBy("doc", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_PRIME).alias("minhash"))
+    wide = _minhash_wide(df, n, id_col, text_col)
+    return wide.select(
+        "doc",
+        F.posexplode(
+            F.array(*[F.col(f"_m{i}") for i in range(len(MINHASH_PARAMS))])
+        ).alias("i", "minhash"),
     )
 
 
@@ -167,17 +220,37 @@ def band_buckets(
     the band's concatenated minhash values. The shared signature kernel of
     :func:`minhash_lsh_pairs` and the incremental changefeed-maintained
     index (operators/dedup_incremental.py): both MUST hash identically or
-    incremental pairs would diverge from full recompute."""
-    sig = minhash_signatures(df, n, id_col, text_col)
+    incremental pairs would diverge from full recompute.
+
+    Buckets are built straight from the wide per-doc signature row, with
+    the historical array_sort(collect_list("i:minhash")) element order
+    precomputed: within a band the "i:minhash" strings always compare on
+    the "i:" prefix alone (distinct i, and ':' participates in the
+    comparison before any minhash digit can), so the sorted order is a
+    STATIC permutation of the band's hash indices — e.g. band 2 is
+    [10, 11, 8, 9]. Byte-identical buckets, one aggregate instead of two.
+    """
+    wide = _minhash_wide(df, n, id_col, text_col)
     rows_per_band = len(MINHASH_PARAMS) // bands
-    return (
-        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.md5(F.concat_ws("-", F.array_sort(F.collect_list(
-                F.concat_ws(":", F.col("i").cast("string"), F.col("minhash").cast("string"))
-            )))).alias("bucket")
+
+    def bucket_for(b: int) -> F.Column:
+        ids = range(b * rows_per_band, (b + 1) * rows_per_band)
+        order = sorted(ids, key=lambda i: f"{i}:")
+        return F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.concat_ws(":", F.lit(str(i)), F.col(f"_m{i}").cast("string"))
+                    for i in order
+                ],
+            )
         )
+
+    return wide.select(
+        "doc",
+        F.posexplode(F.array(*[bucket_for(b) for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
     )
 
 
@@ -194,7 +267,10 @@ def minhash_lsh_pairs(
     on (band, bucket) — only colliding docs meet. Output (doc1, doc2,
     n_shared_bands).
     """
-    banded = band_buckets(df, n, bands, id_col, text_col)
+    # both self-join sides read the band table: materialize it once
+    # (4 slim rows per doc) instead of re-running the whole shingle+minhash
+    # pipeline per side
+    banded = band_buckets(df, n, bands, id_col, text_col).localCheckpoint()
     x = banded.select(F.col("doc").alias("doc1"), "band", "bucket")
     y = banded.select(F.col("doc").alias("doc2"), "band", "bucket")
     return (

@@ -75,9 +75,20 @@ def winnow_fingerprints(
     digest is also what the shuffle carries, never text).
     """
     n = (F.length("_t") - (k - 1)).cast("long")  # number of k-gram positions
-    d = df.select(
-        F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
-    ).filter(F.length("_t") >= k + w - 1)
+    # hash-repartition by doc BEFORE the per-position explode: the window
+    # passes below need hashpartitioning(doc), and establishing it on the
+    # (doc, text) rows moves ~300 bytes/doc through the exchange instead of
+    # the exploded ~60 bytes/POSITION (56x fewer shuffle bytes at sf1:
+    # 15 MB vs 840 MB) — the explode, md5, and both sliding extrema then
+    # run inside one post-shuffle stage with no further exchange. The
+    # partition count is scale-adaptive (defaultParallelism), never a
+    # local-mode constant.
+    n_parts = 2 * df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+        .filter(F.length("_t") >= k + w - 1)
+        .repartition(n_parts, "doc")
+    )
     pos = F.col("pos")
     g = d.select(
         "doc",
@@ -132,14 +143,21 @@ def winnow_match_pairs(
     NOT imposed (let the caller sort; the driver compare is order-free).
     """
     fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
-    sets = fps.select("doc", "fp").distinct()
-    rare = (
+    # the distinct fingerprint set feeds THREE consumers (df-cap and both
+    # self-join sides); without materialization the whole explode+md5+
+    # window selection re-runs per consumer (8 parquet scans in the sf1
+    # plan). One localCheckpoint computes it once; the df-cap is a
+    # broadcast ANTI join against the tiny HOT set (boilerplate
+    # fingerprints), identical semantics to the rare-semi-join, with no
+    # shuffle of the fingerprint stream.
+    sets = fps.select("doc", "fp").distinct().localCheckpoint()
+    hot = (
         sets.groupBy("fp")
         .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_df)
+        .filter(F.col("_df") > max_df)
         .select("fp")
     )
-    sf = sets.join(rare, "fp")
+    sf = sets.join(F.broadcast(hot), "fp", "left_anti")
     a = sf.select(F.col("doc").alias("doc1"), "fp")
     b = sf.select(F.col("doc").alias("doc2"), "fp")
     return (
