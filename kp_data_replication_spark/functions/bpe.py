@@ -97,6 +97,40 @@ def bpe_train_merges(
     loop in memory — the vocab, unlike the corpus, fits."""
     vocab = bpe_vocab(df, text_col).localCheckpoint()
     merges: list[tuple[str, str]] = []
+    # Driver-side merge loop when the vocabulary fits (the amortization the
+    # SERIAL-DRIVER BOUND note below prescribes): the vocab, unlike the
+    # corpus, is Heaps'-law bounded, and each distributed round otherwise
+    # costs two serial job round-trips (aggregate + checkpoint) for a
+    # vocabulary-sized computation — ~20 scheduler latencies for 10 merges.
+    # Exactness: Python str.replace is the same non-overlapping
+    # left-to-right substitution as Spark's replace(); pair counts are
+    # exact ints; the (count desc, pattern asc) tie-break compares ASCII
+    # patterns identically. The distributed loop below remains the path
+    # for vocabularies past the driver bound.
+    import os as _os
+    import re as _re
+
+    driver_max = int(_os.environ.get("BPE_DRIVER_VOCAB_MAX", "2000000"))
+    if vocab.count() <= driver_max:
+        rows = vocab.select("wc", "seq").collect()
+        seqs = [[int(r["wc"]), r["seq"]] for r in rows]
+        sym_re = _re.compile(_SYM_RE)
+        for _ in range(n_merges):
+            counts: dict[str, int] = {}
+            for wc, seq in seqs:
+                syms = sym_re.findall(seq)
+                for i in range(len(syms) - 1):
+                    pat = f"({syms[i]})({syms[i + 1]})"
+                    counts[pat] = counts.get(pat, 0) + wc
+            if not counts:
+                merges.append((BPE_NOOP, BPE_NOOP))
+                continue
+            pat = min(counts, key=lambda p: (-counts[p], p))
+            rep = pat.replace(")(", "")
+            merges.append((pat, rep))
+            for entry in seqs:
+                entry[1] = entry[1].replace(pat, rep)
+        return merges
     for _ in range(n_merges):
         s = _symbols(F.col("seq"))
         pats = vocab.select(

@@ -346,7 +346,10 @@ def _hashed_features(df: DataFrame, id_col: str, text_col: str,
     dedup_docs lesson: expressions referenced inside transform() lambdas
     re-evaluate per element); bigrams are 2-slices of the bound array."""
     n_parts = 2 * df.sparkSession.sparkContext.defaultParallelism
-    words = df.repartition(n_parts).select(
+    # hash by doc id: the (doc, bucket) scoring aggregate downstream is
+    # then satisfied in place — the exploded feature stream never crosses
+    # an exchange, only the slim (doc, text) rows do
+    words = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_w"),
     )

@@ -60,7 +60,12 @@ def _word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     concat_ws over the same n consecutive words. The repartition ahead of
     the tokenize stage spreads the fan-out over the cluster (the scan
     itself yields 1-2 splits)."""
-    words = df.repartition(_fanout_partitions(df)).select(
+    # HASH-partition by the doc id (not round-robin): the distinct below
+    # groups by (doc, shingle) and every downstream consumer aggregates by
+    # doc — hashpartitioning(doc) satisfies all of those in place, so the
+    # exploded shingle stream (2.6M rows at sf1) never crosses an exchange;
+    # only the ~300-byte (doc, text) rows do.
+    words = df.repartition(_fanout_partitions(df), F.col(id_col)).select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
     )

@@ -56,6 +56,41 @@ def norm_expr(a) -> F.Column:
     )
 
 
+def _py_norm(vals) -> float:
+    """Driver-side twin of norm_expr: same left-to-right IEEE fold."""
+    import math
+
+    acc = 0.0
+    for x in vals:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _nearest_cell_inline(vec_col, norm_col, crows, cell_type) -> F.Column:
+    """Argmax cell over a CODEBOOK-sized centroid list, inlined.
+
+    ``crows``: [(cell, centroid_values, cenn)]. Returns the same
+    (sim desc, cell desc) argmax as max_by(cell, struct(sim, cell)) over a
+    broadcast centroid table — greatest() over (sim, cell) structs is the
+    identical lexicographic maximum — but with the per-cell dot products
+    inlined as literal-array expressions, so the assignment is ONE
+    map-side projection instead of a crossJoin fan-out + re-group
+    exchange. Bit-identical sims: literal doubles equal the cast
+    centroid values, same fold order, same division."""
+    structs = [
+        F.struct(
+            (
+                dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]))
+                / (F.col(norm_col) * F.lit(float(cn)))
+            ).alias("_s"),
+            F.lit(c).cast(cell_type).alias("_c"),
+        )
+        for (c, cv, cn) in crows
+    ]
+    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    return best["_c"]
+
+
 def cosine_expr(a, b) -> F.Column:
     """Cosine similarity of two array<float/double> columns, JVM-side.
 
@@ -254,19 +289,15 @@ def train_ivf_centroids(
         .persist()
     )
     for _ in range(max(0, n_iters)):
-        cdf = spark.createDataFrame(list(enumerate(cents)), cent_schema).select(
-            "cell", "_centroid", norm_expr(F.col("_centroid")).alias("_cenn")
-        )
-        assigned = (
-            dfn.crossJoin(F.broadcast(cdf))
-            .withColumn(
-                "_sim",
-                dot_expr(F.col("_v"), F.col("_centroid"))
-                / (F.col("_vn") * F.col("_cenn")),
-            )
-            .groupBy("_id", "_v")
-            .agg(F.max_by("cell", F.struct(F.col("_sim"), F.col("cell"))).alias("cell"))
-        )
+        # inline the codebook (it lives driver-side between rounds anyway):
+        # the assignment is a map-side projection over the persisted
+        # sample instead of a crossJoin fan-out + re-group exchange per
+        # round. Centroid norms fold left-to-right in IEEE doubles exactly
+        # like norm_expr (Python floats ARE IEEE doubles).
+        crows = [(c, cv, _py_norm(cv)) for c, cv in enumerate(cents)]
+        assigned = dfn.withColumn(
+            "cell", _nearest_cell_inline("_v", "_vn", crows, "int")
+        ).select("_id", "_v", "cell")
         # spherical mean: average the L2-normalized members per cell
         # (posexplode -> (cell, pos) avg; rows shuffled = sample x dim).
         # The norm is HOISTED into its own projection — referencing the
@@ -354,30 +385,32 @@ def cosine_topk_ivf(
     cents = cents.select(
         "cell", "_centroid", norm_expr(F.col("_centroid")).alias("_cenn")
     )
-    # corpus -> nearest cell (one broadcast join, argmax via max_by)
-    c_assigned = (
-        corpus.repartition(_pairwise_partitions(corpus))
-        .select(
-            F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("_cn")
-        )
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "_sim",
-            dot_expr(F.col(vec_col), F.col("_centroid"))
-            / (F.col("_cn") * F.col("_cenn")),
-        )
-        .groupBy(id_col, vec_col, "_cn")
-        # deterministic argmax: ties on cosine break toward the larger cell
-        # id (struct comparison is lexicographic) — keeps the result — and
-        # the SQL oracle — stable under any plan/partitioning change
-        .agg(F.max_by("cell", F.struct(F.col("_sim"), F.col("cell"))).alias("cell"))
-        .select(
+    # corpus -> nearest cell: the codebook is bounded by construction, so
+    # collect it once (norms JVM-computed above) and inline the argmax as
+    # a map-side projection — no crossJoin fan-out, no re-group exchange.
+    # Deterministic argmax: ties on cosine break toward the larger cell id
+    # (lexicographic struct maximum), matching the SQL oracle.
+    crows = [(r["cell"], list(r["_centroid"]), r["_cenn"]) for r in cents.collect()]
+    cell_type = cents.schema["cell"].dataType
+    c_base = corpus.repartition(_pairwise_partitions(corpus)).select(
+        F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("_cn")
+    )
+    if not crows:
+        c_assigned = c_base.withColumn("cell", F.lit(None).cast(cell_type)).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cvec"),
             "_cn",
             "cell",
         )
-    )
+    else:
+        c_assigned = c_base.withColumn(
+            "cell", _nearest_cell_inline(vec_col, "_cn", crows, cell_type)
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            "_cn",
+            "cell",
+        )
     # query -> its n_probe nearest cells (multi-probe)
     wq = W.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell"))
     q_probes = (
@@ -492,22 +525,20 @@ def semdedup(
     cents = cents.select(
         "cell", "_centroid", norm_expr(F.col("_centroid")).alias("_cenn")
     )
-    # corpus -> nearest cell: one broadcast join + max_by argmax (ties break
-    # toward the larger cell id, mirroring the SQL oracle's ORDER BY
-    # sim DESC, cell DESC) — same assignment block as cosine_topk_ivf
-    assigned = (
-        corpus.repartition(_pairwise_partitions(corpus))
-        .select(
-            F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("_n")
-        )
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "_sim",
-            dot_expr(F.col(vec_col), F.col("_centroid"))
-            / (F.col("_n") * F.col("_cenn")),
-        )
-        .groupBy(id_col, vec_col, "_n")
-        .agg(F.max_by("cell", F.struct(F.col("_sim"), F.col("cell"))).alias("cell"))
+    # corpus -> nearest cell: codebook collected once, argmax inlined as a
+    # map-side projection (ties break toward the larger cell id, mirroring
+    # the SQL oracle's ORDER BY sim DESC, cell DESC) — same assignment
+    # shape as cosine_topk_ivf, no crossJoin fan-out / re-group exchange.
+    crows = [(r["cell"], list(r["_centroid"]), r["_cenn"]) for r in cents.collect()]
+    cell_type = cents.schema["cell"].dataType
+    a_base = corpus.repartition(_pairwise_partitions(corpus)).select(
+        F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("_n")
+    )
+    assigned = a_base.withColumn(
+        "cell",
+        _nearest_cell_inline(vec_col, "_n", crows, cell_type)
+        if crows
+        else F.lit(None).cast(cell_type),
     )
     a = assigned.select(
         "cell", F.col(id_col).alias("_id1"),

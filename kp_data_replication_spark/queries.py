@@ -3091,8 +3091,16 @@ def q_lm_doc_scores(spark, sf_dir):
     1-row crossJoin."""
     from .operators.lm import lm_counts, lm_score
 
-    docs = _docs(spark, sf_dir)
-    counts = lm_counts(docs.filter(F.col("lang") == "en"))
+    # hash-repartition by doc id: the tokenize+explode fan-out otherwise
+    # runs in the scan's 1-2 splits, and the per-doc score aggregate is
+    # satisfied in place when the model joins broadcast. The count-table
+    # model is checkpointed once — its subtree is referenced ~5x in the
+    # score plan (uni/bi/totals legs), which otherwise re-tokenizes the
+    # training slice per reference.
+    docs = _docs(spark, sf_dir).repartition(
+        2 * spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    counts = lm_counts(docs.filter(F.col("lang") == "en")).localCheckpoint()
     return lm_score(docs, counts)
 
 
