@@ -326,7 +326,15 @@ def collect_file_stats(
     ``bloom_cols``: additionally build a per-file bloom filter over each
     listed column's values (a column-pruned read of the new file — the
     only stats path that touches data pages; see the bloom block above
-    for the scale story)."""
+    for the scale story).
+
+    SHARED-FILESYSTEM REQUIREMENT (distributed path): the Spark-job
+    harvest ships ``root``-relative paths to executors, so on a real
+    multi-node cluster ``root`` must be a shared filesystem/object-store
+    URI visible from every executor (exactly the deployment a TableStore
+    needs anyway — executors write bucket files under the same root). On
+    a non-shared local path the distributed branch only runs correctly
+    in local mode, where executors share the driver's filesystem."""
     if not relpaths:
         return {}
     blooms = list(bloom_cols or [])

@@ -155,21 +155,46 @@ class TopicRouter:
 
         p = self._pause_path(topic)
         info = {}
-        if os.path.exists(p):
+        was_paused = os.path.exists(p)
+        if was_paused:
             with open(p) as f:
                 info = json.load(f)
-            os.remove(p)
-        out: dict = {"topic": topic, "was_paused": bool(info)}
+        out: dict = {"topic": topic, "was_paused": was_paused}
+        # The catch-up replay runs while the gate is STILL DOWN: the marker
+        # only blocks router.apply_batch (live triggers), never
+        # replay_batch, and removing it before the replay commits would
+        # open a data-loss window — a live post-gap batch advancing the
+        # partition watermark past the paused gap makes the replay's
+        # lineage anti-filter silently mask the gap events. The marker
+        # comes off only after the replay commits successfully (a failed
+        # replay leaves the flow gated and the gap replayable).
         if changelog_path is not None:
             if spark is None:
                 raise ValueError("catch-up resume needs a SparkSession")
+            store = self.store_for(topic)
             engine = CdcApplyEngine(
-                self.store_for(topic),
+                store,
                 replace(self.config, whitelist=f"^{re.escape(topic)}$"),
             )
             out["catchup"] = engine.replay_batch(
                 spark, changelog_path, read_schema=read_schema
             )
+            if self.use_catalog:
+                # publish the caught-up table version (mirroring
+                # apply_batch): read_consistent() otherwise keeps serving
+                # the frozen pre-pause snapshot until the next live epoch
+                # that happens to touch this topic
+                out["_catalog_version"] = self.catalog.commit(
+                    {topic: store.current_version()},
+                    writer_id=f"resume:{topic}",
+                )
+                snap = self.catalog.snapshot()
+                for t, tv in snap.items():
+                    self.store_for(t).record_consumer(
+                        f"catalog:{os.path.abspath(self.root)}", tv
+                    )
+        if was_paused:
+            os.remove(p)
         return out
 
     def apply_batch(self, batch, epoch: int, writer_id: str = "default") -> dict:

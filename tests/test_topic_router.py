@@ -360,3 +360,117 @@ def test_per_flow_pause_resume_under_live_stream(spark, tmp_path):
         .select("content_sha").collect()
     ) == exp
     del json
+
+
+def test_resume_keeps_gate_down_until_catchup_commits(spark, tmp_path):
+    """The pause marker must survive INTO the catch-up replay and come off
+    only after it commits: removing it first opens the documented
+    data-loss window (a live trigger between marker removal and replay
+    completion advances the partition watermark past the paused gap, and
+    the replay's lineage anti-filter then masks the gap events forever).
+    A failed replay must leave the flow gated."""
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA_EVOLVED
+    from kp_data_replication_spark.streaming import apply as apply_mod
+
+    cl = str(tmp_path / "cl")
+    write_changelog(
+        spark, cl,
+        ChangelogSpec(n_keys=20, versions_per_key=2, n_partitions=2, files=2),
+    )
+    router = TopicRouter(
+        str(tmp_path / "targets"),
+        EngineConfig(metrics=False, whitelist="^repos$"),
+        n_buckets=4,
+    )
+    batch = spark.read.option("mergeSchema", "true").parquet(cl)
+    router.apply_batch(batch, 0)
+    router.pause("repos")
+    assert router.is_paused("repos")
+
+    # 1) during the replay the gate must still be down
+    seen_during_replay = {}
+    orig = apply_mod.CdcApplyEngine.replay_batch
+
+    def probing(self, *a, **kw):
+        seen_during_replay["paused"] = router.is_paused("repos")
+        return orig(self, *a, **kw)
+
+    apply_mod.CdcApplyEngine.replay_batch = probing
+    try:
+        out = router.resume(spark, "repos", changelog_path=cl,
+                            read_schema=CHANGELOG_SCHEMA_EVOLVED)
+    finally:
+        apply_mod.CdcApplyEngine.replay_batch = orig
+    assert out["was_paused"]
+    assert seen_during_replay["paused"] is True
+    assert not router.is_paused("repos")
+
+    # 2) a FAILED catch-up leaves the marker (flow stays gated, gap
+    # replayable); the error propagates
+    router.pause("repos")
+
+    def exploding(self, *a, **kw):
+        raise RuntimeError("replay infrastructure failure")
+
+    apply_mod.CdcApplyEngine.replay_batch = exploding
+    try:
+        try:
+            router.resume(spark, "repos", changelog_path=cl,
+                          read_schema=CHANGELOG_SCHEMA_EVOLVED)
+            raise AssertionError("resume must propagate the replay failure")
+        except RuntimeError:
+            pass
+    finally:
+        apply_mod.CdcApplyEngine.replay_batch = orig
+    assert router.is_paused("repos")
+    # cleanup: successful resume clears the gate
+    out = router.resume(spark, "repos", changelog_path=cl,
+                        read_schema=CHANGELOG_SCHEMA_EVOLVED)
+    assert not router.is_paused("repos")
+
+
+def test_resume_catchup_publishes_catalog(spark, tmp_path):
+    """Under use_catalog=True a successful catch-up must publish the
+    caught-up table version: read_consistent() otherwise keeps serving the
+    frozen pre-pause snapshot until the next live epoch touches the
+    topic."""
+    from kp_data_replication_spark.schema import CHANGELOG_SCHEMA_EVOLVED
+
+    cl = str(tmp_path / "cl")
+    write_changelog(
+        spark, cl,
+        ChangelogSpec(n_keys=20, versions_per_key=2, n_partitions=2, files=4),
+    )
+    router = TopicRouter(
+        str(tmp_path / "targets"),
+        EngineConfig(metrics=False, whitelist="^repos$"),
+        n_buckets=4,
+        use_catalog=True,
+    )
+    import os
+
+    files = sorted(os.listdir(cl))
+    half = [f for f in files if f.endswith(".parquet")]
+    first, rest = half[: len(half) // 2], half[len(half) // 2:]
+    b1 = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{cl}/{f}" for f in first]
+    )
+    router.apply_batch(b1, 0)
+    router.pause("repos")
+    b2 = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{cl}/{f}" for f in rest]
+    )
+    router.apply_batch(b2, 1)  # gated: table+catalog stay frozen
+    frozen_snapshot = router.catalog.snapshot()
+
+    out = router.resume(spark, "repos", changelog_path=cl,
+                        read_schema=CHANGELOG_SCHEMA_EVOLVED)
+    assert out["catchup"]["status"] == "committed"
+    assert "_catalog_version" in out
+    snap = router.catalog.snapshot()
+    store = router.store_for("repos")
+    assert snap["repos"] == store.current_version()
+    assert snap["repos"] > frozen_snapshot.get("repos", -1)
+    # the consistency-guaranteeing read path serves the caught-up state
+    n_consistent = router.read_consistent(spark, "repos").count()
+    assert n_consistent == final_state(spark, store).count()
