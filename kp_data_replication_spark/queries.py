@@ -69,7 +69,13 @@ _ENVELOPE_SQL = f"""
 def q_cdc_state_lastwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/W2 + F7: replicated-topic end state — newest event per key,
     tombstones drop the key (docs/local-to-es.md:97-106 end-state oracle)."""
-    ev = _with_envelope(_events(spark, sf_dir))
+    # project to the surviving columns BEFORE the LWW aggregate: Catalyst
+    # cannot prune struct fields through max_by(struct(payload)), so the
+    # unused props map / ts otherwise ride the whole shuffle (guide §2.3).
+    # Exact: lsn = event_id is unique, so the winner is tie-free.
+    ev = _with_envelope(_events(spark, sf_dir)).select(
+        "user_id", "lsn", "op", "event_id", "event_type", "value"
+    )
     state = last_write_wins(ev, key_cols=["user_id"], order_col="lsn")
     return state.filter(F.col("op") != "d").select(
         "user_id",
@@ -99,7 +105,11 @@ def q_cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     LWW replay — the oracle is exactly the full-replay SQL, independently
     computed. The 1-row cutoff aggregate joins in via broadcast (no
     shuffle of the event side)."""
-    ev = _with_envelope(_events(spark, sf_dir))
+    # early projection: same rationale as q_cdc_state_lastwrite (the LWW
+    # struct blocks column pruning; lsn is unique so winners are tie-free)
+    ev = _with_envelope(_events(spark, sf_dir)).select(
+        "user_id", "lsn", "op", "event_id", "event_type", "value"
+    )
     cut = ev.agg(F.floor(F.max("lsn") / 2).cast("long").alias("_w"))
     ev = ev.join(F.broadcast(cut))
     snapshot = last_write_wins(
@@ -308,7 +318,9 @@ SQL_CDC_OFFSET_TRANSLATION = f"""
 
 def q_cdc_compaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/F7 summary: live vs tombstoned keys after compaction."""
-    ev = _with_envelope(_events(spark, sf_dir))
+    # early projection past the pruning-opaque LWW struct (guide §2.3);
+    # lsn unique => tie-free winners
+    ev = _with_envelope(_events(spark, sf_dir)).select("user_id", "lsn", "op")
     state = last_write_wins(ev, key_cols=["user_id"], order_col="lsn")
     return (
         state.select(
@@ -592,7 +604,9 @@ SQL_CDC_SHA_INVARIANT = """
 def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/F7: MERGE semantics — state from events < 7000, then apply the
     compacted tail as one batch: update/insert/delete per key."""
-    ev = _with_envelope(_events(spark, sf_dir))
+    ev = _with_envelope(_events(spark, sf_dir)).select(
+        "user_id", "lsn", "op", "event_id", "event_type", "value"
+    )
     mk = lambda df: last_write_wins(df, key_cols=["user_id"], order_col="lsn").select(
         "user_id",
         "op",
@@ -635,7 +649,9 @@ def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained-replication topology of docs/index.md:32-52)."""
     from .operators.changefeed import diff_states
 
-    ev = _with_envelope(_events(spark, sf_dir))
+    ev = _with_envelope(_events(spark, sf_dir)).select(
+        "user_id", "lsn", "op", "event_id", "event_type", "value"
+    )
 
     def state(e: DataFrame) -> DataFrame:
         s = last_write_wins(e, key_cols=["user_id"], order_col="lsn")
