@@ -294,33 +294,38 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """32-bit SimHash over distinct word hashes.
 
     Each word votes ±1 per bit position of its 32-bit hash; fingerprint bit
-    = 1 where the vote sum is positive. The explode factor is 32 (bounded);
-    everything else is hash aggregation. Output: (doc, simhash).
+    = 1 where the vote sum is positive. The 32 per-position vote sums are
+    computed as 32 aggregate expressions over the UN-exploded token stream
+    (one groupBy(doc), map-side partial) — the same wide-aggregate shape as
+    :func:`_minhash_wide` — instead of a ×32 position explode feeding two
+    chained aggregates. Integer math is unchanged: per position,
+    sum(±1 over distinct words), fingerprint bit set where the sum is
+    positive. The repartition hash-partitions by doc so the (doc, word)
+    distinct and the per-doc aggregate both run without a further exchange.
+    Output: (doc, simhash).
     """
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     tokens = (
-        df.select(F.col(id_col).alias("doc"), F.explode(w).alias("word"))
+        df.repartition(_fanout_partitions(df), F.col(id_col))
+        .select(F.col(id_col).alias("doc"), F.explode(w).alias("word"))
         .distinct()
         .withColumn("h", shingle_hash(F.col("word")))
     )
-    bits = tokens.select(
-        "doc", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("pos")
-    ).withColumn(
-        # shiftright/shiftleft take only literal shift counts in the Python
-        # API — use the SQL expression form for a column shift
-        "vote",
-        F.when(F.expr("(shiftright(h, pos) & 1) = 1"), 1).otherwise(-1),
-    )
-    return (
-        bits.groupBy("doc", "pos")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc")
-        .agg(
+    votes = tokens.groupBy("doc").agg(
+        *[
             F.sum(
-                F.when(F.col("v") > 0, F.expr("shiftleft(1L, pos)")).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
+                F.when(F.expr(f"(shiftright(h, {pos}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"_v{pos}")
+            for pos in range(SIMHASH_BITS)
+        ]
     )
+    fingerprint = None
+    for pos in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_v{pos}") > 0, F.lit(1 << pos).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("doc", fingerprint.alias("simhash"))
 
 
 def decontaminate(
