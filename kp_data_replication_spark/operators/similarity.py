@@ -80,7 +80,11 @@ def _nearest_cell_inline(vec_col, norm_col, crows, cell_type) -> F.Column:
     structs = [
         F.struct(
             (
-                dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]))
+                # one array literal per centroid (lit over a Python list),
+                # not one py4j lit() per element: the codebook otherwise
+                # costs n_cells x dim driver round-trips PER PLAN BUILD —
+                # a fixed ~0.5s of pure py4j chatter at 16x64
+                dot_expr(F.col(vec_col), F.lit([float(x) for x in cv]))
                 / (F.col(norm_col) * F.lit(float(cn)))
             ).alias("_s"),
             F.lit(c).cast(cell_type).alias("_c"),
