@@ -705,8 +705,11 @@ def test_semdedup_drops_planted_near_dups_keeps_singletons(spark):
 
 
 def test_semdedup_centroid_side_is_broadcast(spark):
-    """The only crossJoin in the plan is against the broadcast centroid
-    table; the pairwise cosine is a cell equi-join (never corpus x corpus)."""
+    """The nearest-cell argmax is INLINED (round-6: the codebook is
+    collected driver-side, so the assignment is a map-side projection and
+    the plan carries NO nested-loop join at all — it previously crossJoined
+    the broadcast centroid table); the pairwise cosine stays a cell
+    equi-join (never corpus x corpus)."""
     from kp_data_replication_spark.operators.similarity import semdedup
 
     df = spark.createDataFrame(
@@ -714,7 +717,7 @@ def test_semdedup_centroid_side_is_broadcast(spark):
         "vec_id long, embedding array<double>",
     )
     plan = semdedup(df, n_cells=2)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan  # centroid crossJoin, broadcast
+    assert "BroadcastNestedLoopJoin" not in plan  # argmax inlined, no crossJoin
     assert "CartesianProduct" not in plan  # no data-x-data cartesian
 
 
